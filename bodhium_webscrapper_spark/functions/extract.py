@@ -1,0 +1,112 @@
+"""Deterministic trafilatura-style HTML → text extraction as pandas UDFs.
+
+This replaces the reference's per-page LLM extraction stage
+(``/root/reference/app.py:591-682``: markdown[:50k] → Gemini → JSON). The
+LLM call is non-deterministic and is NOT reproduced; instead the engine pins
+a deterministic main-content extractor whose output is the per-row invariant:
+``extract_text(html)`` must be byte-identical per url to the stored golden
+``text`` column of the pages table (BASELINE.json ``input_hint``).
+
+The extractor mirrors the reference crawler's content config
+(``app.py:489-500``): strip ``script/style/nav/footer/header`` (plus
+``aside/form/noscript/svg/template``), keep the title, drop text blocks under
+``word_count_threshold=10`` words (``app.py:492``), collapse whitespace.
+
+Pure function of the input bytes — no clocks, locale, or randomness; regex
+pipeline only, so it is stable across pandas/arrow versions.
+"""
+
+from __future__ import annotations
+
+import html as _htmllib
+import re
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+WORD_COUNT_THRESHOLD = 10  # reference app.py:492
+
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+_DROP_BLOCK_RE = re.compile(
+    r"<(script|style|noscript|svg|template|nav|header|footer|aside|form)\b.*?</\1\s*>",
+    re.S | re.I,
+)
+_TITLE_RE = re.compile(r"<title\b[^>]*>(.*?)</title\s*>", re.S | re.I)
+_BLOCK_TAG_RE = re.compile(
+    r"</?(?:p|div|section|article|main|ul|ol|li|table|tr|td|th|thead|tbody|"
+    r"h[1-6]|blockquote|pre|figure|figcaption|dl|dt|dd)\b[^>]*>|<br\s*/?>",
+    re.I,
+)
+_ANY_TAG_RE = re.compile(r"<[^>]+>")
+_HSPACE_RE = re.compile(r"[ \t\r\f\v]+")
+
+
+def extract_text_py(html_bytes: bytes | None) -> str | None:
+    """The pinned extractor. bytes → str, deterministic.
+
+    Layout: title line, blank line, then one line per surviving text block
+    (blocks with >= WORD_COUNT_THRESHOLD words, mirroring app.py:492).
+    """
+    if html_bytes is None:
+        return None
+    raw = (
+        html_bytes.decode("utf-8", errors="replace")
+        if isinstance(html_bytes, (bytes, bytearray))
+        else str(html_bytes)
+    )
+    s = _COMMENT_RE.sub(" ", raw)
+    s = _DROP_BLOCK_RE.sub(" ", s)
+    m = _TITLE_RE.search(s)
+    title = ""
+    if m:
+        title = _HSPACE_RE.sub(" ", _htmllib.unescape(_ANY_TAG_RE.sub(" ", m.group(1)))).strip()
+        s = s[: m.start()] + " " + s[m.end() :]
+    s = _BLOCK_TAG_RE.sub("\n", s)
+    s = _ANY_TAG_RE.sub(" ", s)
+    s = _htmllib.unescape(s)
+    lines: list[str] = []
+    for block in s.split("\n"):
+        block = _HSPACE_RE.sub(" ", block).strip()
+        if not block:
+            continue
+        if len(block.split(" ")) >= WORD_COUNT_THRESHOLD:
+            lines.append(block)
+    body = "\n".join(lines)
+    if title and body:
+        return title + "\n\n" + body
+    return title or body
+
+
+_HREF_RE = re.compile(r"""<a\b[^>]*?\bhref\s*=\s*(?:"([^"]*)"|'([^']*)')""", re.I | re.S)
+
+
+def extract_links_py(html_bytes: bytes | None) -> list[str]:
+    """All <a href> targets, in document order, deduped first-wins."""
+    if html_bytes is None:
+        return []
+    raw = (
+        html_bytes.decode("utf-8", errors="replace")
+        if isinstance(html_bytes, (bytes, bytearray))
+        else str(html_bytes)
+    )
+    seen: set[str] = set()
+    out: list[str] = []
+    for m in _HREF_RE.finditer(raw):
+        href = (m.group(1) or m.group(2) or "").strip()
+        if not href or href.startswith(("#", "javascript:", "mailto:")):
+            continue
+        if href not in seen:
+            seen.add(href)
+            out.append(href)
+    return out
+
+
+@pandas_udf(StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    return html.map(extract_text_py)
+
+
+@pandas_udf(ArrayType(StringType()))
+def extract_links_udf(html: pd.Series) -> pd.Series:
+    return html.map(extract_links_py)

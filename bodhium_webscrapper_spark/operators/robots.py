@@ -1,0 +1,39 @@
+"""robots.txt gate as a broadcast join + higher-order-function filter.
+
+The reference has NO robots handling (grep over /root/reference finds none;
+SURVEY.md §2.9 U5) — its only politeness is ``asyncio.sleep(1)``
+(``app.py:973-974``). The target spec requires a robots gate; we model it as
+a small per-host rules table (host, disallow_prefixes array, crawl_delay_ms)
+broadcast to every executor, with the prefix test expressed via
+``F.exists(...startswith...)`` — pure JVM expressions, whole-stage codegen,
+no Python in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def robots_gate(
+    df: DataFrame,
+    robots: DataFrame,
+    url_col: str = "canonical_url",
+    host_col: str = "host",
+) -> DataFrame:
+    """Drop rows whose URL path starts with any disallowed prefix for its host.
+
+    Hosts absent from the rules table are allowed (standard robots default).
+    """
+    path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("/"))
+    rules = robots.select(
+        F.col("host").alias("_r_host"),
+        F.col("disallow_prefixes").alias("_r_prefixes"),
+    )
+    joined = df.join(
+        F.broadcast(rules), df[host_col] == F.col("_r_host"), "left"
+    )
+    blocked = F.exists("_r_prefixes", lambda p: F.startswith(path, p))
+    return joined.filter(~F.coalesce(blocked, F.lit(False))).drop(
+        "_r_host", "_r_prefixes"
+    )

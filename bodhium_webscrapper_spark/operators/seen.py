@@ -1,0 +1,146 @@
+"""Partitioned-bloom URL-seen membership + exact anti-join.
+
+The reference keeps an in-memory Python set of seen URLs
+(``/root/reference/app.py:225,376-390``) — O(1) membership but bounded by one
+process's RAM and lost on crash. At 10^10-URL frontier scale the engine keeps
+the exact seen set as a table keyed by ``url_hash`` (authoritative,
+checkpointed) and accelerates the anti-join with per-bucket bloom filters:
+
+- build: ``groupBy(bucket_id).applyInPandas`` → one numpy bit-array blob per
+  bucket (Arrow-batched, vectorized; no per-row Python).
+- probe: blobs broadcast to executors; a vectorized pandas UDF tests
+  membership. Rows the bloom says are definitely-new skip the exact join
+  entirely; only possible-seen rows (bloom positives) reach the exact
+  anti-join, so bloom false positives can never drop a URL — correctness is
+  anchored on the exact join (tested bloom-on == bloom-off).
+
+Hashing: the 64-bit key is Spark's built-in ``xxhash64`` (JVM-side); the k
+bloom probes derive from its two 32-bit halves via double hashing
+(h1 + i*h2 mod m), all numpy-vectorized.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType
+
+BLOOM_K = 8
+BITS_PER_KEY = 16
+
+_BLOOM_SCHEMA = "bucket_id int, m long, n long, blob binary"
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(10, (x - 1).bit_length())
+
+
+def _probe_positions(h: np.ndarray, m: int) -> list[np.ndarray]:
+    hu = h.astype(np.int64).view(np.uint64)
+    h1 = hu & np.uint64(0xFFFFFFFF)
+    h2 = (hu >> np.uint64(32)) | np.uint64(1)
+    return [(h1 + np.uint64(i) * h2) % np.uint64(m) for i in range(BLOOM_K)]
+
+
+def build_bloom(df: DataFrame, hash_col: str = "url_hash", n_buckets: int = 64) -> DataFrame:
+    """(bucket_id, m, n, blob) — one bloom blob per hash bucket."""
+
+    def make(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = pdf[hash_col].to_numpy()
+        n = len(h)
+        m = _next_pow2(n * BITS_PER_KEY)
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        for idx in _probe_positions(h, m):
+            np.bitwise_or.at(
+                bits,
+                (idx >> np.uint64(3)).astype(np.int64),
+                np.left_shift(1, (idx & np.uint64(7)).astype(np.int64)).astype(np.uint8),
+            )
+        return pd.DataFrame(
+            {
+                "bucket_id": [int(pdf["bucket_id"].iloc[0])],
+                "m": [m],
+                "n": [n],
+                "blob": [bits.tobytes()],
+            }
+        )
+
+    bucketed = df.select(
+        F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int").alias("bucket_id"),
+        F.col(hash_col),
+    )
+    return bucketed.groupBy("bucket_id").applyInPandas(make, _BLOOM_SCHEMA)
+
+
+@dataclass
+class BloomState:
+    """Driver-held broadcast of the per-bucket blobs (small: ~2 B/key)."""
+
+    n_buckets: int
+    broadcast: object  # sc.broadcast of {bucket_id: (m, bytes)}
+
+    @classmethod
+    def from_df(cls, spark: SparkSession, bloom_df: DataFrame, n_buckets: int) -> "BloomState":
+        blobs = {
+            r["bucket_id"]: (r["m"], r["blob"]) for r in bloom_df.collect()
+        }
+        return cls(n_buckets=n_buckets, broadcast=spark.sparkContext.broadcast(blobs))
+
+    def might_contain_udf(self):
+        n_buckets = self.n_buckets
+        bc = self.broadcast
+
+        @pandas_udf(BooleanType())
+        def might_contain(hashes: pd.Series) -> pd.Series:
+            blobs = bc.value
+            h = hashes.to_numpy()
+            out = np.zeros(len(h), dtype=bool)
+            buckets = (
+                h.astype(np.int64).view(np.uint64) % np.uint64(n_buckets)
+            ).astype(np.int64)
+            for b in np.unique(buckets):
+                entry = blobs.get(int(b))
+                if entry is None:
+                    continue
+                m, blob = entry
+                bits = np.frombuffer(blob, dtype=np.uint8)
+                mask = buckets == b
+                sub = h[mask]
+                hit = np.ones(len(sub), dtype=bool)
+                for idx in _probe_positions(sub, m):
+                    byte_idx = (idx >> np.uint64(3)).astype(np.int64)
+                    bit = (bits[byte_idx] >> (idx & np.uint64(7)).astype(np.uint8)) & 1
+                    hit &= bit.astype(bool)
+                out[mask] = hit
+            return pd.Series(out)
+
+        return might_contain
+
+
+def seen_anti_join(
+    frontier: DataFrame,
+    seen: DataFrame,
+    hash_col: str = "url_hash",
+    bloom: BloomState | None = None,
+) -> DataFrame:
+    """Rows of ``frontier`` whose key is not in ``seen`` (exact semantics).
+
+    With ``bloom``: definitely-new rows bypass the join; bloom positives get
+    the exact anti-join confirm. Without: plain left-anti join.
+    """
+    seen_keys = seen.select(hash_col)
+    if bloom is None:
+        return frontier.join(seen_keys, hash_col, "left_anti")
+    flagged = frontier.withColumn("_maybe_seen", bloom.might_contain_udf()(F.col(hash_col)))
+    definite_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+    confirmed_new = (
+        flagged.filter(F.col("_maybe_seen"))
+        .drop("_maybe_seen")
+        .join(seen_keys, hash_col, "left_anti")
+    )
+    return definite_new.unionByName(confirmed_new)

@@ -1,0 +1,85 @@
+"""Checkpointed frontier snapshots with deterministic resume.
+
+The reference has NO checkpointing: a killed AWS Batch job restarts from
+zero; only job *status* survives in Postgres
+(``/root/reference/RDS/app.py:417-444``). The engine commits every wave as a
+snapshot so a killed run resumes with identical crawl ordering and URL-seen
+membership (the north rule).
+
+On a real cluster this is an Iceberg transaction group: one snapshot per
+wave across the frontier/seen/extracted/metrics tables. In this sandbox we
+use the structurally identical parquet shim: per-wave directories plus an
+atomically-replaced JSON manifest (write-tmp-then-rename) recording the last
+fully committed wave. A wave is visible iff the manifest says so — partial
+wave directories from a crash are ignored and rewritten, which also makes
+wave commits idempotent under retries.
+
+``seen`` is stored as per-wave *deltas* (append-only — the scalable layout:
+at 10^10 URLs a full rewrite per wave is impossible); readers union deltas
+0..k. Reading state back from storage per wave also truncates the iterative
+plan's lineage, keeping wave plans O(1) instead of O(waves).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "manifest.json")
+
+    def manifest(self) -> dict[str, Any]:
+        if not os.path.exists(self._manifest_path):
+            return {"committed_wave": -1, "waves": {}}
+        with open(self._manifest_path) as f:
+            return json.load(f)
+
+    def committed_wave(self) -> int:
+        return self.manifest()["committed_wave"]
+
+    def wave_dir(self, wave: int, name: str) -> str:
+        return os.path.join(self.root, f"wave={wave:04d}", name)
+
+    def write(self, wave: int, name: str, df: DataFrame) -> str:
+        path = self.wave_dir(wave, name)
+        if os.path.exists(path):
+            shutil.rmtree(path)  # idempotent re-commit after a crash
+        df.write.mode("overwrite").parquet(path)
+        return path
+
+    def read(self, spark: SparkSession, wave: int, name: str) -> DataFrame:
+        return spark.read.parquet(self.wave_dir(wave, name))
+
+    def read_deltas(self, spark: SparkSession, name: str, upto_wave: int) -> DataFrame | None:
+        paths = [
+            self.wave_dir(w, name)
+            for w in range(upto_wave + 1)
+            if os.path.exists(self.wave_dir(w, name))
+        ]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    def commit_wave(self, wave: int, stats: dict[str, Any]) -> None:
+        m = self.manifest()
+        if wave != m["committed_wave"] + 1:
+            raise ValueError(
+                f"non-sequential commit: wave={wave}, committed={m['committed_wave']}"
+            )
+        m["committed_wave"] = wave
+        m["waves"][str(wave)] = stats
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self._manifest_path)  # atomic on POSIX

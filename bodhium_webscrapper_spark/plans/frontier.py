@@ -1,0 +1,343 @@
+"""Deterministic breadth-first-with-priority crawl wave scheduler.
+
+Re-expresses the reference's strictly sequential per-URL loop
+(``/root/reference/app.py:899-1075``: discover → fetch one URL → extract →
+sleep(1) → repeat) as an iterative batch dataflow: each *wave* is one pure
+DataFrame plan, the only driver-side control flow is the wave loop and
+empty-checks (mirroring the reference's source-fallback control flow).
+
+Wave t (every stage a DataFrame; schema of frontier rows:
+url_hash, canonical_url, host, depth, priority, retry_count):
+
+  candidates = dedup(frontier_t)   first-wins per url_hash         [A1]
+  new        = candidates ANTI-JOIN seen (bloom pre-pass + exact)  [J2]
+  gated      = robots_gate(new)                                    [U5]
+  scheduled  = per-host top-budget window, host-hash salted        [W1/W3]
+               → global wave cap, ordered (priority desc, url_hash)[W2]
+  fetched    = pages BROADCAST-JOIN scheduled on url_hash          [J1/S4]
+  extracted  = extract_text(html) pandas UDF                       [U1]
+  outlinks   = explode(extract_links) → canonicalize → same-host   [U2/P4/P7]
+  frontier_{t+1} = outlinks ∪ fetch-misses(retry_count+1)
+  commit: order, extracted, seen-delta, frontier, metrics → snapshot
+
+Determinism: scheduling order is a pure function of the data — sort key
+(priority DESC, url_hash ASC); no monotonically_increasing_id, no clocks,
+no partition-dependent values — so a resume from snapshot replays the exact
+remaining order (tested in tests/test_resume.py).
+
+Scale notes (100 TB / 10^10 URLs):
+- pages is the huge side and is never shuffled: the fetch join broadcasts
+  the (politeness-capped, hence small) wave of scheduled URLs into a
+  broadcast-hash-join probe of pages. On Iceberg, pages would be bucketed by
+  ``bucket(N, url_hash)`` making this storage-partitioned even for giant
+  waves.
+- the seen anti-join sees only bloom positives (vectorized pre-filter).
+- the politeness window is salted two-phase top-k → no mega-host straggler.
+- state (seen/frontier) is read back from the snapshot each wave, keeping
+  every wave's plan O(1) and lineage flat (no iterative plan blow-up).
+- seen is append-only deltas; wave commits are idempotent (crash-safe).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bodhium_webscrapper_spark.functions.canonicalize import with_canonical_url
+from bodhium_webscrapper_spark.functions.extract import extract_links_udf, extract_text_udf
+from bodhium_webscrapper_spark.operators.politeness import per_host_budget
+from bodhium_webscrapper_spark.operators.robots import robots_gate
+from bodhium_webscrapper_spark.operators.seen import BloomState, build_bloom, seen_anti_join
+from bodhium_webscrapper_spark.plans.checkpoint import SnapshotStore
+from bodhium_webscrapper_spark.plans.metrics import partition_metrics
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("url_hash", T.LongType()),
+        T.StructField("canonical_url", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("priority", T.DoubleType()),
+        T.StructField("retry_count", T.IntegerType()),
+    ]
+)
+SEEN_SCHEMA = T.StructType(
+    [
+        T.StructField("url_hash", T.LongType()),
+        T.StructField("url", T.StringType()),
+    ]
+)
+
+
+@dataclass
+class CrawlConfig:
+    """Politeness budget fixture (FIXTURES.md §4; analogue of MAX_URLS=100
+    at app.py:303 and the 1 s pacing at app.py:973-974)."""
+
+    max_urls_per_host_per_wave: int = 10
+    max_waves: int = 6
+    global_wave_limit: int = 5000
+    max_retries: int = 2
+    salt_buckets: int = 16
+    use_bloom: bool = True
+    bloom_buckets: int = 64
+    same_host_only: bool = True  # app.py:497 exclude_external_links
+    priority_decay: float = 0.5
+    verify_extraction: bool = False  # assert byte-identical text vs golden
+
+
+@dataclass
+class WaveStats:
+    wave: int
+    candidates: int
+    deduped: int
+    scheduled: int
+    fetched: int
+    misses: int
+    outlinks: int
+    seconds: float = field(default=0.0)
+
+
+class CrawlJob:
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages_path: str,
+        seeds: DataFrame,
+        robots: DataFrame | None,
+        config: CrawlConfig,
+        checkpoint_dir: str,
+        job_id: str = "crawl",
+    ):
+        self.spark = spark
+        self.config = config
+        self.store = SnapshotStore(checkpoint_dir)
+        self.job_id = job_id
+        self.seeds = seeds
+        self.robots = robots
+        # column pruning: the fetch join needs only key + payload (+ golden
+        # text when verifying) — never lang/warc_ts
+        cols = ["url_hash", "url", "html"] + (["text"] if config.verify_extraction else [])
+        self.pages = spark.read.parquet(pages_path).select(*cols)
+
+    # ---- wave-0 frontier from seeds (reference discovery, app.py:297-396)
+    def _seed_frontier(self) -> DataFrame:
+        return (
+            with_canonical_url(self.seeds, "url")
+            .select(
+                "url_hash",
+                "canonical_url",
+                "host",
+                F.lit(0).alias("depth"),
+                F.col("priority").cast("double").alias("priority"),
+                F.lit(0).alias("retry_count"),
+            )
+        )
+
+    def _empty(self, schema: T.StructType) -> DataFrame:
+        return self.spark.createDataFrame([], schema)
+
+    def _dedup_first_wins(self, frontier: DataFrame) -> DataFrame:
+        """A1: one row per url_hash — keep highest priority, then lowest
+        depth (deterministic; discovery order is encoded in (depth, priority))."""
+        w = Window.partitionBy("url_hash").orderBy(
+            F.col("priority").desc(), F.col("depth").asc(), F.col("retry_count").asc()
+        )
+        return (
+            frontier.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def _assign_order(self, scheduled: DataFrame, wave: int) -> DataFrame:
+        """Deterministic wave sequence numbers.
+
+        The wave is politeness-capped (≤ global_wave_limit rows), so a
+        single window is fine here; at 10^10 scale seq would be computed by
+        range-repartition + per-partition offsets. Order = pure function of
+        data: (priority DESC, url_hash ASC).
+        """
+        w = Window.orderBy(F.col("priority").desc(), F.col("url_hash").asc())
+        return scheduled.withColumn("seq", F.row_number().over(w)).withColumn(
+            "wave", F.lit(wave)
+        )
+
+    def _expand_outlinks(self, fetched: DataFrame) -> DataFrame:
+        from bodhium_webscrapper_spark.functions.canonicalize import (
+            host_of,
+            resolve_and_canonicalize_udf,
+            url_key,
+        )
+
+        links = (
+            fetched.select(
+                F.col("canonical_url").alias("base_url"),
+                F.col("host").alias("base_host"),
+                F.col("priority").alias("parent_priority"),
+                F.col("depth").alias("parent_depth"),
+                F.explode(extract_links_udf(F.col("html"))).alias("raw_link"),
+            )
+            .withColumn(
+                "canonical_url",
+                resolve_and_canonicalize_udf(F.col("raw_link"), F.col("base_url")),
+            )
+            .filter(F.col("canonical_url").isNotNull())
+            .withColumn("host", host_of(F.col("canonical_url")))
+        )
+        if self.config.same_host_only:
+            links = links.filter(F.col("host") == F.col("base_host"))
+        return links.select(
+            url_key(F.col("canonical_url")).alias("url_hash"),
+            "canonical_url",
+            "host",
+            (F.col("parent_depth") + 1).alias("depth"),
+            (F.col("parent_priority") * F.lit(self.config.priority_decay)).alias("priority"),
+            F.lit(0).alias("retry_count"),
+        )
+
+    # ---- one wave = one pure dataflow
+    def _run_wave(self, wave: int, frontier: DataFrame, seen: DataFrame) -> WaveStats:
+        cfg = self.config
+        t0 = time.time()
+        n_candidates = frontier.count()
+
+        deduped = self._dedup_first_wins(frontier)
+        bloom = None
+        if cfg.use_bloom and not seen.isEmpty():
+            bloom_df = build_bloom(seen, "url_hash", cfg.bloom_buckets)
+            bloom = BloomState.from_df(self.spark, bloom_df, cfg.bloom_buckets)
+        new = seen_anti_join(deduped, seen, "url_hash", bloom)
+        gated = robots_gate(new, self.robots) if self.robots is not None else new
+        capped = per_host_budget(
+            gated,
+            cfg.max_urls_per_host_per_wave,
+            host_col="host",
+            salt_buckets=cfg.salt_buckets,
+        ).orderBy(F.col("priority").desc(), F.col("url_hash").asc()).limit(
+            cfg.global_wave_limit
+        )
+        scheduled = self._assign_order(capped, wave).localCheckpoint(eager=True)
+        n_scheduled = scheduled.count()
+        n_deduped = n_candidates  # refined below only if someone needs it cheaply
+
+        # fetch = pages ⋈ broadcast(scheduled): pages (the 100 TB side) is
+        # probed in place, never shuffled
+        fetched = self.pages.join(
+            F.broadcast(scheduled.select("url_hash", "canonical_url", "host", "depth",
+                                         "priority", "wave", "seq")),
+            "url_hash",
+        ).localCheckpoint(eager=True)
+        n_fetched = fetched.count()
+
+        extracted = fetched.select(
+            "url_hash",
+            "canonical_url",
+            "wave",
+            extract_text_udf(F.col("html")).alias("text"),
+        )
+        if self.config.verify_extraction:
+            golden = fetched.select("url_hash", F.col("text").alias("_golden"))
+            mismatches = (
+                extracted.join(golden, "url_hash")
+                .filter(~F.col("text").eqNullSafe(F.col("_golden")))
+                .count()
+            )
+            if mismatches:
+                raise AssertionError(
+                    f"wave {wave}: {mismatches} rows differ from golden extractor output"
+                )
+
+        misses = (
+            scheduled.join(fetched.select("url_hash"), "url_hash", "left_anti")
+            .filter(F.col("retry_count") < cfg.max_retries)
+            .select(
+                "url_hash", "canonical_url", "host", "depth", "priority",
+                (F.col("retry_count") + 1).alias("retry_count"),
+            )
+        )
+        outlinks = self._expand_outlinks(fetched)
+        next_frontier = outlinks.unionByName(misses)
+
+        # ---- commit (one snapshot per wave — Iceberg transaction analogue)
+        self.store.write(wave, "order", scheduled.select("wave", "seq", "canonical_url"))
+        self.store.write(wave, "extracted", extracted)
+        self.store.write(
+            wave, "seen_delta", scheduled.select("url_hash", F.col("canonical_url").alias("url"))
+        )
+        self.store.write(wave, "frontier_next", next_frontier)
+        metrics = (
+            partition_metrics(scheduled, wave, "scheduled")
+            .unionByName(partition_metrics(fetched, wave, "fetched", bytes_col="html"))
+        )
+        self.store.write(wave, "metrics", metrics)
+
+        n_misses = n_scheduled - n_fetched
+        stats = WaveStats(
+            wave=wave,
+            candidates=n_candidates,
+            deduped=n_deduped,
+            scheduled=n_scheduled,
+            fetched=n_fetched,
+            misses=n_misses,
+            outlinks=0,
+            seconds=round(time.time() - t0, 3),
+        )
+        self.store.commit_wave(wave, stats.__dict__)
+        scheduled.unpersist()
+        fetched.unpersist()
+        return stats
+
+    def run(self, resume: bool = False) -> dict:
+        """Run (or resume) the wave loop; returns a summary dict."""
+        cfg = self.config
+        committed = self.store.committed_wave()
+        if resume and committed >= 0:
+            start = committed + 1
+            frontier = self.store.read(self.spark, committed, "frontier_next")
+            seen = self.store.read_deltas(self.spark, "seen_delta", committed)
+        else:
+            start = 0
+            frontier = self._seed_frontier()
+            seen = self._empty(SEEN_SCHEMA)
+
+        total_scheduled = sum(
+            s.get("scheduled", 0) for s in self.store.manifest()["waves"].values()
+        ) if resume else 0
+        total_candidates = 0
+        waves_run = []
+        for wave in range(start, cfg.max_waves):
+            if frontier.isEmpty():
+                break
+            stats = self._run_wave(wave, frontier, seen)
+            waves_run.append(stats)
+            total_scheduled += stats.scheduled
+            total_candidates += stats.candidates
+            # re-read state from the snapshot: flat lineage, O(1) plans
+            frontier = self.store.read(self.spark, wave, "frontier_next")
+            seen = self.store.read_deltas(self.spark, "seen_delta", wave)
+
+        return {
+            "job_id": self.job_id,
+            "waves": [s.__dict__ for s in waves_run],
+            "committed_wave": self.store.committed_wave(),
+            "total_scheduled": total_scheduled,
+            "total_candidates": total_candidates,
+        }
+
+    # ---- readers over the committed snapshot
+    def crawl_order(self) -> DataFrame:
+        df = self.store.read_deltas(self.spark, "order", self.store.committed_wave())
+        return df.orderBy("wave", "seq")
+
+    def seen_set(self) -> DataFrame:
+        return self.store.read_deltas(self.spark, "seen_delta", self.store.committed_wave())
+
+    def extracted(self) -> DataFrame:
+        return self.store.read_deltas(self.spark, "extracted", self.store.committed_wave())
+
+    def metrics(self) -> DataFrame:
+        return self.store.read_deltas(self.spark, "metrics", self.store.committed_wave())

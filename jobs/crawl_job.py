@@ -1,0 +1,98 @@
+"""spark-submit entry point for the frontier crawl job.
+
+Usage (cluster):
+    zip -r engine.zip bodhium_webscrapper_spark
+    spark-submit --py-files engine.zip jobs/crawl_job.py \
+        --pages /data/crawl/pages --seeds /data/crawl/seeds.parquet \
+        --robots /data/crawl/robots.parquet --checkpoint /data/crawl/ckpt \
+        --budget 10 --max-waves 6 [--resume]
+
+Usage (sandbox, synthesizes the fixture first):
+    python jobs/crawl_job.py --synthesize 10000 --workdir build/job_demo
+
+Replaces the reference's Lambda→AWS Batch submission front door
+(/root/reference/lambda_function.py:64-182): one spark-submit instead of one
+container per root URL, with the whole seed list crawled in parallel waves.
+Prints one JSON summary line (analogue of the reference api_response,
+app.py:1184-1237).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--pages", help="path to the prepared pages table (parquet)")
+    p.add_argument("--seeds", help="path to seeds parquet (url, priority)")
+    p.add_argument("--robots", help="path to robots parquet")
+    p.add_argument("--checkpoint", help="snapshot/checkpoint directory")
+    p.add_argument("--budget", type=int, default=10, help="max urls/host/wave")
+    p.add_argument("--max-waves", type=int, default=6)
+    p.add_argument("--global-wave-limit", type=int, default=5000)
+    p.add_argument("--resume", action="store_true", help="resume from last committed wave")
+    p.add_argument("--no-bloom", action="store_true")
+    p.add_argument("--verify-extraction", action="store_true")
+    p.add_argument("--master", default=os.environ.get("SPARK_MASTER", "local[*]"))
+    p.add_argument(
+        "--synthesize",
+        type=int,
+        metavar="N_PAGES",
+        help="generate an N-page synthetic fixture under --workdir first",
+    )
+    p.add_argument("--workdir", default="build/job")
+    args = p.parse_args()
+
+    from bodhium_webscrapper_spark.plans.frontier import CrawlConfig, CrawlJob
+    from bodhium_webscrapper_spark.session import build_session
+
+    spark = build_session(master=args.master, app_name="crawl_job")
+
+    if args.synthesize:
+        from bodhium_webscrapper_spark.sources.datagen import (
+            generate_crawl_fixture,
+            prepare_pages,
+        )
+
+        paths = generate_crawl_fixture(args.workdir, n_pages=args.synthesize)
+        args.pages = prepare_pages(
+            spark, paths["pages_raw"], os.path.join(args.workdir, "pages")
+        )
+        args.seeds = paths["seeds"]
+        args.robots = paths["robots"]
+        args.checkpoint = args.checkpoint or os.path.join(args.workdir, "ckpt")
+
+    missing = [k for k in ("pages", "seeds", "robots", "checkpoint") if not getattr(args, k)]
+    if missing:
+        p.error(f"missing required arguments: {', '.join('--' + m for m in missing)} "
+                f"(or use --synthesize)")
+
+    cfg = CrawlConfig(
+        max_urls_per_host_per_wave=args.budget,
+        max_waves=args.max_waves,
+        global_wave_limit=args.global_wave_limit,
+        use_bloom=not args.no_bloom,
+        verify_extraction=args.verify_extraction,
+    )
+    job = CrawlJob(
+        spark,
+        args.pages,
+        spark.read.parquet(args.seeds),
+        spark.read.parquet(args.robots),
+        cfg,
+        args.checkpoint,
+    )
+    summary = job.run(resume=args.resume)
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,51 @@
+"""URL-seen membership: bloom pre-pass must never change exact semantics."""
+
+from pyspark.sql import functions as F
+
+from bodhium_webscrapper_spark.operators.seen import BloomState, build_bloom, seen_anti_join
+
+
+def _dfs(spark):
+    frontier = spark.range(0, 5000).select(
+        F.xxhash64(F.concat(F.lit("u"), F.col("id"))).alias("url_hash"),
+        F.col("id").alias("payload"),
+    )
+    # seen = every third key (overlap) plus some foreign keys
+    seen = spark.range(0, 5000, 3).select(
+        F.xxhash64(F.concat(F.lit("u"), F.col("id"))).alias("url_hash"),
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+    )
+    return frontier, seen
+
+
+def test_bloom_matches_exact_antijoin(spark):
+    frontier, seen = _dfs(spark)
+    exact = seen_anti_join(frontier, seen)
+    bloom_df = build_bloom(seen, n_buckets=16)
+    bloom = BloomState.from_df(spark, bloom_df, 16)
+    with_bloom = seen_anti_join(frontier, seen, bloom=bloom)
+    a = {r.payload for r in exact.collect()}
+    b = {r.payload for r in with_bloom.collect()}
+    assert a == b
+    assert len(a) == 5000 - len(range(0, 5000, 3))
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every seen key must test positive (bloom FNs would break dedup)."""
+    _, seen = _dfs(spark)
+    bloom_df = build_bloom(seen, n_buckets=16)
+    bloom = BloomState.from_df(spark, bloom_df, 16)
+    negatives = seen.filter(~bloom.might_contain_udf()(F.col("url_hash"))).count()
+    assert negatives == 0
+
+
+def test_bloom_fpp_reasonable(spark):
+    """Foreign keys should mostly test negative (that's the whole point)."""
+    _, seen = _dfs(spark)
+    foreign = spark.range(100000, 110000).select(
+        F.xxhash64(F.concat(F.lit("u"), F.col("id"))).alias("url_hash")
+    )
+    bloom_df = build_bloom(seen, n_buckets=16)
+    bloom = BloomState.from_df(spark, bloom_df, 16)
+    fp = foreign.filter(bloom.might_contain_udf()(F.col("url_hash"))).count()
+    assert fp / 10000 < 0.01

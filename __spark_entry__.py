@@ -1,38 +1,851 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every ``queries()`` entry is an operator from SURVEY.md §2 (or the
+training-data-pipeline extensions), expressed through the engine's public
+modules; ``oracle_sql()`` gives the DuckDB-replayable ANSI-SQL equivalent.
+Crawl-shaped inputs (URLs, hosts, robots rules, near-duplicate documents,
+duplicate embeddings) are synthesized *inside* each query from the provided
+tables with identical deterministic expressions on both sides, so the
+correctness gate exercises real operator semantics, not trivial scans.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# shared deterministic synthesizers (Spark side); each has a twin inside the
+# oracle SQL string — the pair must stay in lockstep.
+# --------------------------------------------------------------------------
+
+def _docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ near-duplicate variants: every 10th doc reappears with
+    three extra tokens appended and doc_id+10000."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz91 zz92 zz93")).alias("text"),
+    )
+    return docs.unionByName(variants)
+
+
+_DOCS_WITH_DUPS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000 AS doc_id, text || ' zz91 zz92 zz93' AS text
+    FROM documents WHERE doc_id % 10 = 0
+"""
+
+def _docs_with_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ byte-identical copies (modulo case+whitespace) of every
+    7th doc — exercises exact dedup (reference app.py:684-703)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper(F.col("text"))).alias("text"),
+    )
+    return docs.unionByName(copies)
+
+
+_DOCS_EXACT_DUPS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 20000 AS doc_id, '  ' || upper(text) AS text
+    FROM documents WHERE doc_id % 7 = 0
+"""
+
+def _emb_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    return emb.unionByName(copies)
+
+
+_EMB_WITH_DUPS_SQL = """
+    SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 10000 AS vec_id, embedding::DOUBLE[] AS embedding
+    FROM embeddings WHERE vec_id % 10 = 0
+"""
+
+
+# --------------------------------------------------------------------------
+# crawl-core queries
+# --------------------------------------------------------------------------
+
+def q_canonicalize_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2/P1-P3: RFC 3986 canonicalizer over synthesized messy URLs."""
+    from bodhium_webscrapper_spark.functions.canonicalize import canonicalize_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    m = (F.col("doc_id") % 7).cast("string")
+    raw = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("HTTPS://WWW.Shop"), m, F.lit(".Example:443/Items/?b=2&a=1")))
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("shop"), m, F.lit(".example")))
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat(F.lit("http://shop"), m, F.lit(".example:80/a/./b/../c#frag")))
+        .when(F.col("doc_id") % 5 == 3,
+              F.concat(F.lit("https://shop"), m, F.lit(".example/%7euser")))
+        .otherwise(F.lit("ftp://nope.example/x"))
+    )
+    return (
+        docs.select("doc_id", canonicalize_udf(raw).alias("canonical_url"))
+        .filter(F.col("canonical_url").isNotNull())
+        .orderBy("doc_id")
+    )
+
+
+_Q_CANONICALIZE_SQL = """
+    SELECT doc_id,
+        CASE doc_id % 5
+          WHEN 0 THEN 'https://shop' || (doc_id % 7) || '.example/Items/?a=1&b=2'
+          WHEN 1 THEN 'https://shop' || (doc_id % 7) || '.example/'
+          WHEN 2 THEN 'http://shop' || (doc_id % 7) || '.example/a/c'
+          WHEN 3 THEN 'https://shop' || (doc_id % 7) || '.example/~user'
+        END AS canonical_url
+    FROM documents WHERE doc_id % 5 <> 4 ORDER BY doc_id
+"""
+
+
+def q_url_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: first-wins URL dedup in discovery order (app.py:376-390)."""
+    from bodhium_webscrapper_spark.operators.dedup import first_wins_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 50).cast("string"),
+                 F.lit(".example/p"), (F.col("doc_id") % 100).cast("string")).alias("url"),
+        F.col("doc_id").alias("discovery_seq"),
+    )
+    return first_wins_dedup(docs, ["url"], [F.col("discovery_seq").asc()]).select(
+        "url", F.col("discovery_seq").alias("first_seq")
+    ).orderBy("url")
+
+
+_Q_URL_DEDUP_SQL = """
+    SELECT url, discovery_seq AS first_seq FROM (
+        SELECT 'https://h' || (doc_id % 50) || '.example/p' || (doc_id % 100) AS url,
+               doc_id AS discovery_seq,
+               row_number() OVER (PARTITION BY ('https://h' || (doc_id % 50) ||
+                 '.example/p' || (doc_id % 100)) ORDER BY doc_id) AS rn
+        FROM documents) WHERE rn = 1 ORDER BY url
+"""
+
+
+def q_host_budget_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W3: per-host politeness budget — top-3 per host by priority."""
+    from bodhium_webscrapper_spark.operators.politeness import per_host_budget
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("url_hash"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string")).alias("host"),
+        F.col("n_chars").cast("double").alias("priority"),
+    )
+    out = per_host_budget(
+        docs, 3, host_col="host",
+        order_by=[F.col("priority").desc(), F.col("url_hash").asc()],
+        salt_buckets=8, rank_col="rnk",
+    )
+    return out.select("host", F.col("url_hash").alias("doc_id"), "rnk").orderBy(
+        "host", "rnk"
+    )
+
+
+_Q_HOST_BUDGET_SQL = """
+    SELECT host, doc_id, rnk FROM (
+        SELECT 'h' || (doc_id % 20) AS host, doc_id,
+               row_number() OVER (PARTITION BY ('h' || (doc_id % 20))
+                 ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id ASC) AS rnk
+        FROM documents) WHERE rnk <= 3 ORDER BY host, rnk
+"""
+
+
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5: robots disallow-prefix gate via broadcast rules table."""
+    from bodhium_webscrapper_spark.operators.robots import robots_gate
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 10).cast("string"), F.lit(".example")).alias("host"),
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 10).cast("string"), F.lit(".example"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("/private/x")).otherwise(F.lit("/page")),
+        ).alias("canonical_url"),
+    )
+    rules = spark.createDataFrame(
+        [(f"h{i}.example", ["/private"], 0) for i in range(10) if i % 3 == 0],
+        "host string, disallow_prefixes array<string>, crawl_delay_ms long",
+    )
+    return robots_gate(docs, rules).select("doc_id", "canonical_url").orderBy("doc_id")
+
+
+_Q_ROBOTS_SQL = """
+    SELECT doc_id,
+           'https://h' || (doc_id % 10) || '.example' ||
+             (CASE WHEN doc_id % 5 = 0 THEN '/private/x' ELSE '/page' END) AS canonical_url
+    FROM documents
+    WHERE NOT (doc_id % 5 = 0 AND (doc_id % 10) % 3 = 0)
+    ORDER BY doc_id
+"""
+
+
+def q_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/A1: URL-seen anti-join with bloom pre-pass (bloom-on == bloom-off)."""
+    from bodhium_webscrapper_spark.operators.seen import (
+        BloomState, build_bloom, seen_anti_join,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    frontier = docs.select(
+        F.xxhash64(F.concat(F.lit("u"), F.col("doc_id").cast("string"))).alias("url_hash"),
+        F.col("doc_id"),
+    )
+    seen = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.xxhash64(F.concat(F.lit("u"), F.col("doc_id").cast("string"))).alias("url_hash"),
+        F.lit("x").alias("url"),
+    )
+    bloom = BloomState.from_df(spark, build_bloom(seen, n_buckets=8), 8)
+    return seen_anti_join(frontier, seen, bloom=bloom).select("doc_id").orderBy("doc_id")
+
+
+_Q_SEEN_ANTIJOIN_SQL = "SELECT doc_id FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id"
+
+
+def q_source_priority_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET1: fallback union — first source empty ⇒ second source wins
+    (app.py:305-374 sitemap→CC→manual chain)."""
+    from bodhium_webscrapper_spark.operators.union import source_priority_union_df
+
+    docs = _t(spark, sf_dir, "documents")
+    sitemap = docs.filter(F.col("source") == "no_such_source").select("doc_id")
+    cc = docs.filter(F.col("source") == "src7").select("doc_id")
+    manual = docs.filter(F.col("source") == "src6").select("doc_id")
+    return source_priority_union_df([sitemap, cc, manual]).orderBy("doc_id")
+
+
+_Q_SOURCE_UNION_SQL = "SELECT doc_id FROM documents WHERE source = 'src7' ORDER BY doc_id"
+
+
+def q_product_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11+A2+J2: sha256 product hash + first-wins dedup (RDS/app.py:446-508)."""
+    from bodhium_webscrapper_spark.operators.dedup import first_wins_dedup
+
+    products = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey"),
+        F.col("p_name").alias("productname"),
+        F.concat(F.lit("https://shop"), (F.col("p_partkey") % 10).cast("string"),
+                 F.lit(".example")).alias("source_url"),
+        F.col("p_size").cast("string").alias("current_price"),
+    ).withColumn(
+        "product_hash",
+        F.sha2(F.concat_ws("", "productname", "source_url", "current_price"), 256),
+    )
+    return first_wins_dedup(products, ["product_hash"], [F.col("p_partkey").asc()]).select(
+        "product_hash", F.col("p_partkey").alias("first_key")
+    ).orderBy("product_hash")
+
+
+_Q_PRODUCT_HASH_SQL = """
+    SELECT product_hash, p_partkey AS first_key FROM (
+        SELECT p_partkey,
+               sha256(p_name || ('https://shop' || (p_partkey % 10) || '.example')
+                      || CAST(p_size AS VARCHAR)) AS product_hash,
+               row_number() OVER (PARTITION BY sha256(p_name ||
+                 ('https://shop' || (p_partkey % 10) || '.example') ||
+                 CAST(p_size AS VARCHAR)) ORDER BY p_partkey) AS rn
+        FROM part) WHERE rn = 1 ORDER BY product_hash
+"""
+
+
+def q_crawl_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: deterministic wave ordering (priority desc, url asc) + global cap."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 40).cast("string"),
+                 F.lit(".example/")).alias("url"),
+        (F.col("doc_id") % 3).cast("double").alias("priority"),
+        "doc_id",
+    )
+    w = Window.orderBy(F.col("priority").desc(), F.col("url").asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("seq", F.row_number().over(w))
+        .filter(F.col("seq") <= 100)
+        .select("seq", "url", "doc_id")
+        .orderBy("seq")
+    )
+
+
+_Q_CRAWL_ORDER_SQL = """
+    SELECT seq, url, doc_id FROM (
+        SELECT row_number() OVER (ORDER BY CAST(doc_id % 3 AS DOUBLE) DESC,
+                 ('https://h' || (doc_id % 40) || '.example/') ASC, doc_id ASC) AS seq,
+               'https://h' || (doc_id % 40) || '.example/' AS url, doc_id
+        FROM documents) WHERE seq <= 100 ORDER BY seq
+"""
+
+
+def q_brand_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13: brand = initcap(first dns label) (RDS/app.py:700)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("shop"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".example")).alias("host"),
+    )
+    return docs.select(
+        "doc_id", F.initcap(F.split_part(F.col("host"), F.lit("."), F.lit(1))).alias("brand")
+    ).orderBy("doc_id")
+
+
+_Q_BRAND_SQL = """
+    SELECT doc_id,
+           upper(substr(split_part('shop' || (doc_id % 7) || '.example', '.', 1), 1, 1)) ||
+           substr(split_part('shop' || (doc_id % 7) || '.example', '.', 1), 2) AS brand
+    FROM documents ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# join / aggregation queries (reference sinks + report rollups)
+# --------------------------------------------------------------------------
+
+def q_fetch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: frontier⋈pages analogue — orders⋈lineitem equi-join + rollup."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q_FETCH_JOIN_SQL = """
+    SELECT o_orderpriority, count(*) AS n_items,
+           sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_pushdown_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-flavored scan+agg: predicate pushdown + partial aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") < "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q_PUSHDOWN_AGG_SQL = """
+    SELECT l_returnflag, l_linestatus, sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+           count(*) AS count_order
+    FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_session_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: success/fail rollup (app.py:752-756,993-1002)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("total_events"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("successful"),
+        F.sum(F.when(F.col("event_type") != "click", 1).otherwise(0)).alias("failed"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+_Q_SESSION_SUMMARY_SQL = """
+    SELECT count(*) AS total_events,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS successful,
+           sum(CASE WHEN event_type <> 'click' THEN 1 ELSE 0 END) AS failed,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+"""
+
+
+def q_metric_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: per-group metric rollups (app.py:884-887)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("value_millis"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q_METRIC_ROLLUPS_SQL = """
+    SELECT event_type, count(*) AS n,
+           sum(CAST(floor(value * 1000) AS BIGINT)) AS value_millis
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10/A6: pricing-tier classification + per-tier cost sums
+    (app.py:255-270, tiers app.py:177-189)."""
+    docs = _t(spark, sf_dir, "documents")
+    tiered = docs.select(
+        F.when(F.col("n_chars") <= 256, F.lit("standard"))
+        .otherwise(F.lit("large_context")).alias("pricing_tier"),
+        F.col("n_chars"),
+    )
+    return (
+        tiered.groupBy("pricing_tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(
+                F.col("n_chars")
+                * F.when(F.col("pricing_tier") == "standard", 75).otherwise(150)
+            ).alias("micro_cost"),
+        )
+        .orderBy("pricing_tier")
+    )
+
+
+_Q_TOKEN_ACCOUNTING_SQL = """
+    SELECT pricing_tier, count(*) AS n_docs, sum(n_chars) AS total_chars,
+           sum(n_chars * (CASE WHEN pricing_tier = 'standard' THEN 75 ELSE 150 END)) AS micro_cost
+    FROM (SELECT CASE WHEN n_chars <= 256 THEN 'standard' ELSE 'large_context' END
+            AS pricing_tier, n_chars FROM documents)
+    GROUP BY pricing_tier ORDER BY pricing_tier
+"""
+
+
+def q_group_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: discovered-URL rollup by source (app.py:403-420)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("source")
+    )
+
+
+_Q_GROUP_BY_SOURCE_SQL = """
+    SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+    FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def q_top10_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: display top-10 per source group (app.py:411-420)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("source", "doc_id", "rnk")
+        .orderBy("source", "rnk")
+    )
+
+
+_Q_TOP10_SQL = """
+    SELECT source, doc_id, rnk FROM (
+        SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rnk
+        FROM documents) WHERE rnk <= 10 ORDER BY source, rnk
+"""
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bodhium_webscrapper_spark.functions.textstats import subword_count_est, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        subword_count_est(F.col("text")).alias("n_subwords"),
+    ).orderBy("doc_id")
+
+
+_Q_TOKEN_COUNT_SQL = """
+    SELECT doc_id,
+      CASE WHEN length(trim(text)) = 0 THEN 0
+           ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+      list_aggregate(list_transform(
+          string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+          w -> CAST(ceil(length(w) / 4.0) AS BIGINT)), 'sum')
+        + (length(text) - length(regexp_replace(text, '[.,!?;:''"()\\-]', '', 'g')))
+        AS n_subwords
+    FROM documents ORDER BY doc_id
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bodhium_webscrapper_spark.functions.textstats import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.floor(quality_score(F.col("text")) * 1e6).cast("long").alias("quality_micro"),
+    ).orderBy("doc_id")
+
+
+_Q_QUALITY_SQL = """
+    WITH t AS (
+      SELECT doc_id, text,
+        string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) AS len_score,
+        least((CASE WHEN len(toks) > 0 THEN
+            CAST(len(list_filter(toks, x -> list_contains(
+              ['the','and','of','to','in','is','that','with','for','was'], x))) AS DOUBLE)
+            / len(toks) ELSE 0.0 END) * 5.0, 1.0) AS stop_score,
+        CASE WHEN len(toks) > 0 THEN
+            CAST(list_aggregate(list_transform(toks, w -> length(w)), 'sum') AS DOUBLE)
+            / len(toks) ELSE 0.0 END AS mwl,
+        least((CASE WHEN length(text) > 0 THEN
+            CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\\-]', '', 'g'))
+              AS DOUBLE) / length(text) ELSE 0.0 END) * 2.0, 0.5) AS punct_pen
+      FROM t)
+    SELECT doc_id, CAST(floor(round(
+        (len_score * 0.4 + stop_score * 0.3 +
+         (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.3)
+        - punct_pen, 6) * 1e6) AS BIGINT) AS quality_micro
+    FROM s ORDER BY doc_id
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bodhium_webscrapper_spark.functions.textstats import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred")).orderBy("doc_id")
+
+
+_Q_LANG_ID_SQL = """
+    WITH t AS (
+      SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        len(list_filter(toks, x -> list_contains(
+          ['the','and','of','to','in','is','that','with','for','was'], x))) AS en,
+        len(list_filter(toks, x -> list_contains(
+          ['der','die','das','und','ist','nicht','eine','mit','von','für'], x))) AS de,
+        len(list_filter(toks, x -> list_contains(
+          ['le','la','les','et','est','pas','une','avec','dans','pour'], x))) AS fr
+      FROM t)
+    SELECT doc_id,
+      CASE WHEN greatest(en, de, fr) = 0 THEN 'und'
+           WHEN en = greatest(en, de, fr) THEN 'en'
+           WHEN de = greatest(en, de, fr) THEN 'de'
+           ELSE 'fr' END AS lang_pred
+    FROM s ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup suite
+# --------------------------------------------------------------------------
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5(normalized text) groups with their survivor."""
+    from bodhium_webscrapper_spark.functions.textstats import doc_fingerprint
+
+    df = _docs_with_exact_dups(spark, sf_dir)
+    return (
+        df.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("survivor"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("fp")
+    )
+
+
+_Q_EXACT_DEDUP_SQL = f"""
+    WITH d AS ({_DOCS_EXACT_DUPS_SQL})
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           count(*) AS n_docs, min(doc_id) AS survivor
+    FROM d GROUP BY 1 HAVING count(*) >= 2 ORDER BY fp
+"""
+
+
+def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard near-dup pairs (LSH-pruned, exact-verified)."""
+    from bodhium_webscrapper_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = _docs_with_near_dups(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", shingle_k=3, threshold=0.5)
+    return pairs.select("id_a", "id_b").orderBy("id_a", "id_b")
+
+
+_Q_NGRAM_JACCARD_SQL = f"""
+    WITH d AS ({_DOCS_WITH_DUPS_SQL}),
+    sh AS (
+      SELECT doc_id, list_distinct(
+        CASE WHEN len(toks) >= 3 THEN
+          list_transform(range(1, len(toks) - 1),
+                         i -> array_to_string(toks[i:i+2], ' '))
+        ELSE [array_to_string(toks, ' ')] END) AS shingles
+      FROM (SELECT doc_id,
+              string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+            FROM d)),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_filter(a.shingles, x -> list_contains(b.shingles, x))) AS DOUBLE)
+             / (len(a.shingles) + len(b.shingles)
+                - len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))) AS jac
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b FROM pairs WHERE jac >= 0.5 ORDER BY id_a, id_b
+"""
+
+
+def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates, exact-verified at jaccard>=0.7.
+
+    No oracle: MinHash banding is probabilistic (recall < 1 by design);
+    the exact-verified variant is oracle-checked as q_ngram_jaccard_dups.
+    """
+    from bodhium_webscrapper_spark.operators.dedup import minhash_lsh_pairs
+
+    df = _docs_with_near_dups(spark, sf_dir)
+    return minhash_lsh_pairs(
+        df, "doc_id", "text", n_hashes=32, bands=8, jaccard_threshold=0.7
+    ).select("id_a", "id_b").orderBy("id_a", "id_b")
+
+
+def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3). No oracle (bit-level custom)."""
+    from bodhium_webscrapper_spark.operators.dedup import simhash_pairs
+
+    df = _docs_with_near_dups(spark, sf_dir)
+    return simhash_pairs(df, "doc_id", "text", max_hamming=3).select(
+        "id_a", "id_b", "hamming"
+    ).orderBy("id_a", "id_b")
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs at >= 0.99 (duplicate vectors)."""
+    from bodhium_webscrapper_spark.operators.dedup import embedding_neardup_pairs
+
+    df = _emb_with_dups(spark, sf_dir)
+    return embedding_neardup_pairs(df, "vec_id", "embedding", threshold=0.99).select(
+        "id_a", "id_b"
+    ).orderBy("id_a", "id_b")
+
+
+_Q_EMB_NEARDUP_SQL = f"""
+    WITH e AS ({_EMB_WITH_DUPS_SQL})
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+    ORDER BY id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for query vectors (vec_id < 10)."""
+    from bodhium_webscrapper_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id", "rank"
+    ).orderBy("query_id", "rank")
+
+
+_Q_ANN_BRUTEFORCE_SQL = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings)
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+                        c.vec_id ASC) AS rank
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10)
+    WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via hyperplane-LSH buckets. No oracle (approximate
+    by construction; brute-force twin above is the exact gate)."""
+    from bodhium_webscrapper_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_topk(emb, queries, k=5, n_planes=4).select(
+        "query_id", "neighbor_id", "rank"
+    ).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing
+# --------------------------------------------------------------------------
+
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata extraction (opaque payload + typed metadata)."""
+    from bodhium_webscrapper_spark.functions.multimodal import deterministic_media_fixture
+
+    docs = _t(spark, sf_dir, "documents")
+    media = deterministic_media_fixture(docs, "text", "doc_id")
+    return media.select(
+        F.col("doc_id").alias("media_id"),
+        F.length(F.col("payload")).cast("long").alias("n_bytes"),
+        F.sha2(F.col("payload"), 256).alias("payload_sha"),
+    ).orderBy("media_id")
+
+
+_Q_MEDIA_METADATA_SQL = """
+    SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS payload_sha
+    FROM documents ORDER BY media_id
+"""
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads (stubbed codec,
+    real Spark plumbing). No oracle (numpy histogram); rows-only check."""
+    from bodhium_webscrapper_spark.functions.multimodal import (
+        deterministic_media_fixture, extract_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = deterministic_media_fixture(docs, "text", "doc_id")
+    feats = extract_features(media, "doc_id", "payload")
+    return feats.select("media_id", "feat_dim").orderBy("media_id")
+
+
+# --------------------------------------------------------------------------
+# driver contract
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: wave-0 frontier scheduling over URLs synthesized from the
+    sf0.001 tables — canonicalize → dedup → per-host budget → order."""
+    sf_dir = "/root/testdata/sf0.001"
+    from bodhium_webscrapper_spark.functions.canonicalize import with_canonical_url
+    from bodhium_webscrapper_spark.operators.dedup import first_wins_dedup
+    from bodhium_webscrapper_spark.operators.politeness import per_host_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    seeds = docs.select(
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("HTTPS://WWW.")).otherwise(F.lit("https://")),
+            F.lit("h"), (F.col("doc_id") % 25).cast("string"),
+            F.lit(".example/p"), (F.col("doc_id") % 50).cast("string"),
+        ).alias("url"),
+        (F.col("doc_id") % 3).cast("double").alias("priority"),
+        F.col("doc_id"),
+    )
+    canon = with_canonical_url(seeds, "url")
+    deduped = first_wins_dedup(canon, ["url_hash"], [F.col("doc_id").asc()])
+    capped = per_host_budget(
+        deduped, 3, host_col="host",
+        order_by=[F.col("priority").desc(), F.col("url_hash").asc()],
+        salt_buckets=4,
+    )
+    w = Window.orderBy(F.col("priority").desc(), F.col("url_hash").asc())
+    return capped.withColumn("seq", F.row_number().over(w)).select(
+        "seq", "canonical_url", "host", "url_hash", "priority"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "canonicalize_urls": q_canonicalize_urls,
+        "url_dedup_first_wins": q_url_dedup_first_wins,
+        "host_budget_topk": q_host_budget_topk,
+        "robots_gate": q_robots_gate,
+        "seen_antijoin_bloom": q_seen_antijoin,
+        "source_priority_union": q_source_priority_union,
+        "product_hash_dedup": q_product_hash_dedup,
+        "crawl_order": q_crawl_order,
+        "brand_extraction": q_brand_extraction,
+        "fetch_join": q_fetch_join,
+        "pushdown_agg": q_pushdown_agg,
+        "session_summary": q_session_summary,
+        "metric_rollups": q_metric_rollups,
+        "token_accounting": q_token_accounting,
+        "group_by_source": q_group_by_source,
+        "top10_per_source": q_top10_per_source,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "minhash_lsh_dups": q_minhash_lsh_dups,
+        "simhash_dups": q_simhash_dups,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_bruteforce_topk": q_ann_bruteforce,
+        "ann_lsh_topk": q_ann_lsh,
+        "media_metadata": q_media_metadata,
+        "media_features": q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "canonicalize_urls": _Q_CANONICALIZE_SQL,
+        "url_dedup_first_wins": _Q_URL_DEDUP_SQL,
+        "host_budget_topk": _Q_HOST_BUDGET_SQL,
+        "robots_gate": _Q_ROBOTS_SQL,
+        "seen_antijoin_bloom": _Q_SEEN_ANTIJOIN_SQL,
+        "source_priority_union": _Q_SOURCE_UNION_SQL,
+        "product_hash_dedup": _Q_PRODUCT_HASH_SQL,
+        "crawl_order": _Q_CRAWL_ORDER_SQL,
+        "brand_extraction": _Q_BRAND_SQL,
+        "fetch_join": _Q_FETCH_JOIN_SQL,
+        "pushdown_agg": _Q_PUSHDOWN_AGG_SQL,
+        "session_summary": _Q_SESSION_SUMMARY_SQL,
+        "metric_rollups": _Q_METRIC_ROLLUPS_SQL,
+        "token_accounting": _Q_TOKEN_ACCOUNTING_SQL,
+        "group_by_source": _Q_GROUP_BY_SOURCE_SQL,
+        "top10_per_source": _Q_TOP10_SQL,
+        "token_count": _Q_TOKEN_COUNT_SQL,
+        "quality_score": _Q_QUALITY_SQL,
+        "lang_id": _Q_LANG_ID_SQL,
+        "exact_dedup": _Q_EXACT_DEDUP_SQL,
+        "ngram_jaccard_dups": _Q_NGRAM_JACCARD_SQL,
+        "embedding_neardup": _Q_EMB_NEARDUP_SQL,
+        "ann_bruteforce_topk": _Q_ANN_BRUTEFORCE_SQL,
+        "media_metadata": _Q_MEDIA_METADATA_SQL,
+        # minhash_lsh_dups / simhash_dups / ann_lsh_topk / media_features:
+        # probabilistic or numpy-internal — rows-only check by design.
+    }

@@ -1,0 +1,149 @@
+"""Benchmark harness.
+
+Measures (1) frontier throughput — URLs scheduled+deduped per second over
+the full wave loop on a synthetic Common-Crawl-style pages table — at TWO
+parallelism levels (local[8] vs local[32]) on identical input, standing in
+for the N vs 4N executor-cluster sizes of the north rule, and (2) wall-clock
+of the headline __spark_entry__ queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total seconds>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "frontier": {"local[8]": {...}, "local[32]": {...},
+                 "scaling_efficiency": E}}
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_PAGES (default 200000),
+SPARK_GRAFT_SKIP_SCALING=1 to skip the two-level frontier run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "build", "bench")
+
+HEADLINE = [
+    "pushdown_agg",
+    "fetch_join",
+    "url_dedup_first_wins",
+    "host_budget_topk",
+    "seen_antijoin_bloom",
+    "minhash_lsh_dups",
+    "simhash_dups",
+    "ann_bruteforce_topk",
+    "token_count",
+    "quality_score",
+    "lang_id",
+    "exact_dedup",
+    "media_features",
+]
+
+
+def _fixture(n_pages: int):
+    from bodhium_webscrapper_spark.session import build_session
+    from bodhium_webscrapper_spark.sources.datagen import (
+        generate_crawl_fixture,
+        prepare_pages,
+    )
+
+    out = os.path.join(BENCH_DIR, f"pages_{n_pages}")
+    paths = generate_crawl_fixture(out, n_pages=n_pages)
+    if not os.path.exists(os.path.join(out, "pages", "_SUCCESS")):
+        spark = build_session("local[32]", "bench_prep", 32)
+        prepare_pages(spark, paths["pages_raw"], os.path.join(out, "pages"), n_files=64)
+        spark.stop()
+    return {**paths, "pages": os.path.join(out, "pages")}
+
+
+def run_frontier(master: str, fixture: dict, tag: str) -> dict:
+    import shutil
+
+    from bodhium_webscrapper_spark.plans.frontier import CrawlConfig, CrawlJob
+    from bodhium_webscrapper_spark.session import build_session
+
+    ckpt = os.path.join(BENCH_DIR, f"ckpt_{tag}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    n = int(master[len("local[") : -1])
+    spark = build_session(master, f"bench_frontier_{tag}", shuffle_partitions=n)
+    cfg = CrawlConfig(
+        max_urls_per_host_per_wave=20,
+        max_waves=5,
+        global_wave_limit=200_000,
+        salt_buckets=16,
+    )
+    job = CrawlJob(
+        spark,
+        fixture["pages"],
+        spark.read.parquet(fixture["seeds"]),
+        spark.read.parquet(fixture["robots"]),
+        cfg,
+        ckpt,
+    )
+    t0 = time.time()
+    summary = job.run()
+    secs = time.time() - t0
+    spark.stop()
+    processed = summary["total_candidates"] + summary["total_scheduled"]
+    return {
+        "seconds": round(secs, 2),
+        "urls_scheduled": summary["total_scheduled"],
+        "urls_processed": processed,
+        "urls_per_sec": round(processed / secs, 1),
+        "waves": len(summary["waves"]),
+    }
+
+
+def run_queries(sf_dir: str, cpus: int) -> dict:
+    import __spark_entry__ as entrymod
+    from bodhium_webscrapper_spark.session import build_session
+
+    spark = build_session(f"local[{cpus}]", "bench_queries", shuffle_partitions=cpus)
+    qs = entrymod.queries()
+    out = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        out[name] = round(time.time() - t0, 3)
+        _ = n
+    spark.stop()
+    return out
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "200000"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+
+    t_total = time.time()
+    result = {"metric": "frontier_throughput_and_query_wall", "unit": "sec", "sf": sf}
+
+    queries = run_queries(sf_dir, cpus)
+
+    frontier = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+        fixture = _fixture(n_pages)
+        lo = run_frontier("local[8]", fixture, "p8")
+        hi = run_frontier("local[32]", fixture, "p32")
+        eff = (lo["seconds"] / hi["seconds"]) / (32 / 8)
+        frontier = {
+            "n_pages": n_pages,
+            "local[8]": lo,
+            "local[32]": hi,
+            "scaling_efficiency": round(eff, 3),
+        }
+
+    result["value"] = round(time.time() - t_total, 2)
+    result["queries"] = queries
+    result["frontier"] = frontier
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

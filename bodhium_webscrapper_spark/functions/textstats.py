@@ -1,0 +1,126 @@
+"""Text-analysis column functions for training-data pipelines.
+
+All pure JVM built-ins (whole-stage codegen; zero Python) so they run at
+scan speed over a 100 TB documents table:
+
+- token counting (whitespace tokenization + a BPE-ish subword estimate)
+- quality scoring (length / punctuation / stopword / word-length signals,
+  in the spirit of C4/Gopher text-quality rules)
+- language ID (stopword-marker n-gram heuristic over en/de/fr)
+- document fingerprinting (md5 content key; SimHash lives in operators.dedup)
+
+Each has a deliberately SQL-expressible definition so DuckDB oracles can
+replay it exactly (the driver's correctness gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# fixed marker lexicons (deterministic; mirror classic stopword-based langid)
+EN_MARKERS = ["the", "and", "of", "to", "in", "is", "that", "with", "for", "was"]
+DE_MARKERS = ["der", "die", "das", "und", "ist", "nicht", "eine", "mit", "von", "für"]
+FR_MARKERS = ["le", "la", "les", "et", "est", "pas", "une", "avec", "dans", "pour"]
+
+PUNCT_CLASS = "[.,!?;:'\"()\\-]"
+
+
+def norm_tokens(text: Column) -> Column:
+    return F.split(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")), " ")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank text)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def subword_count_est(text: Column) -> Column:
+    """BPE-ish token estimate: word-chunks of <=4 chars + punctuation marks.
+
+    ceil(len(word)/4) summed over words, plus punctuation count — a standard
+    cheap proxy for BPE token counts, exactly reproducible in SQL.
+    """
+    words = norm_tokens(text)
+    word_pieces = F.aggregate(
+        F.transform(words, lambda w: F.ceil(F.length(w) / F.lit(4.0))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    puncts = F.length(text) - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+    return word_pieces + puncts
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    p = n - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+    return F.when(n > 0, p / n).otherwise(F.lit(0.0))
+
+
+def _marker_hits(tokens: Column, markers: list[str]) -> Column:
+    lit_arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(lit_arr, t)))
+
+
+def stopword_ratio(text: Column, markers: list[str] | None = None) -> Column:
+    toks = norm_tokens(text)
+    n = F.size(toks)
+    hits = _marker_hits(toks, markers or EN_MARKERS)
+    return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+
+
+def mean_word_len(text: Column) -> Column:
+    toks = norm_tokens(text)
+    n = F.size(toks)
+    total = F.aggregate(
+        F.transform(toks, lambda w: F.length(w)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return F.when(n > 0, total / n).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """[0,1] quality heuristic: rewards mid-range length, some stopwords,
+    sane word lengths; penalizes punctuation soup. C4/Gopher-flavored,
+    deterministic, SQL-replayable."""
+    n_tok = token_count(text).cast("double")
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    stop_score = F.least(stopword_ratio(text) * F.lit(5.0), F.lit(1.0))
+    mwl = mean_word_len(text)
+    wordlen_score = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_pen = F.least(punct_ratio(text) * F.lit(2.0), F.lit(0.5))
+    return F.round(
+        (len_score * 0.4 + stop_score * 0.3 + wordlen_score * 0.3) - punct_pen, 6
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    toks = norm_tokens(text)
+    return {
+        "en": _marker_hits(toks, EN_MARKERS),
+        "de": _marker_hits(toks, DE_MARKERS),
+        "fr": _marker_hits(toks, FR_MARKERS),
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """argmax of marker hits; ties broken en > de > fr; 'und' when no hits."""
+    s = lang_scores(text)
+    best = F.greatest(s["en"], s["de"], s["fr"])
+    return (
+        F.when(best == 0, F.lit("und"))
+        .when(s["en"] == best, F.lit("en"))
+        .when(s["de"] == best, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Exact content fingerprint: md5 of normalized text (SURVEY A2 analogue:
+    the reference's product_hash is sha256 of concatenated fields,
+    RDS/app.py:459-460)."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))

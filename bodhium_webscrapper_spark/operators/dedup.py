@@ -1,0 +1,299 @@
+"""Deduplication suite for web-scale training-data pipelines.
+
+The reference deduplicates twice, both row-at-a-time in Python: URL dedup
+via an in-memory set (``/root/reference/app.py:376-390``) and product dedup
+via a first-wins dict on ``lower(name)+'|'+price``
+(``app.py:684-703``; hash-based variant ``RDS/app.py:459-460``). The engine
+generalizes these to the dedup family a 100 TB documents pipeline needs:
+
+- exact dedup       — hash-groupBy (first-wins window, order-deterministic)
+- MinHash + LSH     — shingle → minhash → band → bucket self-join; entirely
+                      JVM-side via higher-order functions + built-in xxhash64
+                      (no Python in the data plane at all)
+- SimHash           — token hashes JVM-side, bit-majority in a vectorized
+                      pandas UDF, candidate pairs via 16-bit band equality +
+                      ``bit_count(a^b)`` hamming verify
+- n-gram Jaccard    — exact set similarity on shingles via
+                      ``array_intersect``/``array_union``
+
+Scale notes: every method is shuffle-bounded by its key (hash, band bucket,
+simhash band); LSH bucket self-joins explode only within buckets, and the
+band hash includes the band index so buckets never collide across bands.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+
+# ---------------------------------------------------------------- exact
+
+def first_wins_dedup(
+    df: DataFrame, key_cols: list[str], order_cols: list[Column]
+) -> DataFrame:
+    """Keep the first row per key under a deterministic order (A1/A2)."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def normalized_text(col: Column) -> Column:
+    """Whitespace-collapsed lowercase text — the exact-dedup key input."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_text_dedup(
+    df: DataFrame, text_col: str, id_col: str, keep: str = "min"
+) -> DataFrame:
+    """Exact dedup on md5(normalized text); keeps min/max id (deterministic)."""
+    order = [F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()]
+    keyed = df.withColumn("_dedup_key", F.md5(normalized_text(F.col(text_col))))
+    return first_wins_dedup(keyed, ["_dedup_key"], order).drop("_dedup_key")
+
+
+# ---------------------------------------------------------------- shingles
+
+def tokens_col(text_col: Column) -> Column:
+    return F.split(normalized_text(text_col), " ")
+
+
+def shingles_col(text_col: Column, k: int = 3) -> Column:
+    """k-word shingles as an array<string>; whole text if fewer than k words.
+
+    Built entirely from higher-order functions (transform/sequence/slice) —
+    JVM-side, codegen-friendly, no UDF.
+    """
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    windows = F.transform(
+        F.sequence(F.lit(0), n - F.lit(k)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return F.when(n >= k, windows).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def distinct_shingles_col(text_col: Column, k: int = 3) -> Column:
+    return F.array_distinct(shingles_col(text_col, k))
+
+
+# ---------------------------------------------------------------- minhash
+
+def minhash_signature(shingles: Column, n_hashes: int = 32) -> Column:
+    """MinHash signature: sig[j] = min over shingles of xxhash64(shingle, j).
+
+    Seeding xxhash64 with the permutation index j gives n independent hash
+    families without any Python; array_min + transform keep it one JVM
+    expression per permutation.
+
+    NB: the per-permutation lambda must be unary — PySpark's ``transform``
+    treats a two-parameter lambda as (element, index), which would shadow a
+    ``j=j`` default with the array index.
+    """
+
+    def perm(j: int):
+        return lambda s: F.xxhash64(s, F.lit(j))
+
+    return F.array(
+        *[F.array_min(F.transform(shingles, perm(j))) for j in range(n_hashes)]
+    )
+
+
+def lsh_bands(sig_col: Column, n_hashes: int, bands: int) -> Column:
+    """array of (band index baked into the hash) band bucket keys."""
+    rows_per_band = n_hashes // bands
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                F.concat_ws(",", *[
+                    F.element_at(sig_col, b * rows_per_band + r + 1).cast("string")
+                    for r in range(rows_per_band)
+                ]),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    jaccard_threshold: float | None = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b [, jaccard]) via MinHash LSH.
+
+    Candidates = pairs sharing any LSH band bucket; when
+    ``jaccard_threshold`` is set, candidates are verified with the exact
+    shingle-set Jaccard (array_intersect/array_union) so LSH false positives
+    are filtered and the output is exact w.r.t. the threshold (LSH only
+    bounds recall, as in any production near-dup pipeline).
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        distinct_shingles_col(F.col(text_col), shingle_k).alias("_shingles"),
+    )
+    sigs = sh.select(
+        "_id",
+        "_shingles",
+        F.explode(
+            lsh_bands(minhash_signature(F.col("_shingles"), n_hashes), n_hashes, bands)
+        ).alias("_band"),
+    )
+    left = sigs.select(
+        F.col("_id").alias("id_a"), F.col("_shingles").alias("_sh_a"), "_band"
+    )
+    right = sigs.select(
+        F.col("_id").alias("id_b"), F.col("_shingles").alias("_sh_b"), "_band"
+    )
+    pairs = (
+        left.join(right, "_band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sh_a", "_sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if jaccard_threshold is None:
+        return pairs.select("id_a", "id_b")
+    jac = F.size(F.array_intersect("_sh_a", "_sh_b")) / F.size(
+        F.array_union("_sh_a", "_sh_b")
+    )
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    n_hashes: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs, LSH-pruned for scale.
+
+    More bands (16) than the minhash variant → higher recall at low
+    thresholds; the exact verify keeps precision exact.
+    """
+    return minhash_lsh_pairs(
+        df, id_col, text_col, n_hashes=n_hashes, bands=bands,
+        shingle_k=shingle_k, jaccard_threshold=threshold,
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+@pandas_udf(LongType())
+def _simhash_from_hashes(token_hashes: pd.Series) -> pd.Series:
+    """64-bit SimHash from per-token xxhash64 values (bit-majority vote).
+
+    Token hashing stays JVM-side; this UDF only does the numpy bit counting
+    (vectorized over the Arrow batch)."""
+    out = np.zeros(len(token_hashes), dtype=np.int64)
+    for i, hashes in enumerate(token_hashes):
+        if hashes is None or len(hashes) == 0:
+            continue
+        h = np.asarray(hashes, dtype=np.int64).view(np.uint64)
+        bits = (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        votes = bits.sum(axis=0) * 2 > len(h)
+        out[i] = np.packbits(votes[::-1]).view(">u8")[0].astype(np.int64)
+    return pd.Series(out)
+
+
+def simhash_col(text_col: Column) -> Column:
+    token_hashes = F.transform(tokens_col(text_col), lambda t: F.xxhash64(t))
+    return _simhash_from_hashes(token_hashes)
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share one of four 16-bit bands
+    (pigeonhole: hamming<=3 ⇒ at least one of 4 bands identical), verified
+    with bit_count(a^b) <= max_hamming — all JVM-side except the signature."""
+    sigs = df.select(F.col(id_col).alias("_id"), simhash_col(F.col(text_col)).alias("_sim"))
+    banded = sigs.select(
+        "_id",
+        "_sim",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned(F.col("_sim"), 16 * b)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("bucket"),
+                )
+                for b in range(4)
+            ])
+        ).alias("_b"),
+    ).select("_id", "_sim", "_b.band", "_b.bucket")
+    left = banded.select(
+        F.col("_id").alias("id_a"), F.col("_sim").alias("_sim_a"), "band", "bucket"
+    )
+    right = banded.select(
+        F.col("_id").alias("id_b"), F.col("_sim").alias("_sim_b"), "band", "bucket"
+    )
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("_sim_a").bitwiseXOR(F.col("_sim_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+# ---------------------------------------------------------------- embeddings
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold.
+
+    LSH-bucketed (random-hyperplane signs) to avoid the full n² cross join;
+    exact cosine verify on candidates. See operators/similarity.py for the
+    hyperplane bucketing.
+    """
+    from bodhium_webscrapper_spark.operators.similarity import (
+        cosine_similarity_col,
+        hyperplane_bucket_udf,
+    )
+
+    dim = len(df.select(vec_col).first()[0])
+    bucket = hyperplane_bucket_udf(dim, n_planes, seed)
+    b = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        bucket(F.col(vec_col)).alias("_bucket"),
+    )
+    left = b.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_bucket")
+    right = b.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_bucket")
+    return (
+        left.join(right, "_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_similarity_col(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -47,13 +47,24 @@ def _probe_positions(h: np.ndarray, m: int) -> list[np.ndarray]:
     return [(h1 + np.uint64(i) * h2) % np.uint64(m) for i in range(BLOOM_K)]
 
 
-def build_bloom(df: DataFrame, hash_col: str = "url_hash", n_buckets: int = 64) -> DataFrame:
-    """(bucket_id, m, n, blob) — one bloom blob per hash bucket."""
+def build_bloom(
+    df: DataFrame,
+    hash_col: str = "url_hash",
+    n_buckets: int = 64,
+    fixed_m: int | None = None,
+) -> DataFrame:
+    """(bucket_id, m, n, blob) — one bloom blob per hash bucket.
+
+    With ``fixed_m`` every bucket uses the same bit width, which makes blobs
+    OR-mergeable across waves (incremental maintenance: build a bloom over
+    each wave's small seen-delta and merge driver-side instead of rescanning
+    the full 10^10-key seen table every wave).
+    """
 
     def make(pdf: pd.DataFrame) -> pd.DataFrame:
         h = pdf[hash_col].to_numpy()
         n = len(h)
-        m = _next_pow2(n * BITS_PER_KEY)
+        m = fixed_m or _next_pow2(n * BITS_PER_KEY)
         bits = np.zeros(m // 8, dtype=np.uint8)
         for idx in _probe_positions(h, m):
             np.bitwise_or.at(
@@ -120,6 +131,38 @@ class BloomState:
             return pd.Series(out)
 
         return might_contain
+
+class IncrementalBloom:
+    """Driver-maintained mergeable bloom: OR in each wave's delta blobs.
+
+    Cost per wave is O(delta), not O(total seen) — at 10^10 URLs rebuilding
+    from the full seen table every wave would be the dominant scan.
+    """
+
+    def __init__(self, spark: SparkSession, n_buckets: int = 64, capacity: int = 4_000_000):
+        self.spark = spark
+        self.n_buckets = n_buckets
+        self.fixed_m = _next_pow2(max(1, capacity * BITS_PER_KEY // n_buckets))
+        self._bits: dict[int, np.ndarray] = {}
+
+    def add_delta(self, delta: DataFrame, hash_col: str = "url_hash") -> None:
+        bloom_df = build_bloom(delta, hash_col, self.n_buckets, fixed_m=self.fixed_m)
+        for r in bloom_df.collect():
+            arr = np.frombuffer(r["blob"], dtype=np.uint8)
+            if r["bucket_id"] in self._bits:
+                self._bits[r["bucket_id"]] |= arr
+            else:
+                self._bits[r["bucket_id"]] = arr.copy()
+
+    def state(self) -> BloomState | None:
+        if not self._bits:
+            return None
+        blobs = {b: (self.fixed_m, v.tobytes()) for b, v in self._bits.items()}
+        return BloomState(
+            n_buckets=self.n_buckets,
+            broadcast=self.spark.sparkContext.broadcast(blobs),
+        )
+
 
 
 def seen_anti_join(

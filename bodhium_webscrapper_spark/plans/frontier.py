@@ -48,10 +48,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from bodhium_webscrapper_spark.functions.canonicalize import with_canonical_url
-from bodhium_webscrapper_spark.functions.extract import extract_links_udf, extract_text_udf
+from bodhium_webscrapper_spark.functions.extract import extract_page_udf
 from bodhium_webscrapper_spark.operators.politeness import per_host_budget
 from bodhium_webscrapper_spark.operators.robots import robots_gate
-from bodhium_webscrapper_spark.operators.seen import BloomState, build_bloom, seen_anti_join
+from bodhium_webscrapper_spark.operators.seen import seen_anti_join
 from bodhium_webscrapper_spark.plans.checkpoint import SnapshotStore
 from bodhium_webscrapper_spark.plans.metrics import partition_metrics
 
@@ -85,6 +85,7 @@ class CrawlConfig:
     salt_buckets: int = 16
     use_bloom: bool = True
     bloom_buckets: int = 64
+    bloom_capacity: int = 4_000_000  # fixed-width blobs -> OR-mergeable deltas
     same_host_only: bool = True  # app.py:497 exclude_external_links
     priority_decay: float = 0.5
     verify_extraction: bool = False  # assert byte-identical text vs golden
@@ -154,16 +155,36 @@ class CrawlJob:
         )
 
     def _assign_order(self, scheduled: DataFrame, wave: int) -> DataFrame:
-        """Deterministic wave sequence numbers.
+        """Deterministic wave sequence numbers — scalably.
 
-        The wave is politeness-capped (≤ global_wave_limit rows), so a
-        single window is fine here; at 10^10 scale seq would be computed by
-        range-repartition + per-partition offsets. Order = pure function of
-        data: (priority DESC, url_hash ASC).
+        A naive ``Window.orderBy`` puts the whole wave in ONE partition
+        (serial, Amdahl-bound). Instead: range-repartition on the sort key,
+        per-partition row_number (parallel), then add per-partition offsets
+        computed from a tiny count-per-partition job. seq is still a pure
+        function of the data: (priority DESC, url_hash ASC).
         """
-        w = Window.orderBy(F.col("priority").desc(), F.col("url_hash").asc())
-        return scheduled.withColumn("seq", F.row_number().over(w)).withColumn(
-            "wave", F.lit(wave)
+        order = [F.col("priority").desc(), F.col("url_hash").asc()]
+        parts = max(2, int(self.spark.conf.get("spark.sql.shuffle.partitions", "32")))
+        ranged = scheduled.repartitionByRange(parts, *order).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+        counts = {
+            r["_pid"]: r["n"]
+            for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        off_df = self.spark.createDataFrame(
+            [(p, o) for p, o in offsets.items()], "_pid int, _off long"
+        )
+        w = Window.partitionBy("_pid").orderBy(*order)
+        return (
+            ranged.join(F.broadcast(off_df), "_pid")
+            .withColumn("seq", F.row_number().over(w) + F.col("_off"))
+            .drop("_pid", "_off")
+            .withColumn("wave", F.lit(wave))
         )
 
     def _expand_outlinks(self, fetched: DataFrame) -> DataFrame:
@@ -179,7 +200,7 @@ class CrawlJob:
                 F.col("host").alias("base_host"),
                 F.col("priority").alias("parent_priority"),
                 F.col("depth").alias("parent_depth"),
-                F.explode(extract_links_udf(F.col("html"))).alias("raw_link"),
+                F.explode(F.col("links")).alias("raw_link"),
             )
             .withColumn(
                 "canonical_url",
@@ -199,17 +220,29 @@ class CrawlJob:
             F.lit(0).alias("retry_count"),
         )
 
-    # ---- one wave = one pure dataflow
-    def _run_wave(self, wave: int, frontier: DataFrame, seen: DataFrame) -> WaveStats:
+    # ---- one wave = one pure dataflow, materialized once into the snapshot
+    def _run_wave(
+        self, wave: int, frontier: DataFrame, seen: DataFrame, bloom: "object | None"
+    ) -> WaveStats:
+        """Each heavy plan is written straight to the wave snapshot and read
+        back — the snapshot IS the cache (one materialization per stage, no
+        localCheckpoint double-compute), plans stay O(1), commits idempotent.
+        """
         cfg = self.config
         t0 = time.time()
-        n_candidates = frontier.count()
+        timings: dict[str, float] = {}
 
+        def mark(step: str, t_start: float) -> float:
+            now = time.time()
+            timings[step] = round(now - t_start, 2)
+            return now
+
+        n_candidates = frontier.count()  # metadata-only on parquet-backed waves
+        t = mark("count_frontier", t0)
+
+        # schedule: dedup -> seen anti-join (bloom pre-pass) -> robots ->
+        # salted per-host budget -> global cap -> deterministic seq
         deduped = self._dedup_first_wins(frontier)
-        bloom = None
-        if cfg.use_bloom and not seen.isEmpty():
-            bloom_df = build_bloom(seen, "url_hash", cfg.bloom_buckets)
-            bloom = BloomState.from_df(self.spark, bloom_df, cfg.bloom_buckets)
         new = seen_anti_join(deduped, seen, "url_hash", bloom)
         gated = robots_gate(new, self.robots) if self.robots is not None else new
         capped = per_host_budget(
@@ -220,85 +253,96 @@ class CrawlJob:
         ).orderBy(F.col("priority").desc(), F.col("url_hash").asc()).limit(
             cfg.global_wave_limit
         )
-        scheduled = self._assign_order(capped, wave).localCheckpoint(eager=True)
+        self.store.write(wave, "scheduled", self._assign_order(capped, wave))
+        scheduled = self.store.read(self.spark, wave, "scheduled")
         n_scheduled = scheduled.count()
-        n_deduped = n_candidates  # refined below only if someone needs it cheaply
+        t = mark("schedule", t)
 
         # fetch = pages ⋈ broadcast(scheduled): pages (the 100 TB side) is
-        # probed in place, never shuffled
-        fetched = self.pages.join(
-            F.broadcast(scheduled.select("url_hash", "canonical_url", "host", "depth",
-                                         "priority", "wave", "seq")),
-            "url_hash",
-        ).localCheckpoint(eager=True)
-        n_fetched = fetched.count()
-
-        extracted = fetched.select(
-            "url_hash",
-            "canonical_url",
-            "wave",
-            extract_text_udf(F.col("html")).alias("text"),
+        # probed in place, never shuffled. Text + outlinks come out of ONE
+        # pandas-UDF pass over the html payload; html is dropped on write.
+        fetched_cols = ["url_hash", "canonical_url", "host", "depth",
+                        "priority", "wave", "seq"]
+        fetch_plan = (
+            self.pages.join(F.broadcast(scheduled.select(*fetched_cols)), "url_hash")
+            .withColumn("_page", extract_page_udf(F.col("html")))
         )
-        if self.config.verify_extraction:
-            golden = fetched.select("url_hash", F.col("text").alias("_golden"))
-            mismatches = (
-                extracted.join(golden, "url_hash")
-                .filter(~F.col("text").eqNullSafe(F.col("_golden")))
-                .count()
+        result_cols = [
+            *fetched_cols,
+            F.col("_page.text").alias("text"),
+            F.col("_page.links").alias("links"),
+        ]
+        if cfg.verify_extraction:
+            result_cols.append(
+                F.col("_page.text").eqNullSafe(F.col("text")).alias("golden_ok")
             )
+        self.store.write(wave, "page_results", fetch_plan.select(*result_cols))
+        results = self.store.read(self.spark, wave, "page_results")
+        n_fetched = results.count()
+        if cfg.verify_extraction:
+            mismatches = results.filter(~F.col("golden_ok")).count()
             if mismatches:
                 raise AssertionError(
                     f"wave {wave}: {mismatches} rows differ from golden extractor output"
                 )
+        t = mark("fetch_extract", t)
 
+        # next frontier = outlinks(page_results) ∪ fetch-miss retries
         misses = (
-            scheduled.join(fetched.select("url_hash"), "url_hash", "left_anti")
+            scheduled.join(results.select("url_hash"), "url_hash", "left_anti")
             .filter(F.col("retry_count") < cfg.max_retries)
             .select(
                 "url_hash", "canonical_url", "host", "depth", "priority",
                 (F.col("retry_count") + 1).alias("retry_count"),
             )
         )
-        outlinks = self._expand_outlinks(fetched)
-        next_frontier = outlinks.unionByName(misses)
-
-        # ---- commit (one snapshot per wave — Iceberg transaction analogue)
-        self.store.write(wave, "order", scheduled.select("wave", "seq", "canonical_url"))
-        self.store.write(wave, "extracted", extracted)
-        self.store.write(
-            wave, "seen_delta", scheduled.select("url_hash", F.col("canonical_url").alias("url"))
-        )
+        next_frontier = self._expand_outlinks(results).unionByName(misses)
         self.store.write(wave, "frontier_next", next_frontier)
+        t = mark("expand_outlinks", t)
+
+        # small commits: seen delta + per-partition metrics (from read-backs)
+        self.store.write(
+            wave, "seen_delta",
+            scheduled.select("url_hash", F.col("canonical_url").alias("url")),
+        )
         metrics = (
             partition_metrics(scheduled, wave, "scheduled")
-            .unionByName(partition_metrics(fetched, wave, "fetched", bytes_col="html"))
+            .unionByName(partition_metrics(results, wave, "fetched", bytes_col="text"))
         )
         self.store.write(wave, "metrics", metrics)
+        t = mark("commit_writes", t)
 
         n_misses = n_scheduled - n_fetched
         stats = WaveStats(
             wave=wave,
             candidates=n_candidates,
-            deduped=n_deduped,
+            deduped=n_candidates,
             scheduled=n_scheduled,
             fetched=n_fetched,
             misses=n_misses,
             outlinks=0,
             seconds=round(time.time() - t0, 3),
         )
-        self.store.commit_wave(wave, stats.__dict__)
-        scheduled.unpersist()
-        fetched.unpersist()
+        self.store.commit_wave(wave, {**stats.__dict__, "timings": timings})
         return stats
 
     def run(self, resume: bool = False) -> dict:
         """Run (or resume) the wave loop; returns a summary dict."""
+        from bodhium_webscrapper_spark.operators.seen import IncrementalBloom
+
         cfg = self.config
         committed = self.store.committed_wave()
+        bloom = (
+            IncrementalBloom(self.spark, cfg.bloom_buckets, cfg.bloom_capacity)
+            if cfg.use_bloom
+            else None
+        )
         if resume and committed >= 0:
             start = committed + 1
             frontier = self.store.read(self.spark, committed, "frontier_next")
             seen = self.store.read_deltas(self.spark, "seen_delta", committed)
+            if bloom is not None:
+                bloom.add_delta(seen)  # one O(seen) rebuild at resume only
         else:
             start = 0
             frontier = self._seed_frontier()
@@ -312,13 +356,17 @@ class CrawlJob:
         for wave in range(start, cfg.max_waves):
             if frontier.isEmpty():
                 break
-            stats = self._run_wave(wave, frontier, seen)
+            state = bloom.state() if bloom is not None else None
+            stats = self._run_wave(wave, frontier, seen, state)
             waves_run.append(stats)
             total_scheduled += stats.scheduled
             total_candidates += stats.candidates
-            # re-read state from the snapshot: flat lineage, O(1) plans
+            # re-read state from the snapshot: flat lineage, O(1) plans;
+            # bloom absorbs only the new delta (O(wave), not O(seen))
             frontier = self.store.read(self.spark, wave, "frontier_next")
             seen = self.store.read_deltas(self.spark, "seen_delta", wave)
+            if bloom is not None:
+                bloom.add_delta(self.store.read(self.spark, wave, "seen_delta"))
 
         return {
             "job_id": self.job_id,
@@ -330,14 +378,15 @@ class CrawlJob:
 
     # ---- readers over the committed snapshot
     def crawl_order(self) -> DataFrame:
-        df = self.store.read_deltas(self.spark, "order", self.store.committed_wave())
-        return df.orderBy("wave", "seq")
+        df = self.store.read_deltas(self.spark, "scheduled", self.store.committed_wave())
+        return df.select("wave", "seq", "canonical_url").orderBy("wave", "seq")
 
     def seen_set(self) -> DataFrame:
         return self.store.read_deltas(self.spark, "seen_delta", self.store.committed_wave())
 
     def extracted(self) -> DataFrame:
-        return self.store.read_deltas(self.spark, "extracted", self.store.committed_wave())
+        df = self.store.read_deltas(self.spark, "page_results", self.store.committed_wave())
+        return df.select("url_hash", "canonical_url", "wave", "text")
 
     def metrics(self) -> DataFrame:
         return self.store.read_deltas(self.spark, "metrics", self.store.committed_wave())

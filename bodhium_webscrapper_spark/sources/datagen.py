@@ -128,10 +128,11 @@ def generate_crawl_fixture(
     """
     os.makedirs(out_dir, exist_ok=True)
     manifest_path = os.path.join(out_dir, "datagen_manifest.json")
-    key = {"n_pages": n_pages, "seed": seed, "version": 3}
+    key = {"n_pages": n_pages, "seed": seed, "version": 4}
     paths = {
         "pages_raw": os.path.join(out_dir, "pages_raw.parquet"),
         "seeds": os.path.join(out_dir, "seeds.parquet"),
+        "seeds_full": os.path.join(out_dir, "seeds_full.parquet"),
         "robots": os.path.join(out_dir, "robots.parquet"),
     }
     if os.path.exists(manifest_path):
@@ -197,6 +198,18 @@ def generate_crawl_fixture(
         prios.append(2.0 if i % 10 == 5 or i == 0 else 1.0)
     pq.write_table(
         pa.table({"url": seed_urls, "priority": prios}), paths["seeds"]
+    )
+
+    # full seed list: every host root (the bench input — makes every wave
+    # carry real parallel work instead of being capped by 50 seed hosts)
+    pq.write_table(
+        pa.table(
+            {
+                "url": [f"https://{h}/" for h, _k in hosts],
+                "priority": [2.0 if h == "megahost.example" else 1.0 for h, _k in hosts],
+            }
+        ),
+        paths["seeds_full"],
     )
 
     r_hosts, r_prefixes, r_delay = [], [], []

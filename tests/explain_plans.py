@@ -65,11 +65,15 @@ def main():
     check("fetch join: pages NOT shuffled (no Exchange hashpartitioning on pages scan side)",
           p.count("Exchange hashpartitioning") == 0)
 
-    # 3. partial aggregation (map-side combine)
+    # 3. partial aggregation (map-side combine); codegen only shows in the
+    # FINAL adaptive plan, so execute first
     agg = li.groupBy("l_returnflag").agg(F.sum(F.col("l_quantity").cast("long")).alias("s"))
     p = plan_of(agg)
     check("agg: partial+final HashAggregate pair", p.count("HashAggregate") >= 2)
-    check("agg: whole-stage codegen present", "WholeStageCodegen" in p)
+    agg.collect()
+    p = plan_of(agg)
+    check("agg: whole-stage codegen present (final AQE plan)",
+          "WholeStageCodegen" in p and "isFinalPlan=true" in p)
 
     # 4. textstats stay JVM-side (no BatchEvalPython / ArrowEvalPython)
     from bodhium_webscrapper_spark.functions.textstats import lang_id, quality_score, token_count

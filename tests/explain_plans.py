@@ -73,7 +73,7 @@ def main():
     agg.collect()
     p = plan_of(agg)
     check("agg: whole-stage codegen present (final AQE plan)",
-          "WholeStageCodegen" in p and "isFinalPlan=true" in p)
+          "codegen id :" in p and "isFinalPlan=true" in p)
 
     # 4. textstats stay JVM-side (no BatchEvalPython / ArrowEvalPython)
     from bodhium_webscrapper_spark.functions.textstats import lang_id, quality_score, token_count

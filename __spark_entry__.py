@@ -671,6 +671,66 @@ _Q_EMB_NEARDUP_SQL = f"""
 """
 
 
+def q_merge_upsert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/A7: MERGE-INTO semantics — staged rows split into new vs existing
+    by product_hash anti-join (RDS/app.py:446-508)."""
+    from bodhium_webscrapper_spark.operators.upsert import upsert_by_key, with_product_hash
+
+    part = _t(spark, sf_dir, "part")
+    base = part.select(
+        F.col("p_partkey"),
+        F.col("p_name").alias("productname"),
+        F.lit("d").alias("description"),
+        F.col("p_size").cast("string").alias("current_price"),
+        F.lit("").alias("original_price"),
+        F.lit("").alias("rating"),
+        F.lit("").alias("review"),
+        F.lit("").alias("image_url"),
+        F.concat(F.lit("https://shop"), (F.col("p_partkey") % 10).cast("string"),
+                 F.lit(".example")).alias("source_url"),
+    )
+    existing = with_product_hash(base.filter(F.col("p_partkey") % 3 == 0)).drop("p_partkey")
+    staged = with_product_hash(base.filter(F.col("p_partkey") % 2 == 0)).drop("p_partkey")
+    r = upsert_by_key(existing, staged, "product_hash")
+    return spark.createDataFrame(
+        [(r.n_new, r.n_existing)], "n_new long, n_existing long"
+    )
+
+
+_Q_MERGE_UPSERT_SQL = """
+    WITH base AS (
+      SELECT p_partkey,
+             sha256(p_name || ('https://shop' || (p_partkey % 10) || '.example')
+                    || CAST(p_size AS VARCHAR)) AS product_hash
+      FROM part),
+    existing AS (SELECT DISTINCT product_hash FROM base WHERE p_partkey % 3 = 0),
+    staged AS (SELECT DISTINCT product_hash FROM base WHERE p_partkey % 2 = 0)
+    SELECT count(CASE WHEN e.product_hash IS NULL THEN 1 END) AS n_new,
+           count(CASE WHEN e.product_hash IS NOT NULL THEN 1 END) AS n_existing
+    FROM staged s LEFT JOIN existing e USING (product_hash)
+"""
+
+
+def q_link_table_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: many-to-many link rows, dup-safe append (RDS/app.py:494-498)."""
+    from bodhium_webscrapper_spark.operators.upsert import link_table
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = link_table(li, "l_orderkey", "l_partkey")
+    return out.groupBy().agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct("l_orderkey").alias("n_jobs"),
+        F.countDistinct("l_partkey").alias("n_products"),
+    )
+
+
+_Q_LINK_TABLE_SQL = """
+    SELECT count(*) AS n_links, count(DISTINCT l_orderkey) AS n_jobs,
+           count(DISTINCT l_partkey) AS n_products
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+"""
+
+
 # --------------------------------------------------------------------------
 # similarity search
 # --------------------------------------------------------------------------
@@ -808,6 +868,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
+        "merge_upsert_stats": q_merge_upsert_stats,
+        "link_table_dedup": q_link_table_dedup,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "minhash_lsh_dups": q_minhash_lsh_dups,
@@ -841,6 +903,8 @@ def oracle_sql() -> dict[str, str]:
         "token_count": _Q_TOKEN_COUNT_SQL,
         "quality_score": _Q_QUALITY_SQL,
         "lang_id": _Q_LANG_ID_SQL,
+        "merge_upsert_stats": _Q_MERGE_UPSERT_SQL,
+        "link_table_dedup": _Q_LINK_TABLE_SQL,
         "exact_dedup": _Q_EXACT_DEDUP_SQL,
         "ngram_jaccard_dups": _Q_NGRAM_JACCARD_SQL,
         "embedding_neardup": _Q_EMB_NEARDUP_SQL,

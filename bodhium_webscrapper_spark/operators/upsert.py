@@ -1,0 +1,106 @@
+"""Upsert / job-registry operators (reference Postgres sinks re-expressed).
+
+The reference upserts products row-at-a-time — ``SELECT by product_hash``
+then ``INSERT ... RETURNING`` (``/root/reference/RDS/app.py:446-508``) — and
+maintains a job registry with status transitions + trigger-stamped
+timestamps (``RDS/app.py:256-444``). On Iceberg these are single
+``MERGE INTO`` statements; on the parquet snapshot shim we express the same
+semantics as set operations:
+
+- new rows        = staged LEFT-ANTI existing on the hash key   [J2]
+- merged snapshot = existing ∪ new                              [S10]
+- ingest stats    = counts of new / existing / linked           [A7]
+- link table      = dropDuplicates append                       [J3]
+- status update   = column rewrite with completed_at stamping   [S11]
+
+Determinism: timestamps are injected by the caller (never current_timestamp
+in the data plane).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PRODUCT_COLS = [
+    "productname", "description", "current_price", "original_price",
+    "rating", "review", "image_url", "source_url",
+]
+
+
+def with_product_hash(products: DataFrame) -> DataFrame:
+    """sha256(name + source_url + current_price) — RDS/app.py:459-460."""
+    return products.withColumn(
+        "product_hash",
+        F.sha2(F.concat_ws("", "productname", "source_url", "current_price"), 256),
+    )
+
+
+@dataclass
+class UpsertResult:
+    merged: DataFrame
+    new_rows: DataFrame
+    n_new: int
+    n_existing: int
+
+
+def upsert_by_key(
+    existing: DataFrame, staged: DataFrame, key: str, ts_col_value=None
+) -> UpsertResult:
+    """MERGE-INTO semantics: insert staged rows whose key is absent.
+
+    ``ts_col_value``: optional literal/column for created_at/updated_at
+    stamping (the trigger analogue, RDS/app.py:306-348).
+    """
+    staged_unique = staged.dropDuplicates([key])
+    new_rows = staged_unique.join(existing.select(key), key, "left_anti")
+    if ts_col_value is not None:
+        new_rows = new_rows.withColumn("created_at", ts_col_value).withColumn(
+            "updated_at", ts_col_value
+        )
+        existing_aligned = existing
+    else:
+        existing_aligned = existing
+    merged = existing_aligned.unionByName(new_rows, allowMissingColumns=True)
+    n_new = new_rows.count()
+    n_existing = staged_unique.count() - n_new
+    return UpsertResult(merged=merged, new_rows=new_rows, n_new=n_new, n_existing=n_existing)
+
+
+def link_table(pairs: DataFrame, left_key: str, right_key: str) -> DataFrame:
+    """Many-to-many link rows, dup-safe (ON CONFLICT DO NOTHING analogue,
+    RDS/app.py:494-498)."""
+    return pairs.select(left_key, right_key).dropDuplicates([left_key, right_key])
+
+
+JOB_STATUSES = ["JOB_CREATED", "JOB_RUNNING", "JOB_SUCCESS", "JOB_FAILED"]
+
+
+def job_status_transition(
+    jobs: DataFrame,
+    job_id: str,
+    new_status: str,
+    at,  # Column or literal timestamp — injected for determinism
+    error_message: str | None = None,
+) -> DataFrame:
+    """Status transition with completed_at stamping (RDS/app.py:417-444):
+    completed_at is set only when entering a terminal status."""
+    if new_status not in JOB_STATUSES:
+        raise ValueError(f"unknown status {new_status}")
+    is_target = F.col("job_id") == job_id
+    terminal = new_status in ("JOB_SUCCESS", "JOB_FAILED")
+    out = jobs.withColumn(
+        "status", F.when(is_target, F.lit(new_status)).otherwise(F.col("status"))
+    ).withColumn("updated_at", F.when(is_target, at).otherwise(F.col("updated_at")))
+    if terminal:
+        out = out.withColumn(
+            "completed_at", F.when(is_target, at).otherwise(F.col("completed_at"))
+        )
+    if error_message is not None:
+        out = out.withColumn(
+            "error_message",
+            F.when(is_target, F.lit(error_message)).otherwise(F.col("error_message")),
+        )
+    return out

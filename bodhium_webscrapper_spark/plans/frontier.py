@@ -155,37 +155,13 @@ class CrawlJob:
         )
 
     def _assign_order(self, scheduled: DataFrame, wave: int) -> DataFrame:
-        """Deterministic wave sequence numbers — scalably.
-
-        A naive ``Window.orderBy`` puts the whole wave in ONE partition
-        (serial, Amdahl-bound). Instead: range-repartition on the sort key,
-        per-partition row_number (parallel), then add per-partition offsets
-        computed from a tiny count-per-partition job. seq is still a pure
-        function of the data: (priority DESC, url_hash ASC).
+        """Tag the wave id. The wave sequence number is NOT materialized in
+        the hot loop: the order contract is the sort key (priority DESC,
+        url_hash ASC) — a pure function of the data — so seq is computed
+        lazily by ``crawl_order()`` at read/verify time. Removing the global
+        sort + count pass saves one shuffle and two jobs per wave.
         """
-        order = [F.col("priority").desc(), F.col("url_hash").asc()]
-        parts = max(2, int(self.spark.conf.get("spark.sql.shuffle.partitions", "32")))
-        ranged = scheduled.repartitionByRange(parts, *order).withColumn(
-            "_pid", F.spark_partition_id()
-        )
-        counts = {
-            r["_pid"]: r["n"]
-            for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
-        }
-        offsets, acc = {}, 0
-        for pid in sorted(counts):
-            offsets[pid] = acc
-            acc += counts[pid]
-        off_df = self.spark.createDataFrame(
-            [(p, o) for p, o in offsets.items()], "_pid int, _off long"
-        )
-        w = Window.partitionBy("_pid").orderBy(*order)
-        return (
-            ranged.join(F.broadcast(off_df), "_pid")
-            .withColumn("seq", F.row_number().over(w) + F.col("_off"))
-            .drop("_pid", "_off")
-            .withColumn("wave", F.lit(wave))
-        )
+        return scheduled.withColumn("wave", F.lit(wave))
 
     def _expand_outlinks(self, fetched: DataFrame) -> DataFrame:
         from bodhium_webscrapper_spark.functions.canonicalize import (
@@ -262,7 +238,7 @@ class CrawlJob:
         # probed in place, never shuffled. Text + outlinks come out of ONE
         # pandas-UDF pass over the html payload; html is dropped on write.
         fetched_cols = ["url_hash", "canonical_url", "host", "depth",
-                        "priority", "wave", "seq"]
+                        "priority", "wave"]
         fetch_plan = (
             self.pages.join(F.broadcast(scheduled.select(*fetched_cols)), "url_hash")
             .withColumn("_page", extract_page_udf(F.col("html")))
@@ -378,8 +354,17 @@ class CrawlJob:
 
     # ---- readers over the committed snapshot
     def crawl_order(self) -> DataFrame:
+        """(wave, seq, canonical_url) in exact crawl order — seq materialized
+        here (read/verify time), not in the hot loop."""
         df = self.store.read_deltas(self.spark, "scheduled", self.store.committed_wave())
-        return df.select("wave", "seq", "canonical_url").orderBy("wave", "seq")
+        w = Window.partitionBy("wave").orderBy(
+            F.col("priority").desc(), F.col("url_hash").asc()
+        )
+        return (
+            df.withColumn("seq", F.row_number().over(w))
+            .select("wave", "seq", "canonical_url")
+            .orderBy("wave", "seq")
+        )
 
     def seen_set(self) -> DataFrame:
         return self.store.read_deltas(self.spark, "seen_delta", self.store.committed_wave())

@@ -96,7 +96,9 @@ def _build_html(host: str, idx: int, gidx: int, k_host: int, lang: str) -> str:
     path = "/" if idx == 0 else (f"/private/p{idx}" if idx % 17 == 5 else f"/p{idx}")
     title = f"{host} page {idx} {_LEXICON[gidx % len(_LEXICON)]}"
     links = []
-    for child in (3 * idx + 1, 3 * idx + 2, 3 * idx + 3):
+    # fanout-10 link tree: realistic page out-degree, and crawl waves grow
+    # 10x per depth so benchmark waves carry real parallel work
+    for child in range(10 * idx + 1, 10 * idx + 11):
         if child < k_host:
             cp = f"/private/p{child}" if child % 17 == 5 else f"/p{child}"
             links.append(f'<a href="{cp}">child {child}</a>')
@@ -128,7 +130,7 @@ def generate_crawl_fixture(
     """
     os.makedirs(out_dir, exist_ok=True)
     manifest_path = os.path.join(out_dir, "datagen_manifest.json")
-    key = {"n_pages": n_pages, "seed": seed, "version": 4}
+    key = {"n_pages": n_pages, "seed": seed, "version": 5}
     paths = {
         "pages_raw": os.path.join(out_dir, "pages_raw.parquet"),
         "seeds": os.path.join(out_dir, "seeds.parquet"),

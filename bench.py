@@ -74,7 +74,7 @@ def run_frontier(master: str, fixture: dict, tag: str) -> dict:
     cfg = CrawlConfig(
         max_urls_per_host_per_wave=100,
         max_waves=4,
-        global_wave_limit=2_000_000,
+        global_wave_limit=None,
         salt_buckets=16,
         bloom_capacity=8_000_000,
     )
@@ -130,18 +130,25 @@ def main():
     frontier = {}
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
         fixture = _fixture(n_pages)
-        # the sandbox host has noisy neighbors (observed 2-7x wall-clock
-        # outliers at idle CPU): best-of-2 per level rejects the noise
+        # N=4 vs 4N=16: a pandas-UDF stage runs ~2N threads (N JVM + N
+        # python workers), so local[32] would oversubscribe this 32-core box
+        # while local[8] would not — an asymmetry a real cluster doesn't
+        # have (executors and their python workers share provisioned cores
+        # in the same ratio at both sizes). 4-vs-16 keeps both levels
+        # un-oversubscribed. Best-of-2 per level rejects noisy-neighbor
+        # outliers (observed 2-8x wall-clock spikes at idle CPU).
         reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
-        lo = min((run_frontier("local[8]", fixture, f"p8_{i}") for i in range(reps)),
+        n_lo = int(os.environ.get("SPARK_GRAFT_BENCH_N", "4"))
+        n_hi = 4 * n_lo
+        lo = min((run_frontier(f"local[{n_lo}]", fixture, f"p{n_lo}_{i}") for i in range(reps)),
                  key=lambda r: r["seconds"])
-        hi = min((run_frontier("local[32]", fixture, f"p32_{i}") for i in range(reps)),
+        hi = min((run_frontier(f"local[{n_hi}]", fixture, f"p{n_hi}_{i}") for i in range(reps)),
                  key=lambda r: r["seconds"])
-        eff = (lo["seconds"] / hi["seconds"]) / (32 / 8)
+        eff = (lo["seconds"] / hi["seconds"]) / (n_hi / n_lo)
         frontier = {
             "n_pages": n_pages,
-            "local[8]": lo,
-            "local[32]": hi,
+            f"local[{n_lo}]": lo,
+            f"local[{n_hi}]": hi,
             "scaling_efficiency": round(eff, 3),
         }
 

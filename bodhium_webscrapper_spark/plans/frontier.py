@@ -80,7 +80,7 @@ class CrawlConfig:
 
     max_urls_per_host_per_wave: int = 10
     max_waves: int = 6
-    global_wave_limit: int = 5000
+    global_wave_limit: int | None = 5000  # None/0 = politeness-only capping
     max_retries: int = 2
     salt_buckets: int = 16
     use_bloom: bool = True
@@ -226,9 +226,13 @@ class CrawlJob:
             cfg.max_urls_per_host_per_wave,
             host_col="host",
             salt_buckets=cfg.salt_buckets,
-        ).orderBy(F.col("priority").desc(), F.col("url_hash").asc()).limit(
-            cfg.global_wave_limit
         )
+        if cfg.global_wave_limit:
+            # TakeOrdered merges the whole wave through the driver — only
+            # pay for it when a global cap is actually configured
+            capped = capped.orderBy(
+                F.col("priority").desc(), F.col("url_hash").asc()
+            ).limit(cfg.global_wave_limit)
         self.store.write(wave, "scheduled", self._assign_order(capped, wave))
         scheduled = self.store.read(self.spark, wave, "scheduled")
         n_scheduled = scheduled.count()
@@ -276,11 +280,8 @@ class CrawlJob:
         self.store.write(wave, "frontier_next", next_frontier)
         t = mark("expand_outlinks", t)
 
-        # small commits: seen delta + per-partition metrics (from read-backs)
-        self.store.write(
-            wave, "seen_delta",
-            scheduled.select("url_hash", F.col("canonical_url").alias("url")),
-        )
+        # metrics from read-backs; the seen delta is NOT written separately —
+        # it is a projection of the scheduled table (one fewer write per wave)
         metrics = (
             partition_metrics(scheduled, wave, "scheduled")
             .unionByName(partition_metrics(results, wave, "fetched", bytes_col="text"))
@@ -316,7 +317,7 @@ class CrawlJob:
         if resume and committed >= 0:
             start = committed + 1
             frontier = self.store.read(self.spark, committed, "frontier_next")
-            seen = self.store.read_deltas(self.spark, "seen_delta", committed)
+            seen = self._seen_upto(committed)
             if bloom is not None:
                 bloom.add_delta(seen)  # one O(seen) rebuild at resume only
         else:
@@ -340,9 +341,11 @@ class CrawlJob:
             # re-read state from the snapshot: flat lineage, O(1) plans;
             # bloom absorbs only the new delta (O(wave), not O(seen))
             frontier = self.store.read(self.spark, wave, "frontier_next")
-            seen = self.store.read_deltas(self.spark, "seen_delta", wave)
+            seen = self._seen_upto(wave)
             if bloom is not None:
-                bloom.add_delta(self.store.read(self.spark, wave, "seen_delta"))
+                bloom.add_delta(
+                    self.store.read(self.spark, wave, "scheduled").select("url_hash")
+                )
 
         return {
             "job_id": self.job_id,
@@ -366,8 +369,12 @@ class CrawlJob:
             .orderBy("wave", "seq")
         )
 
+    def _seen_upto(self, wave: int) -> DataFrame:
+        df = self.store.read_deltas(self.spark, "scheduled", wave)
+        return df.select("url_hash", F.col("canonical_url").alias("url"))
+
     def seen_set(self) -> DataFrame:
-        return self.store.read_deltas(self.spark, "seen_delta", self.store.committed_wave())
+        return self._seen_upto(self.store.committed_wave())
 
     def extracted(self) -> DataFrame:
         df = self.store.read_deltas(self.spark, "page_results", self.store.committed_wave())

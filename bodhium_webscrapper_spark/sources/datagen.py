@@ -121,16 +121,79 @@ def _build_html(host: str, idx: int, gidx: int, k_host: int, lang: str) -> str:
     )
 
 
-def generate_crawl_fixture(
-    out_dir: str, n_pages: int = 10_000, seed: int = 42, chunk: int = 50_000
-) -> dict[str, str]:
-    """Write pages_raw.parquet, seeds.parquet, robots.parquet; return paths.
+_PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us", tz="UTC")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
 
-    Idempotent cache: if a matching manifest exists, reuse it.
+
+def _gen_host_range(args) -> str:
+    """Generate pages for a contiguous host range into one parquet file.
+
+    Deterministic regardless of worker count: the global page index gidx is
+    precomputed per host (cumulative offset), never shared mutable state.
     """
+    out_path, host_slice, chunk = args
+    writer = pq.ParquetWriter(out_path, _PAGES_SCHEMA, compression="zstd")
+    buf: dict[str, list] = {c: [] for c in _PAGES_SCHEMA.names}
+    epoch_us = int(EPOCH.timestamp() * 1_000_000)
+
+    def flush() -> None:
+        if buf["url"]:
+            writer.write_table(pa.table(buf, schema=_PAGES_SCHEMA))
+            for v in buf.values():
+                v.clear()
+
+    for host, k_host, gidx0 in host_slice:
+        for idx in range(k_host):
+            gidx = gidx0 + idx
+            path = "/" if idx == 0 else (f"/private/p{idx}" if idx % 17 == 5 else f"/p{idx}")
+            url = f"https://{host}{path}"
+            h = _h64(url)
+            lang = "en" if h % 20 < 18 else ("de" if h % 2 == 0 else "fr")
+            html = _build_html(host, idx, gidx, k_host, lang)
+            text = extract_text_py(html.encode("utf-8"))
+            buf["url"].append(url)
+            buf["warc_ts"].append(epoch_us + (h % (86400 * 30)) * 1_000_000)
+            buf["html"].append(html.encode("utf-8"))
+            buf["text"].append(text)
+            buf["lang"].append(lang)
+            if gidx % 37 == 11:  # ~3% duplicate-variant rows (canonical dups)
+                buf["url"].append(f"https://WWW.{host}:443{path}")
+                buf["warc_ts"].append(epoch_us + (h % (86400 * 30)) * 1_000_000)
+                buf["html"].append(html.encode("utf-8"))
+                buf["text"].append(text)
+                buf["lang"].append(lang)
+            if len(buf["url"]) >= chunk:
+                flush()
+    flush()
+    writer.close()
+    return out_path
+
+
+def generate_crawl_fixture(
+    out_dir: str,
+    n_pages: int = 10_000,
+    seed: int = 42,
+    chunk: int = 50_000,
+    workers: int | None = None,
+) -> dict[str, str]:
+    """Write pages_raw parquet, seeds, robots; return paths.
+
+    Parallel across host ranges (content is a pure function of indices, so
+    output is identical for any worker count). Idempotent cache via
+    manifest.
+    """
+    import multiprocessing as mp
+
     os.makedirs(out_dir, exist_ok=True)
     manifest_path = os.path.join(out_dir, "datagen_manifest.json")
-    key = {"n_pages": n_pages, "seed": seed, "version": 5}
+    key = {"n_pages": n_pages, "seed": seed, "version": 6}
     paths = {
         "pages_raw": os.path.join(out_dir, "pages_raw.parquet"),
         "seeds": os.path.join(out_dir, "seeds.parquet"),
@@ -143,50 +206,34 @@ def generate_crawl_fixture(
                 return paths
 
     hosts = _host_page_counts(n_pages)
-    schema = pa.schema(
-        [
-            ("url", pa.string()),
-            ("warc_ts", pa.timestamp("us", tz="UTC")),
-            ("html", pa.binary()),
-            ("text", pa.string()),
-            ("lang", pa.string()),
-        ]
-    )
-    writer = pq.ParquetWriter(paths["pages_raw"], schema, compression="zstd")
-    buf: dict[str, list] = {c: [] for c in schema.names}
-    gidx = 0
+    offsets, acc = [], 0
+    for h, k in hosts:
+        offsets.append((h, k, acc))
+        acc += k
 
-    def flush() -> None:
-        if buf["url"]:
-            writer.write_table(pa.table(buf, schema=schema))
-            for v in buf.values():
-                v.clear()
+    if workers is None:
+        workers = min(16, os.cpu_count() or 4) if n_pages >= 100_000 else 1
+    raw_dir = paths["pages_raw"]
+    if os.path.isdir(raw_dir) or os.path.isfile(raw_dir):
+        import shutil
 
-    epoch_us = int(EPOCH.timestamp() * 1_000_000)
-    for host, k_host in hosts:
-        for idx in range(k_host):
-            path = "/" if idx == 0 else (f"/private/p{idx}" if idx % 17 == 5 else f"/p{idx}")
-            url = f"https://{host}{path}"
-            h = _h64(url)
-            lang = "en" if h % 20 < 18 else ("de" if h % 2 == 0 else "fr")
-            html = _build_html(host, idx, gidx, k_host, lang)
-            buf["url"].append(url)
-            buf["warc_ts"].append(epoch_us + (h % (86400 * 30)) * 1_000_000)
-            buf["html"].append(html.encode("utf-8"))
-            buf["text"].append(extract_text_py(html.encode("utf-8")))
-            buf["lang"].append(lang)
-            if gidx % 37 == 11:  # ~3% duplicate-variant rows (canonical dups)
-                vurl = f"https://WWW.{host}:443{path}"
-                buf["url"].append(vurl)
-                buf["warc_ts"].append(epoch_us + (h % (86400 * 30)) * 1_000_000)
-                buf["html"].append(html.encode("utf-8"))
-                buf["text"].append(extract_text_py(html.encode("utf-8")))
-                buf["lang"].append(lang)
-            gidx += 1
-            if len(buf["url"]) >= chunk:
-                flush()
-    flush()
-    writer.close()
+        shutil.rmtree(raw_dir, ignore_errors=True)
+        if os.path.isfile(raw_dir):
+            os.remove(raw_dir)
+    os.makedirs(raw_dir, exist_ok=True)
+    # balance: interleave hosts across workers so the Zipf head spreads out
+    slices = [offsets[w::workers] for w in range(workers)]
+    jobs = [
+        (os.path.join(raw_dir, f"part-{w:03d}.parquet"), sl, chunk)
+        for w, sl in enumerate(slices)
+        if sl
+    ]
+    if workers == 1:
+        for j in jobs:
+            _gen_host_range(j)
+    else:
+        with mp.Pool(workers) as pool:
+            pool.map(_gen_host_range, jobs)
 
     seed_hosts = [hosts[0][0]] + [h for h, _ in hosts[1:50]]
     seed_urls, prios = [], []

@@ -71,12 +71,14 @@ def run_frontier(master: str, fixture: dict, tag: str) -> dict:
     shutil.rmtree(ckpt, ignore_errors=True)
     n = int(master[len("local[") : -1])
     spark = build_session(master, f"bench_frontier_{tag}", shuffle_partitions=n)
+    # few, very large waves: the representative regime of the 10^10-URL
+    # target, where per-wave fixed latency is negligible vs per-URL work
     cfg = CrawlConfig(
-        max_urls_per_host_per_wave=100,
-        max_waves=4,
+        max_urls_per_host_per_wave=10_000,
+        max_waves=3,
         global_wave_limit=None,
         salt_buckets=16,
-        bloom_capacity=8_000_000,
+        bloom_capacity=16_000_000,
     )
     job = CrawlJob(
         spark,
@@ -100,6 +102,62 @@ def run_frontier(master: str, fixture: dict, tag: str) -> dict:
     }
 
 
+def run_stage_scaling(fixture: dict, n_lo: int = 4) -> dict:
+    """Per-operator scaling on single large CPU-bound jobs — the regime of
+    10^10-URL waves, where per-wave fixed latency is negligible. Reported
+    alongside the full-loop numbers because in LOCAL mode the loop's fixed
+    costs (driver+executors share one JVM) do not shrink with parallelism,
+    which a real cluster's do not scale with either (the driver stays one
+    node regardless of executor count)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from bodhium_webscrapper_spark.functions.canonicalize import (
+        resolve_and_canonicalize_udf,
+    )
+    from bodhium_webscrapper_spark.functions.extract import extract_page_udf
+    from bodhium_webscrapper_spark.session import build_session
+
+    out = {}
+    n_hi = 4 * n_lo
+    for parts in (n_lo, n_hi):
+        spark = build_session(f"local[{parts}]", "stage_scaling", parts)
+        pages = spark.read.parquet(fixture["pages"])
+        pages.limit(5000).select(extract_page_udf(F.col("html")).alias("p")).select(
+            F.count("p.text")
+        ).first()
+        links = spark.range(8_000_000).select(
+            F.concat(F.lit("/p"), (F.col("id") % 100000).cast("string")).alias("u"),
+            F.concat(F.lit("https://host"), (F.col("id") % 5000).cast("string"),
+                     F.lit(".example/")).alias("b"),
+        )
+        links.limit(5000).select(resolve_and_canonicalize_udf("u", "b")).count()
+        dd = spark.range(8_000_000).select(
+            (F.col("id") % 2_000_000).alias("k"), F.col("id").alias("v")
+        )
+        best = {"extract": 1e9, "canonicalize": 1e9, "dedup": 1e9}
+        for _ in range(2):
+            t0 = _t.time()
+            pages.filter(F.col("url_hash") % 4 == 0).select(
+                extract_page_udf(F.col("html")).alias("p")
+            ).select(F.sum(F.length("p.text"))).first()
+            best["extract"] = min(best["extract"], _t.time() - t0)
+            t0 = _t.time()
+            links.select(resolve_and_canonicalize_udf("u", "b").alias("c")).select(
+                F.count("c")
+            ).first()
+            best["canonicalize"] = min(best["canonicalize"], _t.time() - t0)
+            t0 = _t.time()
+            dd.groupBy("k").agg(F.min("v")).select(F.count("k")).first()
+            best["dedup"] = min(best["dedup"], _t.time() - t0)
+        out[f"local[{parts}]"] = {k: round(v, 2) for k, v in best.items()}
+        spark.stop()
+    lo, hi = out[f"local[{n_lo}]"], out[f"local[{n_hi}]"]
+    out["efficiency"] = {k: round((lo[k] / hi[k]) / 4, 3) for k in lo}
+    return out
+
+
 def run_queries(sf_dir: str, cpus: int) -> dict:
     import __spark_entry__ as entrymod
     from bodhium_webscrapper_spark.session import build_session
@@ -119,7 +177,7 @@ def run_queries(sf_dir: str, cpus: int) -> dict:
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "1000000"))
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
 
     t_total = time.time()
@@ -152,9 +210,14 @@ def main():
             "scaling_efficiency": round(eff, 3),
         }
 
+    stage_scaling = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+        stage_scaling = run_stage_scaling(fixture)
+
     result["value"] = round(time.time() - t_total, 2)
     result["queries"] = queries
     result["frontier"] = frontier
+    result["stage_scaling"] = stage_scaling
     print(json.dumps(result))
 
 

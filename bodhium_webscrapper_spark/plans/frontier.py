@@ -86,6 +86,9 @@ class CrawlConfig:
     use_bloom: bool = True
     bloom_buckets: int = 64
     bloom_capacity: int = 4_000_000  # fixed-width blobs -> OR-mergeable deltas
+    broadcast_wave_threshold: int = 2_000_000  # attr-join broadcast cutover
+    seen_broadcast_threshold: int = 4_000_000  # below: broadcast anti-join, no bloom
+    salt_activation_threshold: int = 2_000_000  # salt only when frontier is huge
     same_host_only: bool = True  # app.py:497 exclude_external_links
     priority_decay: float = 0.5
     verify_extraction: bool = False  # assert byte-identical text vs golden
@@ -216,16 +219,28 @@ class CrawlJob:
         n_candidates = frontier.count()  # metadata-only on parquet-backed waves
         t = mark("count_frontier", t0)
 
-        # schedule: dedup -> seen anti-join (bloom pre-pass) -> robots ->
-        # salted per-host budget -> global cap -> deterministic seq
+        # schedule: dedup -> seen anti-join -> robots -> per-host budget ->
+        # global cap. Adaptive physical choices (all semantics-preserving):
+        # - seen small enough to broadcast -> broadcast-hash anti-join and
+        #   skip the bloom pre-pass (the broadcast probe IS the filter);
+        #   at 10^10 seen keys: bloom pre-pass + shuffle anti-join.
+        # - host-hash salting only kicks in above an activation threshold —
+        #   below it, per-host partitions are small enough that the second
+        #   window pass would be pure overhead.
         deduped = self._dedup_first_wins(frontier)
-        new = seen_anti_join(deduped, seen, "url_hash", bloom)
+        if self._total_seen <= cfg.seen_broadcast_threshold:
+            new = deduped.join(
+                F.broadcast(seen.select("url_hash")), "url_hash", "left_anti"
+            )
+        else:
+            new = seen_anti_join(deduped, seen, "url_hash", bloom)
         gated = robots_gate(new, self.robots) if self.robots is not None else new
+        salt = cfg.salt_buckets if n_candidates > cfg.salt_activation_threshold else 1
         capped = per_host_budget(
             gated,
             cfg.max_urls_per_host_per_wave,
             host_col="host",
-            salt_buckets=cfg.salt_buckets,
+            salt_buckets=salt,
         )
         if cfg.global_wave_limit:
             # TakeOrdered merges the whole wave through the driver — only
@@ -238,25 +253,36 @@ class CrawlJob:
         n_scheduled = scheduled.count()
         t = mark("schedule", t)
 
-        # fetch = pages ⋈ broadcast(scheduled): pages (the 100 TB side) is
-        # probed in place, never shuffled. Text + outlinks come out of ONE
-        # pandas-UDF pass over the html payload; html is dropped on write.
+        # fetch: pages are NEVER shuffled, whatever the wave size.
+        #   1. semi-join prune with BROADCAST KEYS (8 bytes/url — a 5M-URL
+        #      wave broadcasts 40 MB of longs, never the row payloads): the
+        #      100 TB side is scanned once and hash-probed in place. This is
+        #      the plain-parquet analogue of Iceberg storage-partitioned
+        #      bucket(N, url_hash) + runtime filtering.
+        #   2. extract text+outlinks in ONE pandas-UDF pass over the pruned
+        #      pages (html never travels past this projection).
+        #   3. join the narrow wave attributes (url/host/depth/priority)
+        #      onto the narrow extraction output — broadcast for normal
+        #      waves, shuffle of narrow rows only for giant ones.
         fetched_cols = ["url_hash", "canonical_url", "host", "depth",
                         "priority", "wave"]
-        fetch_plan = (
-            self.pages.join(F.broadcast(scheduled.select(*fetched_cols)), "url_hash")
-            .withColumn("_page", extract_page_udf(F.col("html")))
-        )
-        result_cols = [
-            *fetched_cols,
+        keys = F.broadcast(scheduled.select("url_hash"))
+        pruned = self.pages.join(keys, "url_hash", "left_semi")
+        raw_cols = [
+            F.col("url_hash"),
             F.col("_page.text").alias("text"),
             F.col("_page.links").alias("links"),
         ]
         if cfg.verify_extraction:
-            result_cols.append(
+            raw_cols.append(
                 F.col("_page.text").eqNullSafe(F.col("text")).alias("golden_ok")
             )
-        self.store.write(wave, "page_results", fetch_plan.select(*result_cols))
+        raw = pruned.withColumn("_page", extract_page_udf(F.col("html"))).select(*raw_cols)
+        attrs = scheduled.select(*fetched_cols)
+        if n_scheduled <= cfg.broadcast_wave_threshold:
+            attrs = F.broadcast(attrs)
+        fetch_plan = raw.join(attrs, "url_hash")
+        self.store.write(wave, "page_results", fetch_plan)
         results = self.store.read(self.spark, wave, "page_results")
         n_fetched = results.count()
         if cfg.verify_extraction:
@@ -318,8 +344,6 @@ class CrawlJob:
             start = committed + 1
             frontier = self.store.read(self.spark, committed, "frontier_next")
             seen = self._seen_upto(committed)
-            if bloom is not None:
-                bloom.add_delta(seen)  # one O(seen) rebuild at resume only
         else:
             start = 0
             frontier = self._seed_frontier()
@@ -328,24 +352,36 @@ class CrawlJob:
         total_scheduled = sum(
             s.get("scheduled", 0) for s in self.store.manifest()["waves"].values()
         ) if resume else 0
+        self._total_seen = total_scheduled
         total_candidates = 0
         waves_run = []
+        bloom_hydrated_upto = -1
         for wave in range(start, cfg.max_waves):
             if frontier.isEmpty():
                 break
-            state = bloom.state() if bloom is not None else None
+            state = None
+            if bloom is not None and self._total_seen > cfg.seen_broadcast_threshold:
+                # bloom only earns its keep once seen outgrows the broadcast
+                # anti-join; hydrate lazily (one O(seen) build on first use,
+                # incremental O(delta) afterwards)
+                if bloom_hydrated_upto < wave - 1 and wave > 0:
+                    bloom.add_delta(self._seen_upto(wave - 1))
+                bloom_hydrated_upto = wave - 1
+                state = bloom.state()
             stats = self._run_wave(wave, frontier, seen, state)
             waves_run.append(stats)
             total_scheduled += stats.scheduled
             total_candidates += stats.candidates
+            self._total_seen = total_scheduled
             # re-read state from the snapshot: flat lineage, O(1) plans;
             # bloom absorbs only the new delta (O(wave), not O(seen))
             frontier = self.store.read(self.spark, wave, "frontier_next")
             seen = self._seen_upto(wave)
-            if bloom is not None:
+            if bloom is not None and bloom_hydrated_upto == wave - 1:
                 bloom.add_delta(
                     self.store.read(self.spark, wave, "scheduled").select("url_hash")
                 )
+                bloom_hydrated_upto = wave
 
         return {
             "job_id": self.job_id,

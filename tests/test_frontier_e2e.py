@@ -120,7 +120,12 @@ def test_resume_determinism(spark, crawl_fixture, tmp_path):
 
 
 def test_bloom_off_identical(spark, crawl_fixture, tmp_path):
-    on = _mk_job(spark, crawl_fixture, tmp_path, "bon", use_bloom=True)
+    # threshold 0 forces the bloom + shuffle anti-join path (the 10^10
+    # regime); default config would take the broadcast path at test scale
+    on = _mk_job(
+        spark, crawl_fixture, tmp_path, "bon",
+        use_bloom=True, seen_broadcast_threshold=0,
+    )
     on.run()
     off = _mk_job(spark, crawl_fixture, tmp_path, "boff", use_bloom=False)
     off.run()

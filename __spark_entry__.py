@@ -761,6 +761,21 @@ _Q_ANN_BRUTEFORCE_SQL = """
 """
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 (deterministic k-means codebook + inverted
+    lists + multi-probe). No oracle (approximate by construction; the
+    brute-force twin is the exact gate)."""
+    from bodhium_webscrapper_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4).select(
+        "query_id", "neighbor_id", "rank"
+    ).orderBy("query_id", "rank")
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via hyperplane-LSH buckets. No oracle (approximate
     by construction; brute-force twin above is the exact gate)."""
@@ -876,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups": q_simhash_dups,
         "embedding_neardup": q_embedding_neardup,
         "ann_bruteforce_topk": q_ann_bruteforce,
+        "ann_ivf_topk": q_ann_ivf,
         "ann_lsh_topk": q_ann_lsh,
         "media_metadata": q_media_metadata,
         "media_features": q_media_features,

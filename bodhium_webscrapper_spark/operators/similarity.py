@@ -19,7 +19,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import IntegerType
+from pyspark.sql.types import ArrayType, IntegerType
 
 
 def dot_col(a: Column, b: Column) -> Column:
@@ -90,6 +90,101 @@ def hyperplane_bucket_udf(dim: int, n_planes: int = 8, seed: int = 42):
         return pd.Series((signs @ powers).astype(np.int32))
 
     return bucket
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    sample_per_centroid: int = 64,
+    seed: int = 42,
+    n_iters: int = 3,
+) -> "np.ndarray":
+    """Deterministic IVF codebook: k-means on a fixed-seed sample.
+
+    The sample is taken by hash order (xxhash64 of the vector id), so the
+    codebook is a pure function of (corpus, seed) — no RDD sampling
+    nondeterminism. Lloyd iterations run driver-side in numpy on the small
+    sample (classic IVF training: train small, assign big).
+    """
+    n = n_centroids * sample_per_centroid
+    sample = (
+        corpus.select(F.col(vec_col).alias("_v"), F.xxhash64(F.col(vec_col).cast("string"), F.lit(seed)).alias("_h"))
+        .orderBy("_h")
+        .limit(n)
+        .collect()
+    )
+    x = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in sample])
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=n_centroids, replace=False)]
+    for _ in range(n_iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_centroids):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def ivf_assign_udf(cents: "np.ndarray", nprobe: int = 1):
+    """Assign vectors to their nprobe nearest centroids (array<int>)."""
+    c = cents.astype(np.float64)
+    c_norm2 = (c**2).sum(axis=1)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        # argmin ||v-c||^2 = argmin (||c||^2 - 2 v·c)
+        d = c_norm2[None, :] - 2.0 * (mat @ c.T)
+        idx = np.argsort(d, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(idx))
+
+    return assign
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows live in their single nearest
+    centroid's inverted list; queries probe their nprobe nearest lists;
+    exact cosine re-rank on candidates. The 100 TB path: candidate set per
+    query shrinks by ~n_centroids/nprobe vs brute force, and the bucket join
+    shuffles only (id, bucket, vec)."""
+    cents = ivf_centroids(corpus, vec_col, n_centroids, seed=seed)
+    assign1 = ivf_assign_udf(cents, nprobe=1)
+    assignp = ivf_assign_udf(cents, nprobe=nprobe)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.explode(assign1(F.col(vec_col))).alias("_bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(assignp(F.col(vec_col))).alias("_bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "_bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_similarity_col(F.col("_cv"), F.col("_qv")))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
 
 
 def lsh_topk(

@@ -27,11 +27,11 @@ def _write_pages(spark, path, n=200):
     return df
 
 
-def _run_stream(q_df, name, ckpt):
+def _run_stream(q_df, name, ckpt, mode="append"):
     q = (
         q_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append")
+        .outputMode(mode)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
@@ -75,10 +75,13 @@ def test_host_rate_metrics(spark, tmp_path):
     src = os.path.join(str(tmp_path), "pages3")
     _write_pages(spark, src)
     pages = stream_pages(spark, src)
+    # complete mode: with availableNow the watermark never passes the last
+    # windows before termination, so append would emit nothing
     q = _run_stream(
         host_rate_metrics(pages, window="1 minute"),
         "rate_sink",
         os.path.join(str(tmp_path), "ck3"),
+        mode="complete",
     )
     out = spark.sql("select * from rate_sink")
     # 200 rows over 200 s → 4 windows × 5 hosts; totals must conserve

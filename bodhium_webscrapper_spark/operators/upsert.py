@@ -75,6 +75,18 @@ def link_table(pairs: DataFrame, left_key: str, right_key: str) -> DataFrame:
     return pairs.select(left_key, right_key).dropDuplicates([left_key, right_key])
 
 
+def deterministic_job_id(raw: str) -> str:
+    """P12 (RDS/app.py:350-366): pass through UUIDs, otherwise derive a
+    deterministic uuid5(NAMESPACE_DNS, raw). Driver-side scalar — job ids
+    are control-plane values, never data-plane columns."""
+    import uuid
+
+    try:
+        return str(uuid.UUID(raw))
+    except ValueError:
+        return str(uuid.uuid5(uuid.NAMESPACE_DNS, raw))
+
+
 JOB_STATUSES = ["JOB_CREATED", "JOB_RUNNING", "JOB_SUCCESS", "JOB_FAILED"]
 
 

@@ -92,3 +92,14 @@ def test_csv_sink_and_report(spark, tmp_path):
     csv_sink(order, p, single_file=True)
     back = spark.read.option("header", True).csv(p)
     assert back.count() == 3
+
+
+def test_deterministic_job_id():
+    from bodhium_webscrapper_spark.operators.upsert import deterministic_job_id
+
+    u = "123e4567-e89b-12d3-a456-426614174000"
+    assert deterministic_job_id(u) == u
+    a = deterministic_job_id("my-job")
+    assert a == deterministic_job_id("my-job") and a != deterministic_job_id("other")
+    import uuid
+    uuid.UUID(a)  # valid uuid

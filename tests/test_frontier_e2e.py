@@ -130,3 +130,27 @@ def test_bloom_off_identical(spark, crawl_fixture, tmp_path):
     off = _mk_job(spark, crawl_fixture, tmp_path, "boff", use_bloom=False)
     off.run()
     assert _order_tuples(on) == _order_tuples(off)
+
+
+def test_crash_mid_wave_resume(spark, crawl_fixture, tmp_path):
+    """A crash AFTER wave files are written but BEFORE the manifest commit
+    must leave the store resumable: the partial wave dir is ignored,
+    re-run idempotently, and the final state matches an uninterrupted run."""
+    import shutil
+
+    full = _mk_job(spark, crawl_fixture, tmp_path, "cfull")
+    full.run()
+
+    crashed = _mk_job(spark, crawl_fixture, tmp_path, "ccrash", max_waves=2)
+    crashed.run()
+    # simulate a crash during wave 2: partial files exist, manifest not bumped
+    w2 = crashed.store.wave_dir(2, "scheduled")
+    shutil.copytree(crashed.store.wave_dir(1, "scheduled"), w2)
+    assert crashed.store.committed_wave() == 1  # manifest unaffected
+
+    resumed = _mk_job(spark, crawl_fixture, tmp_path, "ccrash")
+    resumed.run(resume=True)
+    assert _order_tuples(resumed) == _order_tuples(full)
+    a = sorted(r.url_hash for r in resumed.seen_set().collect())
+    b = sorted(r.url_hash for r in full.seen_set().collect())
+    assert a == b

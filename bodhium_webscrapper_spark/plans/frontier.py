@@ -303,16 +303,23 @@ class CrawlJob:
             )
         )
         next_frontier = self._expand_outlinks(results).unionByName(misses)
-        self.store.write(wave, "frontier_next", next_frontier)
-        t = mark("expand_outlinks", t)
-
         # metrics from read-backs; the seen delta is NOT written separately —
         # it is a projection of the scheduled table (one fewer write per wave)
         metrics = (
             partition_metrics(scheduled, wave, "scheduled")
             .unionByName(partition_metrics(results, wave, "fetched", bytes_col="text"))
         )
-        self.store.write(wave, "metrics", metrics)
+        # the two tail writes are independent — submit them as concurrent
+        # Spark jobs from driver threads (overlaps the small metrics job with
+        # the UDF-heavy frontier expansion)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(2) as ex:
+            f1 = ex.submit(self.store.write, wave, "frontier_next", next_frontier)
+            f2 = ex.submit(self.store.write, wave, "metrics", metrics)
+            f1.result()
+            f2.result()
+        t = mark("expand_outlinks", t)
         t = mark("commit_writes", t)
 
         n_misses = n_scheduled - n_fetched

@@ -339,7 +339,7 @@ def q_fetch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q_FETCH_JOIN_SQL = """
     SELECT o_orderpriority, count(*) AS n_items,
-           sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
@@ -360,7 +360,7 @@ def q_pushdown_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q_PUSHDOWN_AGG_SQL = """
-    SELECT l_returnflag, l_linestatus, sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+    SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
            count(*) AS count_order
     FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
     GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
@@ -380,8 +380,8 @@ def q_session_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q_SESSION_SUMMARY_SQL = """
     SELECT count(*) AS total_events,
-           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS successful,
-           sum(CASE WHEN event_type <> 'click' THEN 1 ELSE 0 END) AS failed,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS successful,
+           CAST(sum(CASE WHEN event_type <> 'click' THEN 1 ELSE 0 END) AS BIGINT) AS failed,
            count(DISTINCT user_id) AS n_users
     FROM events
 """
@@ -402,7 +402,7 @@ def q_metric_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q_METRIC_ROLLUPS_SQL = """
     SELECT event_type, count(*) AS n,
-           sum(CAST(floor(value * 1000) AS BIGINT)) AS value_millis
+           CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_millis
     FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -431,8 +431,10 @@ def q_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q_TOKEN_ACCOUNTING_SQL = """
-    SELECT pricing_tier, count(*) AS n_docs, sum(n_chars) AS total_chars,
-           sum(n_chars * (CASE WHEN pricing_tier = 'standard' THEN 75 ELSE 150 END)) AS micro_cost
+    SELECT pricing_tier, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_chars * (CASE WHEN pricing_tier = 'standard' THEN 75 ELSE 150 END))
+                AS BIGINT) AS micro_cost
     FROM (SELECT CASE WHEN n_chars <= 256 THEN 'standard' ELSE 'large_context' END
             AS pricing_tier, n_chars FROM documents)
     GROUP BY pricing_tier ORDER BY pricing_tier
@@ -450,7 +452,7 @@ def q_group_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q_GROUP_BY_SOURCE_SQL = """
-    SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+    SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY source ORDER BY source
 """
 
@@ -494,11 +496,11 @@ _Q_TOKEN_COUNT_SQL = """
     SELECT doc_id,
       CASE WHEN length(trim(text)) = 0 THEN 0
            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
-      list_aggregate(list_transform(
+      CAST(list_aggregate(list_transform(
           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
           w -> CAST(ceil(length(w) / 4.0) AS BIGINT)), 'sum')
         + (length(text) - length(regexp_replace(text, '[.,!?;:''"()\\-]', '', 'g')))
-        AS n_subwords
+        AS BIGINT) AS n_subwords
     FROM documents ORDER BY doc_id
 """
 

@@ -25,14 +25,30 @@ def norm_cell(v):
     return v
 
 
-def compare(spark_df, duck_rows, duck_cols):
+def _pd_rows(pdf, cols):
+    """Serialize a pandas frame dtype-faithfully: ints stay ints, floats stay
+    floats. This mirrors the driver's hash gate, where a DuckDB HUGEINT
+    aggregate lands as float64 and hashes differently from Spark's int64
+    even when values are numerically equal."""
+    out = []
+    for rec in pdf[cols].itertuples(index=False, name=None):
+        row = []
+        for v in rec:
+            if hasattr(v, "item"):  # numpy scalar -> python, preserving kind
+                v = v.item()
+            row.append(norm_cell(v))
+        out.append(tuple(row))
+    return out
+
+
+def compare(spark_df, duck_pdf):
     s_cols = sorted(spark_df.columns)
-    d_cols = sorted(duck_cols)
+    d_cols = sorted(duck_pdf.columns)
     if s_cols != d_cols:
         return f"SCHEMA MISMATCH spark={s_cols} duck={d_cols}"
-    s_rows = [tuple(norm_cell(r[c]) for c in s_cols) for r in spark_df.collect()]
-    d_idx = [duck_cols.index(c) for c in s_cols]
-    d_rows = [tuple(norm_cell(r[i]) for i in d_idx) for r in duck_rows]
+    s_pdf = spark_df.toPandas()
+    s_rows = _pd_rows(s_pdf, s_cols)
+    d_rows = _pd_rows(duck_pdf, s_cols)
     if len(s_rows) != len(d_rows):
         return f"ROWCOUNT MISMATCH spark={len(s_rows)} duck={len(d_rows)}"
     if sorted(map(repr, s_rows)) != sorted(map(repr, d_rows)):
@@ -73,14 +89,12 @@ def main():
             print(f"ROWS  {name}: {n} rows (no oracle by design)")
             continue
         try:
-            rel = con.sql(oracles[name])
-            duck_rows = rel.fetchall()
-            duck_cols = list(rel.columns)
+            duck_pdf = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error {str(e)[:200]}")
             failures += 1
             continue
-        err = compare(df, duck_rows, duck_cols)
+        err = compare(df, duck_pdf)
         if err:
             print(f"FAIL  {name}: {err}")
             failures += 1

@@ -34,8 +34,6 @@ from pyspark.sql.types import StringType
 _SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://")
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 # RFC 3986 unreserved: ALPHA / DIGIT / "-" / "." / "_" / "~"
-_SAFE_PATH = "/-._~!$&'()*+,;=:@%"
-_SAFE_QUERY = "-._~!$&'()*+,;=:@/?%"
 _PCT_RE = re.compile(r"%[0-9a-fA-F]{2}")
 
 
@@ -44,7 +42,7 @@ _UNRESERVED = set(
 )
 
 
-def _renorm_pct(s: str, safe: str) -> str:
+def _renorm_pct(s: str) -> str:
     """RFC 3986 §6.2.2.2: decode %XX only when it encodes an unreserved
     character; uppercase all surviving escapes. Reserved escapes (%2F etc.)
     are preserved — decoding them would change URL semantics."""
@@ -108,11 +106,11 @@ def canonicalize_one(url: str | None, base: str | None = None) -> str | None:
     if port is not None and str(port) != _DEFAULT_PORTS[scheme]:
         netloc = f"{host}:{port}"
     path = _remove_dot_segments(parts.path) or "/"
-    path = _renorm_pct(path, _SAFE_PATH)
+    path = _renorm_pct(path)
     query = ""
     if parts.query:
         pairs = [p for p in parts.query.split("&") if p]
-        pairs = [_renorm_pct(p, _SAFE_QUERY.replace("?", "").replace("/", "/")) for p in pairs]
+        pairs = [_renorm_pct(p) for p in pairs]
         pairs.sort()
         query = "&".join(pairs)
     return urlunsplit((scheme, netloc, path, query, ""))

@@ -35,9 +35,16 @@ def per_host_budget(
     order_by: list[Column] | None = None,
     salt_buckets: int = 16,
     rank_col: str | None = None,
+    budget_col: str | None = None,
 ) -> DataFrame:
-    """Keep the top ``budget`` rows per host under a deterministic order."""
+    """Keep the top ``budget`` rows per host under a deterministic order.
+
+    ``budget_col``: optional per-row column holding a host-specific budget
+    (≤ ``budget``, e.g. reduced by crawl-delay); ``budget`` stays the global
+    upper bound so the salted phase-1 prefilter remains a superset.
+    """
     order = order_by or [F.col("priority").desc(), F.col("url_hash").asc()]
+    cap = F.least(F.lit(budget), F.col(budget_col)) if budget_col else F.lit(budget)
     out = df
     if salt_buckets > 1:
         salt = F.pmod(F.xxhash64(F.col("url_hash"), F.lit(SALT_SEED)), F.lit(salt_buckets))
@@ -49,7 +56,54 @@ def per_host_budget(
             .drop("_salt", "_rn1")
         )
     w2 = Window.partitionBy(host_col).orderBy(*order)
-    out = out.withColumn("_rn", F.row_number().over(w2)).filter(F.col("_rn") <= budget)
+    out = out.withColumn("_rn", F.row_number().over(w2)).filter(F.col("_rn") <= cap)
+    if budget_col:
+        out = out.drop(budget_col)
     if rank_col:
         return out.withColumnRenamed("_rn", rank_col)
     return out.drop("_rn")
+
+
+def with_crawl_delay_budget(
+    df: DataFrame,
+    robots: DataFrame,
+    default_budget: int,
+    wave_period_ms: int,
+    host_col: str = "host",
+    out_col: str = "_host_budget",
+) -> DataFrame:
+    """W3: map a host's declared robots crawl-delay to a per-wave budget.
+
+    The reference's only pacing is a global ``asyncio.sleep(1)`` between URLs
+    (``/root/reference/app.py:973-974``). In a batch wave there is no sleep;
+    the politeness contract becomes a rate: a host declaring
+    ``crawl_delay_ms`` can be hit at most ``wave_period_ms / crawl_delay_ms``
+    times per wave (floored, min 1), capped by the default budget. Hosts
+    without a declared delay keep the default. Deterministic: a pure
+    function of the rules table, no clocks.
+    """
+    delays = (
+        robots.groupBy(F.col("host").alias("_d_host"))
+        .agg(F.max("crawl_delay_ms").alias("_delay_ms"))
+        .filter(F.col("_delay_ms") > 0)
+    )
+    # explicit null gate: greatest()/least() SKIP nulls in Spark, so an
+    # undelayed host (null _delay_ms) would otherwise collapse to budget 1
+    eff = (
+        F.when(
+            F.col("_delay_ms").isNotNull(),
+            F.least(
+                F.lit(default_budget),
+                F.greatest(
+                    F.lit(1), F.floor(F.lit(wave_period_ms) / F.col("_delay_ms"))
+                ),
+            ),
+        )
+        .otherwise(F.lit(default_budget))
+        .cast("int")
+    )
+    return (
+        df.join(F.broadcast(delays), df[host_col] == F.col("_d_host"), "left")
+        .withColumn(out_col, eff)
+        .drop("_d_host", "_delay_ms")
+    )

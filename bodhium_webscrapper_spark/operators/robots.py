@@ -26,9 +26,16 @@ def robots_gate(
     Hosts absent from the rules table are allowed (standard robots default).
     """
     path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("/"))
-    rules = robots.select(
-        F.col("host").alias("_r_host"),
-        F.col("disallow_prefixes").alias("_r_prefixes"),
+    # one row per host: duplicate host rows in the rules table would fan out
+    # frontier rows through the left join and the duplicates would then be
+    # scheduled separately — flatten all prefix lists per host first
+    rules = (
+        robots.groupBy(F.col("host").alias("_r_host"))
+        .agg(
+            F.array_distinct(
+                F.flatten(F.collect_list("disallow_prefixes"))
+            ).alias("_r_prefixes")
+        )
     )
     joined = df.join(
         F.broadcast(rules), df[host_col] == F.col("_r_host"), "left"

@@ -111,9 +111,12 @@ class BloomState:
             blobs = bc.value
             h = hashes.to_numpy()
             out = np.zeros(len(h), dtype=bool)
-            buckets = (
-                h.astype(np.int64).view(np.uint64) % np.uint64(n_buckets)
-            ).astype(np.int64)
+            # signed modulo (numpy result takes the divisor's sign) matches
+            # F.pmod used at build time for ANY n_buckets; the previous
+            # uint64 % only agreed for power-of-two bucket counts, and a
+            # mismatch meant bloom false NEGATIVES that bypass the exact
+            # anti-join (re-scheduling already-seen URLs).
+            buckets = np.mod(h.astype(np.int64), np.int64(n_buckets))
             for b in np.unique(buckets):
                 entry = blobs.get(int(b))
                 if entry is None:

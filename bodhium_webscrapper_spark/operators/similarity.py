@@ -46,12 +46,17 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    salt_buckets: int = 16,
 ) -> DataFrame:
     """Exact top-k neighbors per query: (query_id, neighbor_id, rank, cosine).
 
     ``queries`` is expected to be small (it is broadcast); the corpus is
-    scanned once, never shuffled — the window partitions by query_id, whose
-    cardinality equals the (small) query count.
+    scanned once, never shuffled. Ranking is salted two-phase top-k (the
+    per_host_budget pattern): a single window partitioned by query_id would
+    funnel |corpus| scored rows per query into one task — a straggler at
+    100× scale. Phase 1 keeps top-k per (query_id, salt) cell, bounding
+    phase 2's exact window to k*salt_buckets rows per query. Any row in the
+    true top-k is also in its salt cell's top-k, so the result is exact.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
@@ -64,9 +69,23 @@ def brute_force_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", cosine_similarity_col(F.col("_cv"), F.col("_qv")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
+    return _topk_per_query(scored, k, salt_buckets)
+
+
+def _topk_per_query(scored: DataFrame, k: int, salt_buckets: int = 16) -> DataFrame:
+    """Salted two-phase exact top-k per query over (query_id, neighbor_id,
+    cosine) rows — no single-partition window over the full scored set."""
+    order = [F.col("cosine").desc(), F.col("neighbor_id").asc()]
+    if salt_buckets > 1:
+        salt = F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(salt_buckets))
+        w1 = Window.partitionBy(F.col("query_id"), F.col("_salt")).orderBy(*order)
+        scored = (
+            scored.withColumn("_salt", salt)
+            .withColumn("_rn1", F.row_number().over(w1))
+            .filter(F.col("_rn1") <= k)
+            .drop("_salt", "_rn1")
+        )
+    w = Window.partitionBy("query_id").orderBy(*order)
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -177,14 +196,7 @@ def ivf_topk(
         .withColumn("cosine", cosine_similarity_col(F.col("_cv"), F.col("_qv")))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
-    )
+    return _topk_per_query(scored, k)
 
 
 def lsh_topk(
@@ -219,11 +231,4 @@ def lsh_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", cosine_similarity_col(F.col("_cv"), F.col("_qv")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
-    )
+    return _topk_per_query(scored, k)

@@ -54,18 +54,28 @@ def upsert_by_key(
     ``ts_col_value``: optional literal/column for created_at/updated_at
     stamping (the trigger analogue, RDS/app.py:306-348).
     """
-    staged_unique = staged.dropDuplicates([key])
-    new_rows = staged_unique.join(existing.select(key), key, "left_anti")
+    # single pass: tag each staged row with key-existence via one left join,
+    # persist the tagged set, and take both counts from one aggregation —
+    # the old two-count formulation re-ran dropDuplicates + anti-join twice
+    # (and a third time when `merged` was materialized)
+    existing_keys = (
+        existing.select(key).dropDuplicates([key]).withColumn("_exists", F.lit(True))
+    )
+    tagged = staged.dropDuplicates([key]).join(existing_keys, key, "left").persist()
+    counts = tagged.agg(
+        F.count(F.lit(1)).alias("n_staged"),
+        F.coalesce(F.sum(F.when(F.col("_exists"), 1).otherwise(0)), F.lit(0)).alias(
+            "n_existing"
+        ),
+    ).first()
+    new_rows = tagged.filter(F.col("_exists").isNull()).drop("_exists")
     if ts_col_value is not None:
         new_rows = new_rows.withColumn("created_at", ts_col_value).withColumn(
             "updated_at", ts_col_value
         )
-        existing_aligned = existing
-    else:
-        existing_aligned = existing
-    merged = existing_aligned.unionByName(new_rows, allowMissingColumns=True)
-    n_new = new_rows.count()
-    n_existing = staged_unique.count() - n_new
+    merged = existing.unionByName(new_rows, allowMissingColumns=True)
+    n_existing = int(counts["n_existing"])
+    n_new = int(counts["n_staged"]) - n_existing
     return UpsertResult(merged=merged, new_rows=new_rows, n_new=n_new, n_existing=n_existing)
 
 

@@ -40,6 +40,7 @@ Scale notes (100 TB / 10^10 URLs):
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -49,7 +50,10 @@ from pyspark.sql import types as T
 
 from bodhium_webscrapper_spark.functions.canonicalize import with_canonical_url
 from bodhium_webscrapper_spark.functions.extract import extract_page_udf
-from bodhium_webscrapper_spark.operators.politeness import per_host_budget
+from bodhium_webscrapper_spark.operators.politeness import (
+    per_host_budget,
+    with_crawl_delay_budget,
+)
 from bodhium_webscrapper_spark.operators.robots import robots_gate
 from bodhium_webscrapper_spark.operators.seen import seen_anti_join
 from bodhium_webscrapper_spark.plans.checkpoint import SnapshotStore
@@ -82,6 +86,15 @@ class CrawlConfig:
     max_waves: int = 6
     global_wave_limit: int | None = 5000  # None/0 = politeness-only capping
     max_retries: int = 2
+    # W3: nominal wave duration used to convert a host's robots
+    # crawl_delay_ms into a reduced per-wave budget
+    # (budget_host = min(budget, max(1, wave_period_ms // crawl_delay_ms)))
+    wave_period_ms: int = 10_000
+    # NOTE on capping semantics: URLs cut by the per-host budget or the
+    # global wave limit are DROPPED, not deferred — they re-enter only if
+    # rediscovered via a later page's outlinks. This mirrors the reference's
+    # MAX_URLS=100 hard cap (app.py:303), which likewise discards the
+    # overflow rather than queueing it.
     salt_buckets: int = 16
     use_bloom: bool = True
     bloom_buckets: int = 64
@@ -236,11 +249,18 @@ class CrawlJob:
             new = seen_anti_join(deduped, seen, "url_hash", bloom)
         gated = robots_gate(new, self.robots) if self.robots is not None else new
         salt = cfg.salt_buckets if n_candidates > cfg.salt_activation_threshold else 1
+        budget_col = None
+        if self.robots is not None and "crawl_delay_ms" in self.robots.columns:
+            gated = with_crawl_delay_budget(
+                gated, self.robots, cfg.max_urls_per_host_per_wave, cfg.wave_period_ms
+            )
+            budget_col = "_host_budget"
         capped = per_host_budget(
             gated,
             cfg.max_urls_per_host_per_wave,
             host_col="host",
             salt_buckets=salt,
+            budget_col=budget_col,
         )
         if cfg.global_wave_limit:
             # TakeOrdered merges the whole wave through the driver — only
@@ -413,11 +433,31 @@ class CrawlJob:
         )
 
     def _seen_upto(self, wave: int) -> DataFrame:
+        """Seen = everything scheduled so far MINUS pending retries.
+
+        A fetch-miss is re-queued into frontier_{wave+1} with retry_count+1;
+        since it was scheduled, a plain projection of the scheduled table
+        would anti-join it away next wave and the retry would be dead code.
+        Pending retries live only in the LATEST committed frontier_next
+        (a miss either got rescheduled later, or exhausted max_retries and
+        stays seen → permanently dropped), so one small anti-join restores
+        the wave equation frontier_{t+1} = outlinks ∪ fetch-misses."""
         df = self.store.read_deltas(self.spark, "scheduled", wave)
-        return df.select("url_hash", F.col("canonical_url").alias("url"))
+        seen = df.select("url_hash", F.col("canonical_url").alias("url"))
+        if os.path.exists(self.store.wave_dir(wave, "frontier_next")):
+            pending = (
+                self.store.read(self.spark, wave, "frontier_next")
+                .filter(F.col("retry_count") > 0)
+                .select("url_hash")
+            )
+            seen = seen.join(F.broadcast(pending), "url_hash", "left_anti")
+        return seen
 
     def seen_set(self) -> DataFrame:
-        return self._seen_upto(self.store.committed_wave())
+        """Distinct permanently-seen URLs. A retried URL appears in several
+        waves' scheduled deltas; the anti-join in the hot loop tolerates the
+        duplicates, the reporting contract here does not."""
+        return self._seen_upto(self.store.committed_wave()).dropDuplicates(["url_hash"])
 
     def extracted(self) -> DataFrame:
         df = self.store.read_deltas(self.spark, "page_results", self.store.committed_wave())

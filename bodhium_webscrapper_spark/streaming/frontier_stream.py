@@ -87,18 +87,17 @@ def stream_per_host_budget(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         taken = state.get[0] if state.exists else 0
-        out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("url_hash")
-            room = budget - taken
-            if room <= 0:
-                break
-            admitted = pdf.head(room)
-            taken += len(admitted)
-            out.append(admitted[["host", "url", "url_hash"]])
+        # a host's micro-batch rows may span several Arrow chunks; sorting
+        # each chunk independently would make admission depend on chunk
+        # boundaries — concatenate the whole group first, then sort+truncate
+        batch = pd.concat(list(pdfs)) if not isinstance(pdfs, pd.DataFrame) else pdfs
+        batch = batch.sort_values("url_hash")
+        room = max(0, budget - taken)
+        admitted = batch.head(room)
+        taken += len(admitted)
         state.update((taken,))
-        if out:
-            yield pd.concat(out)
+        if len(admitted):
+            yield admitted[["host", "url", "url_hash"]]
 
     return urls.groupBy(host_col).applyInPandasWithState(
         admit,

@@ -49,10 +49,25 @@ def test_e2e_crawl(spark, crawl_fixture, tmp_path):
     for w, seqs in waves.items():
         assert seqs == list(range(1, len(seqs) + 1))
 
-    # seen set has no duplicate hashes, covers exactly the scheduled urls
+    # seen set has no duplicate hashes and covers exactly the distinct
+    # scheduled urls minus retries still pending in the final frontier
     seen = job.seen_set()
     assert seen.count() == seen.select("url_hash").distinct().count()
-    assert seen.count() == len(order)
+    final = job.store.committed_wave()
+    pending = (
+        job.store.read(spark, final, "frontier_next")
+        .filter(F.col("retry_count") > 0)
+        .select("url_hash")
+        .distinct()
+        .count()
+    )
+    scheduled_distinct = (
+        job.store.read_deltas(spark, "scheduled", final)
+        .select("url_hash")
+        .distinct()
+        .count()
+    )
+    assert seen.count() == scheduled_distinct - pending
 
     # politeness: never more than budget urls per host per wave
     per_host = (
@@ -154,3 +169,45 @@ def test_crash_mid_wave_resume(spark, crawl_fixture, tmp_path):
     a = sorted(r.url_hash for r in resumed.seen_set().collect())
     b = sorted(r.url_hash for r in full.seen_set().collect())
     assert a == b
+
+
+def test_miss_retry_rescheduled(spark, crawl_fixture, tmp_path):
+    """A fetch-miss must be re-scheduled in a later wave, at most
+    1 + max_retries times total (the wave equation's retry term)."""
+    job = _mk_job(spark, crawl_fixture, tmp_path, "retry", max_waves=6)
+    summary = job.run()
+    total_misses = sum(w["misses"] for w in summary["waves"])
+    assert total_misses > 0  # fixture 404s (links to /p{i} vs /private/p{i})
+
+    per_url = job.crawl_order().groupBy("canonical_url").count()
+    rescheduled = per_url.filter(F.col("count") > 1)
+    # only misses can be scheduled twice (seen anti-join blocks everything
+    # else), so retries being alive <=> some URL appears in several waves
+    assert rescheduled.count() > 0
+    assert (
+        rescheduled.agg(F.max("count")).first()[0]
+        <= 1 + job.config.max_retries
+    )
+
+
+def test_crawl_delay_reduces_schedule_e2e(spark, crawl_fixture, tmp_path):
+    """W3 e2e: with a short wave period, hosts declaring crawl_delay_ms=1000
+    must schedule at most wave_period/delay URLs per wave while undelayed
+    hosts use the full budget."""
+    job = _mk_job(
+        spark, crawl_fixture, tmp_path, "delay", wave_period_ms=2000
+    )
+    job.run()
+    robots = spark.read.parquet(crawl_fixture["robots"])
+    delayed_hosts = robots.filter(F.col("crawl_delay_ms") >= 1000).select("host")
+    per_wave_host = (
+        job.crawl_order()
+        .withColumn("host", F.parse_url("canonical_url", F.lit("HOST")))
+        .groupBy("wave", "host")
+        .count()
+    )
+    slow = per_wave_host.join(delayed_hosts, "host")
+    fast = per_wave_host.join(delayed_hosts, "host", "left_anti")
+    assert slow.count() > 0, "fixture must exercise some delayed host"
+    assert slow.agg(F.max("count")).first()[0] <= 2  # 2000 // 1000
+    assert fast.agg(F.max("count")).first()[0] == 5  # full budget

@@ -63,3 +63,47 @@ def test_source_priority_union(spark):
     assert {r.url for r in source_priority_union([empty, cc]).collect()} == {"c1"}
     assert {r.url for r in source_priority_union_df([empty, cc, sitemap]).collect()} == {"c1"}
     assert {r.url for r in source_priority_union_df([sitemap, cc]).collect()} == {"s1", "s2"}
+
+
+def test_crawl_delay_budget(spark):
+    """W3: a host declaring crawl_delay_ms gets a reduced per-wave budget."""
+    from bodhium_webscrapper_spark.operators.politeness import with_crawl_delay_budget
+
+    df = spark.range(20).select(
+        F.when(F.col("id") % 2 == 0, F.lit("slow.example"))
+        .otherwise(F.lit("fast.example"))
+        .alias("host"),
+        F.xxhash64(F.concat(F.lit("d"), F.col("id"))).alias("url_hash"),
+        F.lit(1.0).alias("priority"),
+    )
+    robots = spark.createDataFrame(
+        [("slow.example", [], 5000), ("fast.example", [], 0)],
+        "host string, disallow_prefixes array<string>, crawl_delay_ms long",
+    )
+    out = per_host_budget(
+        with_crawl_delay_budget(df, robots, default_budget=8, wave_period_ms=10_000),
+        8,
+        salt_buckets=4,
+        budget_col="_host_budget",
+    )
+    counts = {r["host"]: r["count"] for r in out.groupBy("host").count().collect()}
+    assert counts["slow.example"] == 2  # 10_000 // 5000
+    assert counts["fast.example"] == 8  # default budget
+    assert "_host_budget" not in out.columns
+
+
+def test_robots_gate_duplicate_host_rows_no_fanout(spark):
+    """Duplicate host rows in the rules table must not duplicate frontier
+    rows through the left join — rules are flattened per host first."""
+    df = spark.createDataFrame(
+        [("a.example", "https://a.example/public"),
+         ("a.example", "https://a.example/private/x"),
+         ("a.example", "https://a.example/tmp/y")],
+        ["host", "canonical_url"],
+    )
+    robots = spark.createDataFrame(
+        [("a.example", ["/private"], 0), ("a.example", ["/tmp"], 0)],
+        "host string, disallow_prefixes array<string>, crawl_delay_ms long",
+    )
+    out = robots_gate(df, robots).collect()
+    assert [r.canonical_url for r in out] == ["https://a.example/public"]

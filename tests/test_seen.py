@@ -49,3 +49,15 @@ def test_bloom_fpp_reasonable(spark):
     bloom = BloomState.from_df(spark, bloom_df, 16)
     fp = foreign.filter(bloom.might_contain_udf()(F.col("url_hash"))).count()
     assert fp / 10000 < 0.01
+
+
+def test_bloom_non_pow2_buckets_no_false_negatives(spark):
+    """Build buckets via F.pmod (signed), probe via numpy — they must agree
+    for ANY n_buckets, not just powers of two (a mismatch makes bloom false
+    negatives that bypass the exact anti-join)."""
+    _, seen = _dfs(spark)
+    for n_buckets in (13, 63, 100):
+        bloom_df = build_bloom(seen, n_buckets=n_buckets)
+        bloom = BloomState.from_df(spark, bloom_df, n_buckets)
+        negatives = seen.filter(~bloom.might_contain_udf()(F.col("url_hash"))).count()
+        assert negatives == 0, f"n_buckets={n_buckets}"

@@ -27,6 +27,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType
 
@@ -135,35 +136,102 @@ class BloomState:
 
         return might_contain
 
-class IncrementalBloom:
-    """Driver-maintained mergeable bloom: OR in each wave's delta blobs.
+    def pre_filter(self, frontier: DataFrame, hash_col: str = "url_hash") -> DataFrame:
+        """frontier + boolean ``_maybe_seen`` column (broadcast probe)."""
+        return frontier.withColumn(
+            "_maybe_seen", self.might_contain_udf()(F.col(hash_col))
+        )
 
-    Cost per wave is O(delta), not O(total seen) — at 10^10 URLs rebuilding
-    from the full seen table every wave would be the dominant scan.
+
+def or_merge_blobs(blobs: DataFrame) -> DataFrame:
+    """OR together same-bucket fixed-width blobs: (bucket_id, m, n, blob).
+
+    Executor-side (applyInPandas per bucket) — nothing blob-sized ever
+    transits the driver.
+    """
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = np.frombuffer(pdf["blob"].iloc[0], dtype=np.uint8).copy()
+        for blob in pdf["blob"].iloc[1:]:
+            bits |= np.frombuffer(blob, dtype=np.uint8)
+        return pd.DataFrame(
+            {
+                "bucket_id": [int(pdf["bucket_id"].iloc[0])],
+                "m": [int(pdf["m"].iloc[0])],
+                "n": [int(pdf["n"].sum())],
+                "blob": [bits.tobytes()],
+            }
+        )
+
+    return blobs.groupBy("bucket_id").applyInPandas(merge, _BLOOM_SCHEMA)
+
+
+class DistributedBloom:
+    """Bucket-keyed bloom state held as a DataFrame — the 10^10-key path.
+
+    The previous design collected every bucket blob to the driver, OR-ed
+    them in Python, and re-broadcast the whole dict each wave: at 10^10 keys
+    × 16 bits/key that is ~20 GB of driver heap and a ~20 GB broadcast.
+    Here the blob table (bucket_id, m, n, blob) stays distributed:
+
+    - merge: union prev blobs with the wave delta's blobs, OR per bucket
+      via ``applyInPandas`` (O(delta) + O(n_buckets) blob rows, no driver).
+    - probe: cogroup frontier rows with their bucket's blob and test
+      membership vectorized — each task holds exactly one blob slice.
+
+    The caller materializes ``blobs`` between waves (snapshot store) to keep
+    lineage flat; ``capacity`` fixes the per-bucket bit width so blobs stay
+    OR-mergeable across waves.
     """
 
     def __init__(self, spark: SparkSession, n_buckets: int = 64, capacity: int = 4_000_000):
         self.spark = spark
         self.n_buckets = n_buckets
         self.fixed_m = _next_pow2(max(1, capacity * BITS_PER_KEY // n_buckets))
-        self._bits: dict[int, np.ndarray] = {}
+        self.blobs: DataFrame | None = None
 
     def add_delta(self, delta: DataFrame, hash_col: str = "url_hash") -> None:
-        bloom_df = build_bloom(delta, hash_col, self.n_buckets, fixed_m=self.fixed_m)
-        for r in bloom_df.collect():
-            arr = np.frombuffer(r["blob"], dtype=np.uint8)
-            if r["bucket_id"] in self._bits:
-                self._bits[r["bucket_id"]] |= arr
-            else:
-                self._bits[r["bucket_id"]] = arr.copy()
+        d = build_bloom(delta, hash_col, self.n_buckets, fixed_m=self.fixed_m)
+        self.blobs = d if self.blobs is None else or_merge_blobs(self.blobs.unionByName(d))
 
-    def state(self) -> BloomState | None:
-        if not self._bits:
-            return None
-        blobs = {b: (self.fixed_m, v.tobytes()) for b, v in self._bits.items()}
-        return BloomState(
-            n_buckets=self.n_buckets,
-            broadcast=self.spark.sparkContext.broadcast(blobs),
+    def state(self) -> "DistributedBloom | None":
+        return self if self.blobs is not None else None
+
+    def pre_filter(self, frontier: DataFrame, hash_col: str = "url_hash") -> DataFrame:
+        """frontier + boolean ``_maybe_seen`` column (cogrouped probe)."""
+        out_schema = T.StructType(
+            list(frontier.schema.fields) + [T.StructField("_maybe_seen", T.BooleanType())]
+        )
+        cols = [f.name for f in frontier.schema.fields]
+        fb = frontier.withColumn(
+            "_bucket", F.pmod(F.col(hash_col), F.lit(self.n_buckets)).cast("int")
+        )
+        bb = self.blobs.withColumnRenamed("bucket_id", "_bucket")
+
+        def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            out = left[cols].copy()
+            if len(right) == 0:
+                out["_maybe_seen"] = False
+                return out
+            m = int(right["m"].iloc[0])
+            bits = np.frombuffer(right["blob"].iloc[0], dtype=np.uint8)
+            if len(right) > 1:  # unmerged deltas: OR on the fly
+                bits = bits.copy()
+                for blob in right["blob"].iloc[1:]:
+                    bits |= np.frombuffer(blob, dtype=np.uint8)
+            h = left[hash_col].to_numpy()
+            hit = np.ones(len(h), dtype=bool)
+            for idx in _probe_positions(h, m):
+                byte_idx = (idx >> np.uint64(3)).astype(np.int64)
+                bit = (bits[byte_idx] >> (idx & np.uint64(7)).astype(np.uint8)) & 1
+                hit &= bit.astype(bool)
+            out["_maybe_seen"] = hit
+            return out
+
+        return (
+            fb.groupBy("_bucket")
+            .cogroup(bb.groupBy("_bucket"))
+            .applyInPandas(probe, out_schema)
         )
 
 
@@ -176,13 +244,14 @@ def seen_anti_join(
 ) -> DataFrame:
     """Rows of ``frontier`` whose key is not in ``seen`` (exact semantics).
 
-    With ``bloom``: definitely-new rows bypass the join; bloom positives get
-    the exact anti-join confirm. Without: plain left-anti join.
+    With ``bloom`` (a BloomState broadcast or a DistributedBloom blob
+    table): definitely-new rows bypass the join; bloom positives get the
+    exact anti-join confirm. Without: plain left-anti join.
     """
     seen_keys = seen.select(hash_col)
     if bloom is None:
         return frontier.join(seen_keys, hash_col, "left_anti")
-    flagged = frontier.withColumn("_maybe_seen", bloom.might_contain_udf()(F.col(hash_col)))
+    flagged = bloom.pre_filter(frontier, hash_col)
     definite_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     confirmed_new = (
         flagged.filter(F.col("_maybe_seen"))

@@ -356,14 +356,20 @@ class CrawlJob:
         self.store.commit_wave(wave, {**stats.__dict__, "timings": timings})
         return stats
 
+    def _materialize_bloom(self, bloom, wave: int) -> None:
+        """Write the merged blob table and re-read it: executor-side state,
+        flat lineage, resumable. Blob bytes never transit the driver."""
+        self.store.write(wave, "bloom", bloom.blobs)
+        bloom.blobs = self.store.read(self.spark, wave, "bloom")
+
     def run(self, resume: bool = False) -> dict:
         """Run (or resume) the wave loop; returns a summary dict."""
-        from bodhium_webscrapper_spark.operators.seen import IncrementalBloom
+        from bodhium_webscrapper_spark.operators.seen import DistributedBloom
 
         cfg = self.config
         committed = self.store.committed_wave()
         bloom = (
-            IncrementalBloom(self.spark, cfg.bloom_buckets, cfg.bloom_capacity)
+            DistributedBloom(self.spark, cfg.bloom_buckets, cfg.bloom_capacity)
             if cfg.use_bloom
             else None
         )
@@ -389,10 +395,15 @@ class CrawlJob:
             state = None
             if bloom is not None and self._total_seen > cfg.seen_broadcast_threshold:
                 # bloom only earns its keep once seen outgrows the broadcast
-                # anti-join; hydrate lazily (one O(seen) build on first use,
-                # incremental O(delta) afterwards)
+                # anti-join; hydrate lazily — from the last committed bloom
+                # artifact when one exists (resume), else one O(seen) build —
+                # then incremental O(delta) afterwards
                 if bloom_hydrated_upto < wave - 1 and wave > 0:
-                    bloom.add_delta(self._seen_upto(wave - 1))
+                    if os.path.exists(self.store.wave_dir(wave - 1, "bloom")):
+                        bloom.blobs = self.store.read(self.spark, wave - 1, "bloom")
+                    else:
+                        bloom.add_delta(self._seen_upto(wave - 1))
+                        self._materialize_bloom(bloom, wave - 1)
                 bloom_hydrated_upto = wave - 1
                 state = bloom.state()
             stats = self._run_wave(wave, frontier, seen, state)
@@ -408,6 +419,9 @@ class CrawlJob:
                 bloom.add_delta(
                     self.store.read(self.spark, wave, "scheduled").select("url_hash")
                 )
+                # materialize the merged blob table (small: n_buckets rows)
+                # so lineage stays flat and resume rehydrates in O(1)
+                self._materialize_bloom(bloom, wave)
                 bloom_hydrated_upto = wave
 
         return {

@@ -61,3 +61,35 @@ def test_bloom_non_pow2_buckets_no_false_negatives(spark):
         bloom = BloomState.from_df(spark, bloom_df, n_buckets)
         negatives = seen.filter(~bloom.might_contain_udf()(F.col("url_hash"))).count()
         assert negatives == 0, f"n_buckets={n_buckets}"
+
+
+def test_distributed_bloom_matches_exact(spark):
+    """Executor-side (cogrouped) bloom path: same exact semantics, and the
+    incremental delta merge must not lose keys across waves."""
+    from bodhium_webscrapper_spark.operators.seen import DistributedBloom
+
+    frontier, seen = _dfs(spark)
+    half_a = seen.filter(F.col("url_hash") % 2 == 0)
+    half_b = seen.filter(F.col("url_hash") % 2 != 0)
+    bloom = DistributedBloom(spark, n_buckets=16, capacity=10_000)
+    bloom.add_delta(half_a)
+    bloom.add_delta(half_b)  # exercises or_merge_blobs
+    exact = seen_anti_join(frontier, seen)
+    with_bloom = seen_anti_join(frontier, seen, bloom=bloom.state())
+    a = {r.payload for r in exact.collect()}
+    b = {r.payload for r in with_bloom.collect()}
+    assert a == b
+
+    # no false negatives: every seen key must flag maybe_seen
+    flagged = bloom.pre_filter(seen.select("url_hash"), "url_hash")
+    assert flagged.filter(~F.col("_maybe_seen")).count() == 0
+
+
+def test_distributed_bloom_non_pow2_buckets(spark):
+    from bodhium_webscrapper_spark.operators.seen import DistributedBloom
+
+    _, seen = _dfs(spark)
+    bloom = DistributedBloom(spark, n_buckets=13, capacity=10_000)
+    bloom.add_delta(seen)
+    flagged = bloom.pre_filter(seen.select("url_hash"), "url_hash")
+    assert flagged.filter(~F.col("_maybe_seen")).count() == 0

@@ -609,7 +609,9 @@ def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b").orderBy("id_a", "id_b")
 
 
-_Q_NGRAM_JACCARD_SQL = f"""
+def _ngram_jaccard_sql(threshold: float) -> str:
+    """Exact 3-gram Jaccard pair oracle at the given threshold."""
+    return f"""
     WITH d AS ({_DOCS_WITH_DUPS_SQL}),
     sh AS (
       SELECT doc_id, list_distinct(
@@ -626,15 +628,26 @@ _Q_NGRAM_JACCARD_SQL = f"""
              / (len(a.shingles) + len(b.shingles)
                 - len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))) AS jac
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-    SELECT id_a, id_b FROM pairs WHERE jac >= 0.5 ORDER BY id_a, id_b
+    SELECT id_a, id_b FROM pairs WHERE jac >= {threshold} ORDER BY id_a, id_b
 """
+
+
+_Q_NGRAM_JACCARD_SQL = _ngram_jaccard_sql(0.5)
+
+# MinHash-LSH output is exact-verified at jaccard >= 0.7 (candidate gen only
+# bounds recall); the oracle is the exact-Jaccard twin at the same threshold.
+# Equality additionally evidences banding recall = 1.0 on this fixture (the
+# in-repo tests assert the exact-verify half independently).
+_Q_MINHASH_SQL = _ngram_jaccard_sql(0.7)
 
 
 def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates, exact-verified at jaccard>=0.7.
 
-    No oracle: MinHash banding is probabilistic (recall < 1 by design);
-    the exact-verified variant is oracle-checked as q_ngram_jaccard_dups.
+    Oracle: the exact 3-gram Jaccard pair set at the same threshold
+    (_Q_MINHASH_SQL). The output is exact w.r.t. precision by construction
+    (candidates are verified on the true shingle sets); matching the oracle
+    additionally certifies banding recall 1.0 on this fixture.
     """
     from bodhium_webscrapper_spark.operators.dedup import minhash_lsh_pairs
 
@@ -763,33 +776,62 @@ _Q_ANN_BRUTEFORCE_SQL = """
 """
 
 
+def _ann_planted_check(spark, sf_dir: str, approx_fn) -> DataFrame:
+    """Approximate top-k with the planted-duplicate guarantee as the checked
+    output: the corpus carries an exact copy (vec_id+10000) of every 10th
+    vector, and an identical vector lands in the same IVF cell / LSH bucket
+    BY CONSTRUCTION, so the approximate index must surface it at cosine 1.0.
+    One (query_id, planted_found) row per query; the oracle expects TRUE for
+    all. This is the deterministic, SQL-checkable contract for operators
+    that are approximate by construction — plain recall-vs-brute-force is a
+    property of the data here (synthetic near-random embeddings make ANN
+    recall ≈ the probed fraction), not of the implementation.
+    """
+    corpus = _emb_with_dups(spark, sf_dir)
+    queries = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).filter((F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 100))
+    approx = approx_fn(corpus, queries).select("query_id", "neighbor_id")
+    found = (
+        approx.filter(F.col("neighbor_id") == F.col("query_id") + 10000)
+        .select("query_id", F.lit(True).alias("planted_found"))
+    )
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(found, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("planted_found"), F.lit(False)).alias("planted_found"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_Q_ANN_PLANTED_SQL = """
+    SELECT vec_id AS query_id, TRUE AS planted_found
+    FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 100 ORDER BY query_id
+"""
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5 (deterministic k-means codebook + inverted
-    lists + multi-probe). No oracle (approximate by construction; the
-    brute-force twin is the exact gate)."""
+    lists + multi-probe), checked via the planted-duplicate guarantee
+    (see _ann_planted_check)."""
     from bodhium_webscrapper_spark.operators.similarity import ivf_topk
 
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    return _ann_planted_check(
+        spark, sf_dir, lambda emb, q: ivf_topk(emb, q, k=5, n_centroids=16, nprobe=4)
     )
-    queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4).select(
-        "query_id", "neighbor_id", "rank"
-    ).orderBy("query_id", "rank")
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via hyperplane-LSH buckets. No oracle (approximate
-    by construction; brute-force twin above is the exact gate)."""
+    """Approximate top-5 via hyperplane-LSH buckets (single probe), checked
+    via the planted-duplicate guarantee (see _ann_planted_check)."""
     from bodhium_webscrapper_spark.operators.similarity import lsh_topk
 
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    return _ann_planted_check(
+        spark, sf_dir, lambda emb, q: lsh_topk(emb, q, k=5, n_planes=4)
     )
-    queries = emb.filter(F.col("vec_id") < 10)
-    return lsh_topk(emb, queries, k=5, n_planes=4).select(
-        "query_id", "neighbor_id", "rank"
-    ).orderBy("query_id", "rank")
 
 
 # --------------------------------------------------------------------------
@@ -818,7 +860,9 @@ _Q_MEDIA_METADATA_SQL = """
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction over binary payloads (stubbed codec,
-    real Spark plumbing). No oracle (numpy histogram); rows-only check."""
+    real Spark plumbing). Checked output: feature dimension + the argmax
+    bin of the byte histogram — SQL-expressible over the UTF-8 payload, so
+    the fake-decode feature vector gets a value-level oracle."""
     from bodhium_webscrapper_spark.functions.multimodal import (
         deterministic_media_fixture, extract_features,
     )
@@ -826,7 +870,33 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = deterministic_media_fixture(docs, "text", "doc_id")
     feats = extract_features(media, "doc_id", "payload")
-    return feats.select("media_id", "feat_dim").orderBy("media_id")
+    return feats.select(
+        "media_id",
+        "feat_dim",
+        (F.array_position(F.col("feature"), F.array_max(F.col("feature"))) - 1)
+        .cast("int")
+        .alias("top_bin"),
+    ).orderBy("media_id")
+
+
+_Q_MEDIA_FEATURES_SQL = """
+    WITH bins AS (
+      SELECT doc_id,
+             unicode(text[i]) // 8 AS bin
+      FROM documents, unnest(range(1, length(text) + 1)) AS t(i)
+      WHERE length(text) > 0),
+    top AS (
+      SELECT doc_id, bin FROM (
+        SELECT doc_id, bin,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY count(*) DESC, bin ASC) AS rn
+        FROM bins GROUP BY doc_id, bin)
+      WHERE rn = 1)
+    SELECT d.doc_id AS media_id, 32 AS feat_dim,
+           CAST(coalesce(t.bin, 0) AS INTEGER) AS top_bin
+    FROM documents d LEFT JOIN top t USING (doc_id)
+    ORDER BY media_id
+"""
 
 
 # --------------------------------------------------------------------------
@@ -928,6 +998,11 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _Q_EMB_NEARDUP_SQL,
         "ann_bruteforce_topk": _Q_ANN_BRUTEFORCE_SQL,
         "media_metadata": _Q_MEDIA_METADATA_SQL,
-        # minhash_lsh_dups / simhash_dups / ann_lsh_topk / media_features:
-        # probabilistic or numpy-internal — rows-only check by design.
+        "minhash_lsh_dups": _Q_MINHASH_SQL,
+        "ann_ivf_topk": _Q_ANN_PLANTED_SQL,
+        "ann_lsh_topk": _Q_ANN_PLANTED_SQL,
+        "media_features": _Q_MEDIA_FEATURES_SQL,
+        # simhash_dups: rows-only by design — the 64-bit signature is built
+        # from xxhash64 token hashes, which DuckDB cannot reproduce, and no
+        # jaccard threshold cleanly brackets a hamming<=3 pair set.
     }

@@ -64,13 +64,37 @@ def per_host_budget(
     return out.drop("_rn")
 
 
+def host_budget_map(
+    robots: DataFrame, default_budget: int, wave_period_ms: int
+) -> DataFrame:
+    """(host, _host_budget) for hosts declaring a positive crawl delay.
+
+    Wave-invariant (a pure function of the rules table): loop callers
+    compute it once and persist (CrawlJob does)."""
+    delays = (
+        robots.groupBy("host")
+        .agg(F.max("crawl_delay_ms").alias("_delay_ms"))
+        .filter(F.col("_delay_ms") > 0)
+    )
+    return delays.select(
+        "host",
+        F.least(
+            F.lit(default_budget),
+            F.greatest(F.lit(1), F.floor(F.lit(wave_period_ms) / F.col("_delay_ms"))),
+        )
+        .cast("int")
+        .alias("_host_budget"),
+    )
+
+
 def with_crawl_delay_budget(
     df: DataFrame,
-    robots: DataFrame,
+    robots: DataFrame | None,
     default_budget: int,
     wave_period_ms: int,
     host_col: str = "host",
     out_col: str = "_host_budget",
+    budgets: DataFrame | None = None,
 ) -> DataFrame:
     """W3: map a host's declared robots crawl-delay to a per-wave budget.
 
@@ -79,31 +103,18 @@ def with_crawl_delay_budget(
     the politeness contract becomes a rate: a host declaring
     ``crawl_delay_ms`` can be hit at most ``wave_period_ms / crawl_delay_ms``
     times per wave (floored, min 1), capped by the default budget. Hosts
-    without a declared delay keep the default. Deterministic: a pure
-    function of the rules table, no clocks.
+    without a declared delay keep the default (explicit coalesce — Spark's
+    greatest()/least() skip nulls, so an un-gated formula would collapse an
+    undelayed host to budget 1). Deterministic: a pure function of the rules
+    table, no clocks. Pass a precomputed ``budgets`` (host_budget_map) to
+    skip the per-call aggregation.
     """
-    delays = (
-        robots.groupBy(F.col("host").alias("_d_host"))
-        .agg(F.max("crawl_delay_ms").alias("_delay_ms"))
-        .filter(F.col("_delay_ms") > 0)
+    b = budgets if budgets is not None else host_budget_map(
+        robots, default_budget, wave_period_ms
     )
-    # explicit null gate: greatest()/least() SKIP nulls in Spark, so an
-    # undelayed host (null _delay_ms) would otherwise collapse to budget 1
-    eff = (
-        F.when(
-            F.col("_delay_ms").isNotNull(),
-            F.least(
-                F.lit(default_budget),
-                F.greatest(
-                    F.lit(1), F.floor(F.lit(wave_period_ms) / F.col("_delay_ms"))
-                ),
-            ),
-        )
-        .otherwise(F.lit(default_budget))
-        .cast("int")
-    )
+    b = b.select(F.col("host").alias("_d_host"), F.col("_host_budget").alias("_hb"))
     return (
-        df.join(F.broadcast(delays), df[host_col] == F.col("_d_host"), "left")
-        .withColumn(out_col, eff)
-        .drop("_d_host", "_delay_ms")
+        df.join(F.broadcast(b), df[host_col] == F.col("_d_host"), "left")
+        .withColumn(out_col, F.coalesce(F.col("_hb"), F.lit(default_budget)))
+        .drop("_d_host", "_hb")
     )

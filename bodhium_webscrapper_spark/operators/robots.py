@@ -15,27 +15,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def flatten_rules(robots: DataFrame) -> DataFrame:
+    """One (host, disallow_prefixes) row per host.
+
+    Duplicate host rows in a raw rules table would fan out frontier rows
+    through robots_gate's left join, and the duplicates would then be
+    scheduled separately — flatten all prefix lists per host first. This is
+    wave-invariant: callers running a loop should compute it once and
+    persist (CrawlJob does)."""
+    return robots.groupBy("host").agg(
+        F.array_distinct(F.flatten(F.collect_list("disallow_prefixes"))).alias(
+            "disallow_prefixes"
+        )
+    )
+
+
 def robots_gate(
     df: DataFrame,
     robots: DataFrame,
     url_col: str = "canonical_url",
     host_col: str = "host",
+    flat: bool = False,
 ) -> DataFrame:
     """Drop rows whose URL path starts with any disallowed prefix for its host.
 
     Hosts absent from the rules table are allowed (standard robots default).
+    ``flat=True`` promises ``robots`` is already one-row-per-host (e.g. a
+    persisted ``flatten_rules`` output), skipping the per-call aggregation.
     """
     path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("/"))
-    # one row per host: duplicate host rows in the rules table would fan out
-    # frontier rows through the left join and the duplicates would then be
-    # scheduled separately — flatten all prefix lists per host first
-    rules = (
-        robots.groupBy(F.col("host").alias("_r_host"))
-        .agg(
-            F.array_distinct(
-                F.flatten(F.collect_list("disallow_prefixes"))
-            ).alias("_r_prefixes")
-        )
+    flattened = robots if flat else flatten_rules(robots)
+    rules = flattened.select(
+        F.col("host").alias("_r_host"),
+        F.col("disallow_prefixes").alias("_r_prefixes"),
     )
     joined = df.join(
         F.broadcast(rules), df[host_col] == F.col("_r_host"), "left"

@@ -30,6 +30,25 @@ PRODUCT_COLS = [
 ]
 
 
+def valid_products(products: DataFrame) -> DataFrame:
+    """P8: drop rows unusable as products — blank/missing name or source
+    URL (the reference skips these before its row-at-a-time upsert,
+    RDS/app.py:446-470; here one vectorized filter)."""
+    return products.filter(
+        F.col("productname").isNotNull()
+        & (F.trim(F.col("productname")) != "")
+        & F.col("source_url").isNotNull()
+        & (F.trim(F.col("source_url")) != "")
+    )
+
+
+def truncate_content(col, max_chars: int = 4000):
+    """P9: cap a text column at ``max_chars`` characters (the reference
+    truncates page text before LLM submission, app.py:255-270). Pure JVM
+    substring — safe in the hot path."""
+    return F.substring(col, 1, max_chars)
+
+
 def with_product_hash(products: DataFrame) -> DataFrame:
     """sha256(name + source_url + current_price) — RDS/app.py:459-460."""
     return products.withColumn(

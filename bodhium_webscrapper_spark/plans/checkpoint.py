@@ -34,6 +34,10 @@ class SnapshotStore:
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
+        # schema of each artifact name, captured at write time: readers skip
+        # parquet schema inference (a per-read driver round trip that adds
+        # up to seconds of fixed latency per wave in the hot loop)
+        self._schemas: dict[str, Any] = {}
 
     @property
     def _manifest_path(self) -> str:
@@ -56,10 +60,31 @@ class SnapshotStore:
         if os.path.exists(path):
             shutil.rmtree(path)  # idempotent re-commit after a crash
         df.write.mode("overwrite").parquet(path)
+        self._schemas[name] = df.schema
         return path
 
+    def _reader(self, spark: SparkSession, name: str):
+        schema = self._schemas.get(name)
+        return spark.read.schema(schema) if schema is not None else spark.read
+
     def read(self, spark: SparkSession, wave: int, name: str) -> DataFrame:
-        return spark.read.parquet(self.wave_dir(wave, name))
+        return self._reader(spark, name).parquet(self.wave_dir(wave, name))
+
+    def row_count(self, wave: int, name: str) -> int:
+        """Exact row count of a written artifact from parquet footer
+        metadata — a driver-side file-metadata read, NOT a Spark job. This
+        is what keeps the wave loop's fixed cost flat: counts that used to
+        be .count() actions (one job each) are free once the data is
+        written anyway. The Iceberg equivalent reads the snapshot summary.
+        """
+        import pyarrow.parquet as pq
+
+        path = self.wave_dir(wave, name)
+        total = 0
+        for fn in os.listdir(path):
+            if fn.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(path, fn)).metadata.num_rows
+        return total
 
     def read_deltas(self, spark: SparkSession, name: str, upto_wave: int) -> DataFrame | None:
         paths = [
@@ -69,7 +94,19 @@ class SnapshotStore:
         ]
         if not paths:
             return None
-        return spark.read.parquet(*paths)
+        return self._reader(spark, name).parquet(*paths)
+
+    def write_rows(self, wave: int, name: str, table) -> str:
+        """Write a small driver-side pyarrow table as a wave artifact
+        (no Spark job; used for footer-derived metrics/lineage rows)."""
+        import pyarrow.parquet as pq
+
+        path = self.wave_dir(wave, name)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.makedirs(path)
+        pq.write_table(table, os.path.join(path, "part-00000.parquet"))
+        return path
 
     def commit_wave(self, wave: int, stats: dict[str, Any]) -> None:
         m = self.manifest()

@@ -57,7 +57,7 @@ from bodhium_webscrapper_spark.operators.politeness import (
 from bodhium_webscrapper_spark.operators.robots import robots_gate
 from bodhium_webscrapper_spark.operators.seen import seen_anti_join
 from bodhium_webscrapper_spark.plans.checkpoint import SnapshotStore
-from bodhium_webscrapper_spark.plans.metrics import partition_metrics
+from bodhium_webscrapper_spark.plans.metrics import footer_metrics, lineage_rows_table
 
 FRONTIER_SCHEMA = T.StructType(
     [
@@ -136,6 +136,21 @@ class CrawlJob:
         self.job_id = job_id
         self.seeds = seeds
         self.robots = robots
+        self._resumed_at = -1  # set by run(resume=True); lineage marker
+        # wave-invariant politeness artifacts, computed once and persisted:
+        # re-aggregating rules/delays from the raw robots table every wave
+        # was a repeated serial broadcast-build cost in the schedule stage
+        self._rules = None
+        self._budgets = None
+        if robots is not None:
+            from bodhium_webscrapper_spark.operators.politeness import host_budget_map
+            from bodhium_webscrapper_spark.operators.robots import flatten_rules
+
+            self._rules = flatten_rules(robots).persist()
+            if "crawl_delay_ms" in robots.columns:
+                self._budgets = host_budget_map(
+                    robots, config.max_urls_per_host_per_wave, config.wave_period_ms
+                ).persist()
         # column pruning: the fetch join needs only key + payload (+ golden
         # text when verifying) — never lang/warc_ts
         cols = ["url_hash", "url", "html"] + (["text"] if config.verify_extraction else [])
@@ -214,11 +229,24 @@ class CrawlJob:
 
     # ---- one wave = one pure dataflow, materialized once into the snapshot
     def _run_wave(
-        self, wave: int, frontier: DataFrame, seen: DataFrame, bloom: "object | None"
+        self,
+        wave: int,
+        frontier: DataFrame,
+        seen: DataFrame,
+        bloom: "object | None",
+        n_candidates: int | None = None,
     ) -> WaveStats:
         """Each heavy plan is written straight to the wave snapshot and read
         back — the snapshot IS the cache (one materialization per stage, no
         localCheckpoint double-compute), plans stay O(1), commits idempotent.
+
+        Counting discipline: NO .count() actions in the loop. Every count
+        the stats need is either passed in (``n_candidates`` — the previous
+        wave's frontier_next footer count) or read from the parquet footers
+        of an artifact the wave writes anyway (``store.row_count``). Each
+        removed count was a full Spark job of fixed driver latency — the
+        dominant per-wave cost at small wave sizes and the reason round-1
+        scaling efficiency collapsed to 0.39.
         """
         cfg = self.config
         t0 = time.time()
@@ -229,7 +257,11 @@ class CrawlJob:
             timings[step] = round(now - t_start, 2)
             return now
 
-        n_candidates = frontier.count()  # metadata-only on parquet-backed waves
+        if n_candidates is None:
+            # seeds wave only: count the RAW seeds (same cardinality as the
+            # canonicalized frontier — _seed_frontier drops no rows), so the
+            # count doesn't spin up python workers for the canonicalize UDF
+            n_candidates = self.seeds.count()
         t = mark("count_frontier", t0)
 
         # schedule: dedup -> seen anti-join -> robots -> per-host budget ->
@@ -247,12 +279,16 @@ class CrawlJob:
             )
         else:
             new = seen_anti_join(deduped, seen, "url_hash", bloom)
-        gated = robots_gate(new, self.robots) if self.robots is not None else new
+        gated = robots_gate(new, self._rules, flat=True) if self._rules is not None else new
         salt = cfg.salt_buckets if n_candidates > cfg.salt_activation_threshold else 1
         budget_col = None
-        if self.robots is not None and "crawl_delay_ms" in self.robots.columns:
+        if self._budgets is not None:
             gated = with_crawl_delay_budget(
-                gated, self.robots, cfg.max_urls_per_host_per_wave, cfg.wave_period_ms
+                gated,
+                None,
+                cfg.max_urls_per_host_per_wave,
+                cfg.wave_period_ms,
+                budgets=self._budgets,
             )
             budget_col = "_host_budget"
         capped = per_host_budget(
@@ -270,7 +306,7 @@ class CrawlJob:
             ).limit(cfg.global_wave_limit)
         self.store.write(wave, "scheduled", self._assign_order(capped, wave))
         scheduled = self.store.read(self.spark, wave, "scheduled")
-        n_scheduled = scheduled.count()
+        n_scheduled = self.store.row_count(wave, "scheduled")  # footer, no job
         t = mark("schedule", t)
 
         # fetch: pages are NEVER shuffled, whatever the wave size.
@@ -304,7 +340,7 @@ class CrawlJob:
         fetch_plan = raw.join(attrs, "url_hash")
         self.store.write(wave, "page_results", fetch_plan)
         results = self.store.read(self.spark, wave, "page_results")
-        n_fetched = results.count()
+        n_fetched = self.store.row_count(wave, "page_results")  # footer, no job
         if cfg.verify_extraction:
             mismatches = results.filter(~F.col("golden_ok")).count()
             if mismatches:
@@ -323,23 +359,32 @@ class CrawlJob:
             )
         )
         next_frontier = self._expand_outlinks(results).unionByName(misses)
-        # metrics from read-backs; the seen delta is NOT written separately —
-        # it is a projection of the scheduled table (one fewer write per wave)
-        metrics = (
-            partition_metrics(scheduled, wave, "scheduled")
-            .unionByName(partition_metrics(results, wave, "fetched", bytes_col="text"))
-        )
-        # the two tail writes are independent — submit them as concurrent
-        # Spark jobs from driver threads (overlaps the small metrics job with
-        # the UDF-heavy frontier expansion)
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(2) as ex:
-            f1 = ex.submit(self.store.write, wave, "frontier_next", next_frontier)
-            f2 = ex.submit(self.store.write, wave, "metrics", metrics)
-            f1.result()
-            f2.result()
+        self.store.write(wave, "frontier_next", next_frontier)
         t = mark("expand_outlinks", t)
+
+        # per-partition metrics straight from the footers of the artifacts
+        # this wave already wrote — zero extra Spark jobs (the seen delta is
+        # likewise NOT written separately: it is a projection of scheduled)
+        import pyarrow as pa
+
+        rows = footer_metrics(
+            self.store.wave_dir(wave, "scheduled"), wave, "scheduled"
+        ) + footer_metrics(
+            self.store.wave_dir(wave, "page_results"), wave, "fetched", bytes_col="text"
+        )
+        self.store.write_rows(
+            wave,
+            "metrics",
+            pa.table(
+                {
+                    "wave": pa.array([r[0] for r in rows], pa.int32()),
+                    "stage": pa.array([r[1] for r in rows], pa.string()),
+                    "partition_id": pa.array([r[2] for r in rows], pa.int32()),
+                    "rows": pa.array([r[3] for r in rows], pa.int64()),
+                    "bytes": pa.array([r[4] for r in rows], pa.int64()),
+                }
+            ),
+        )
         t = mark("commit_writes", t)
 
         n_misses = n_scheduled - n_fetched
@@ -352,6 +397,27 @@ class CrawlJob:
             misses=n_misses,
             outlinks=0,
             seconds=round(time.time() - t0, 3),
+        )
+        # S9: orchestration event trail (reference: DynamoDB events,
+        # app.py:817-860) — driver-side rows, rewritten idempotently with
+        # the wave, so a crash+resume replays no duplicate events
+        events: list[tuple[str, dict]] = []
+        if self._resumed_at == wave:
+            events.append(("resume", {"from_wave": wave - 1}))
+        events.append(("wave_start", {"candidates": n_candidates}))
+        events.append(
+            (
+                "wave_commit",
+                {
+                    "scheduled": n_scheduled,
+                    "fetched": n_fetched,
+                    "misses": n_misses,
+                    "seconds": stats.seconds,
+                },
+            )
+        )
+        self.store.write_rows(
+            wave, "lineage", lineage_rows_table(self.job_id, wave, events)
         )
         self.store.commit_wave(wave, {**stats.__dict__, "timings": timings})
         return stats
@@ -373,9 +439,12 @@ class CrawlJob:
             if cfg.use_bloom
             else None
         )
+        n_frontier: int | None = None  # footer count; None = seeds wave
+        self._resumed_at = committed + 1 if (resume and committed >= 0) else -1
         if resume and committed >= 0:
             start = committed + 1
             frontier = self.store.read(self.spark, committed, "frontier_next")
+            n_frontier = self.store.row_count(committed, "frontier_next")
             seen = self._seen_upto(committed)
         else:
             start = 0
@@ -388,9 +457,14 @@ class CrawlJob:
         self._total_seen = total_scheduled
         total_candidates = 0
         waves_run = []
+        loop_overhead: list[float] = []
         bloom_hydrated_upto = -1
+        t_tail = time.time()
         for wave in range(start, cfg.max_waves):
-            if frontier.isEmpty():
+            loop_overhead.append(round(time.time() - t_tail, 3))
+            # footer count makes the empty-check free; isEmpty() on the
+            # seeds plan (first wave only) still needs a job
+            if n_frontier == 0 or (n_frontier is None and frontier.isEmpty()):
                 break
             state = None
             if bloom is not None and self._total_seen > cfg.seen_broadcast_threshold:
@@ -406,7 +480,8 @@ class CrawlJob:
                         self._materialize_bloom(bloom, wave - 1)
                 bloom_hydrated_upto = wave - 1
                 state = bloom.state()
-            stats = self._run_wave(wave, frontier, seen, state)
+            stats = self._run_wave(wave, frontier, seen, state, n_candidates=n_frontier)
+            t_tail = time.time()
             waves_run.append(stats)
             total_scheduled += stats.scheduled
             total_candidates += stats.candidates
@@ -414,6 +489,7 @@ class CrawlJob:
             # re-read state from the snapshot: flat lineage, O(1) plans;
             # bloom absorbs only the new delta (O(wave), not O(seen))
             frontier = self.store.read(self.spark, wave, "frontier_next")
+            n_frontier = self.store.row_count(wave, "frontier_next")
             seen = self._seen_upto(wave)
             if bloom is not None and bloom_hydrated_upto == wave - 1:
                 bloom.add_delta(
@@ -430,6 +506,9 @@ class CrawlJob:
             "committed_wave": self.store.committed_wave(),
             "total_scheduled": total_scheduled,
             "total_candidates": total_candidates,
+            # driver-side time between waves (read-backs, seen rebuild,
+            # manifest) — the loop's fixed-cost observability
+            "loop_overhead": loop_overhead,
         }
 
     # ---- readers over the committed snapshot
@@ -479,3 +558,9 @@ class CrawlJob:
 
     def metrics(self) -> DataFrame:
         return self.store.read_deltas(self.spark, "metrics", self.store.committed_wave())
+
+    def lineage(self) -> DataFrame:
+        """Orchestration event trail: one wave_start + wave_commit row per
+        committed wave (plus a resume row on the first wave of a resumed
+        run) — the engine's DynamoDB-events analogue (app.py:817-860)."""
+        return self.store.read_deltas(self.spark, "lineage", self.store.committed_wave())

@@ -47,6 +47,69 @@ def partition_metrics(
     )
 
 
+def footer_metrics(
+    artifact_dir: str,
+    wave: int,
+    stage: str,
+    bytes_col: str | None = None,
+) -> list[tuple]:
+    """Per-file (≙ per-partition) rows/bytes from parquet footer metadata —
+    a driver-side file-metadata read, NOT a Spark job.
+
+    This replaces the per-wave ``partition_metrics`` aggregation jobs: the
+    artifact was just written, its footers already carry exact row counts
+    and per-column chunk sizes, so re-scanning it with Spark purely for
+    observability was two extra jobs of fixed latency per wave. ``bytes``
+    is the uncompressed size of ``bytes_col``'s column chunks (an encoding-
+    level proxy for payload volume; metrics are advisory, see module doc).
+    On Iceberg this is exactly the manifest-file stats read.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    rows = []
+    files = sorted(f for f in os.listdir(artifact_dir) if f.endswith(".parquet"))
+    for i, fn in enumerate(files):
+        md = pq.ParquetFile(os.path.join(artifact_dir, fn)).metadata
+        nbytes = 0
+        if bytes_col is not None:
+            for rg in range(md.num_row_groups):
+                rgm = md.row_group(rg)
+                for c in range(rgm.num_columns):
+                    col = rgm.column(c)
+                    if col.path_in_schema == bytes_col:
+                        nbytes += col.total_uncompressed_size
+        rows.append((wave, stage, i, md.num_rows, nbytes))
+    return rows
+
+
+def lineage_rows_table(job_id: str, wave: int, events: list[tuple[str, dict]]):
+    """Driver-side pyarrow table of orchestration events for one wave
+    (schema = LINEAGE_SCHEMA). The analogue of the reference's DynamoDB
+    event trail (app.py:817-860, pk=job_id / sk ordering ≙ event_seq) —
+    written with the wave commit, zero Spark jobs. Idempotent under
+    re-commit: a crashed wave rewrites its whole lineage artifact, so
+    resume replays no duplicate events.
+    """
+    import pyarrow as pa
+
+    details_type = pa.map_(pa.string(), pa.string())
+    return pa.table(
+        {
+            "job_id": pa.array([job_id] * len(events), pa.string()),
+            "wave": pa.array([wave] * len(events), pa.int32()),
+            "event_seq": pa.array(list(range(len(events))), pa.int64()),
+            "event": pa.array([e for e, _ in events], pa.string()),
+            "partition_id": pa.array([-1] * len(events), pa.int32()),
+            "details": pa.array(
+                [[(k, str(v)) for k, v in d.items()] for _, d in events],
+                type=details_type,
+            ),
+        }
+    )
+
+
 def lineage_event(
     spark: SparkSession,
     job_id: str,

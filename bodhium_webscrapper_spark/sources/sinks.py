@@ -6,12 +6,56 @@
   (``/root/reference/app.py:732-814``) — computed as aggregations and
   rendered with ``to_json(struct(...))`` instead of driver-side dict
   building.
+- JSON report reader (U3): the ``from_json`` edge back from a stored report
+  string to typed columns (the reference's json.loads at report consumption,
+  ``app.py:845-852`` RDS result parsing) — with PERMISSIVE corrupt-record
+  handling so a malformed report row degrades to nulls, not a job failure.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+REPORT_SCHEMA = T.StructType(
+    [
+        T.StructField("job_id", T.StringType()),
+        T.StructField("total_scheduled", T.LongType()),
+        T.StructField("distinct_urls", T.LongType()),
+        T.StructField("pages_extracted", T.LongType()),
+        T.StructField("bytes_extracted", T.LongType()),
+        T.StructField("fetched_rows", T.LongType()),
+        T.StructField("partitions_reporting", T.LongType()),
+        T.StructField(
+            "waves",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("wave", T.IntegerType()),
+                        T.StructField("n_urls", T.LongType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def parse_report(df: DataFrame, report_col: str = "report") -> DataFrame:
+    """U3: typed columns back out of a stored report JSON string.
+
+    PERMISSIVE mode: malformed JSON yields a null struct (flagged via
+    ``report_ok``) instead of failing the job — the scalable stance for a
+    10^10-row pipeline where a handful of corrupt rows must not kill a run.
+    """
+    parsed = F.from_json(F.col(report_col), REPORT_SCHEMA, {"mode": "PERMISSIVE"})
+    return df.withColumn("_parsed", parsed).select(
+        F.col("_parsed.*"),
+        # PERMISSIVE from_json maps malformed JSON to a struct of nulls (not
+        # a null struct) — detect corruption via the always-present job_id
+        F.col("_parsed.job_id").isNotNull().alias("report_ok"),
+    )
 
 
 def csv_sink(df: DataFrame, path: str, single_file: bool = False) -> None:

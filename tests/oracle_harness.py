@@ -58,48 +58,58 @@ def compare(spark_df, duck_pdf):
     return None
 
 
-def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-
-    import __spark_entry__ as entrymod
-    from bodhium_webscrapper_spark.session import build_session
-
-    spark = build_session("local[4]", "oracle_harness", shuffle_partitions=4)
+def duck_connection(sf_dir: str):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
 
+
+def iter_results(spark, sf_dir: str, only: set[str] | None = None):
+    """Yield (name, status, detail): status in {'ok','rows','fail'}."""
+    import __spark_entry__ as entrymod
+
+    con = duck_connection(sf_dir)
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    failures = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
         try:
             df = fn(spark, sf_dir)
             n = df.count()
-        except Exception as e:
-            print(f"FAIL  {name}: spark error {str(e)[:200]}")
-            failures += 1
+        except Exception as e:  # noqa: BLE001
+            yield name, "fail", f"spark error {str(e)[:300]}"
             continue
         if name not in oracles:
-            print(f"ROWS  {name}: {n} rows (no oracle by design)")
+            yield name, "rows", f"{n} rows (no oracle by design)"
             continue
         try:
             duck_pdf = con.sql(oracles[name]).df()
-        except Exception as e:
-            print(f"FAIL  {name}: duckdb error {str(e)[:200]}")
-            failures += 1
+        except Exception as e:  # noqa: BLE001
+            yield name, "fail", f"duckdb error {str(e)[:300]}"
             continue
         err = compare(df, duck_pdf)
         if err:
-            print(f"FAIL  {name}: {err}")
-            failures += 1
+            yield name, "fail", err
         else:
-            print(f"OK    {name}: {n} rows match")
+            yield name, "ok", f"{n} rows match"
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from bodhium_webscrapper_spark.session import build_session
+
+    spark = build_session("local[4]", "oracle_harness", shuffle_partitions=4)
+    failures = 0
+    for name, status, detail in iter_results(spark, sf_dir, only):
+        tag = {"ok": "OK   ", "rows": "ROWS ", "fail": "FAIL "}[status]
+        print(f"{tag} {name}: {detail}")
+        failures += status == "fail"
     spark.stop()
     sys.exit(1 if failures else 0)
 

@@ -1,0 +1,133 @@
+"""Physical-plan guards, promoted from tests/explain_plans.py into pytest:
+the optimizations the engine's 100 TB story depends on must be visible in
+the plans, not just intended.
+
+- parquet scans carry PushedFilters + pruned ReadSchema
+- the fetch join broadcasts the wave and never shuffles pages — including
+  waves far above the attr-broadcast cutover (the scale regime)
+- aggregations are partial+final with whole-stage codegen
+- no row-at-a-time Python in the data plane (ArrowEvalPython only)
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.001")
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(SF), reason=f"{SF} missing")
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_pushdown_and_pruning(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") < "1996-01-01").select("l_orderkey", "l_quantity")
+    p = plan_of(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in p
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double,l_shipdate" in p
+
+
+def test_fetch_join_never_shuffles_pages(spark, crawl_fixture):
+    pages = spark.read.parquet(crawl_fixture["pages"]).select("url_hash", "html")
+    wave = spark.range(100).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+        F.lit("u").alias("canonical_url"),
+    )
+    p = plan_of(pages.join(F.broadcast(wave), "url_hash"))
+    assert "BroadcastHashJoin" in p
+    assert p.count("Exchange hashpartitioning") == 0
+
+
+def test_fetch_semi_join_shuffle_free_at_giant_wave(spark, crawl_fixture):
+    """The scale regime: a wave ABOVE the attr-broadcast cutover still must
+    not shuffle the pages side — only the narrow extraction output may move
+    (broadcast KEYS prune pages in place; html never crosses an exchange)."""
+    from bodhium_webscrapper_spark.functions.extract import extract_page_udf
+
+    pages = spark.read.parquet(crawl_fixture["pages"]).select("url_hash", "url", "html")
+    wave = spark.range(3_000_000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+    )
+    pruned = pages.join(F.broadcast(wave.select("url_hash")), "url_hash", "left_semi")
+    raw = pruned.withColumn("_page", extract_page_udf(F.col("html"))).select(
+        "url_hash", F.col("_page.text").alias("text")
+    )
+    p = plan_of(raw)
+    # the html-bearing subplan (scan -> semi join -> extract) has no exchange
+    assert p.count("Exchange hashpartitioning") == 0
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+
+def test_partial_final_aggregation_and_codegen(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    agg = li.groupBy("l_returnflag").agg(F.sum(F.col("l_quantity").cast("long")).alias("s"))
+    p = plan_of(agg)
+    assert p.count("HashAggregate") >= 2  # map-side combine + final
+    agg.collect()
+    p = plan_of(agg)
+    assert "codegen id :" in p and "isFinalPlan=true" in p
+
+
+def test_textstats_zero_python(spark):
+    from bodhium_webscrapper_spark.functions.textstats import (
+        lang_id,
+        quality_score,
+        token_count,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = docs.select(
+        token_count(F.col("text")), quality_score(F.col("text")), lang_id(F.col("text"))
+    )
+    assert "EvalPython" not in plan_of(q)
+
+
+def test_minhash_signature_zero_python(spark):
+    from bodhium_webscrapper_spark.operators.dedup import (
+        distinct_shingles_col,
+        minhash_signature,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = docs.select(minhash_signature(distinct_shingles_col(F.col("text"), 3), 16))
+    assert "EvalPython" not in plan_of(q)
+
+
+def test_canonicalizer_arrow_batched(spark):
+    from bodhium_webscrapper_spark.functions.canonicalize import with_canonical_url
+
+    seeds = spark.createDataFrame([("https://x.example/a",)], ["url"])
+    p = plan_of(with_canonical_url(seeds))
+    assert "ArrowEvalPython" in p and "BatchEvalPython" not in p
+
+
+def test_event_time_pruning_reaches_scan(spark, crawl_fixture):
+    """Batch event-time handling: the warc_ts range predicate must be
+    pushed into the parquet scan (days(warc_ts) partition-pruning analogue
+    on the parquet shim)."""
+    import datetime
+
+    from bodhium_webscrapper_spark.sources.datagen import pages_between
+
+    df = pages_between(
+        spark,
+        crawl_fixture["pages"],
+        datetime.datetime(2024, 1, 1),
+        datetime.datetime(2024, 1, 2),
+        columns=["url_hash", "url"],
+    )
+    p = plan_of(df)
+    assert "PushedFilters" in p and "warc_ts" in p.split("PushedFilters")[1][:200]
+    read_schema = p.split("ReadSchema: ")[1].splitlines()[0]
+    assert "warc_ts" in read_schema and "html" not in read_schema  # pruned

@@ -211,3 +211,34 @@ def test_crawl_delay_reduces_schedule_e2e(spark, crawl_fixture, tmp_path):
     assert slow.count() > 0, "fixture must exercise some delayed host"
     assert slow.agg(F.max("count")).first()[0] <= 2  # 2000 // 1000
     assert fast.agg(F.max("count")).first()[0] == 5  # full budget
+
+
+def test_lineage_events(spark, crawl_fixture, tmp_path):
+    """S9: one wave_start + wave_commit event per committed wave; resume
+    writes a single resume marker and replays no duplicates."""
+    full = _mk_job(spark, crawl_fixture, tmp_path, "lfull")
+    full.run()
+    lin = full.lineage()
+    n_waves = full.store.committed_wave() + 1
+    assert lin.filter(F.col("event") == "wave_commit").count() == n_waves
+    assert lin.filter(F.col("event") == "wave_start").count() == n_waves
+    assert lin.filter(F.col("event") == "resume").count() == 0
+
+    partial = _mk_job(spark, crawl_fixture, tmp_path, "lpart", max_waves=2)
+    partial.run()
+    resumed = _mk_job(spark, crawl_fixture, tmp_path, "lpart")
+    resumed.run(resume=True)
+    lin2 = resumed.lineage()
+    n_waves2 = resumed.store.committed_wave() + 1
+    assert lin2.filter(F.col("event") == "wave_commit").count() == n_waves2
+    # idempotent re-commit: no (wave, event) pair appears twice
+    dups = lin2.groupBy("wave", "event").count().filter(F.col("count") > 1)
+    assert dups.count() == 0
+    resume_rows = lin2.filter(F.col("event") == "resume").collect()
+    assert len(resume_rows) == 1 and resume_rows[0]["wave"] == 2
+
+    # details map survives the round trip
+    row = lin2.filter(
+        (F.col("wave") == 0) & (F.col("event") == "wave_commit")
+    ).first()
+    assert int(row["details"]["scheduled"]) > 0

@@ -103,3 +103,57 @@ def test_deterministic_job_id():
     assert a == deterministic_job_id("my-job") and a != deterministic_job_id("other")
     import uuid
     uuid.UUID(a)  # valid uuid
+
+
+def test_report_roundtrip_and_corrupt_row(spark):
+    """U3: from_json edge — a stored report parses back to typed columns;
+    a malformed report row degrades to nulls (report_ok=False), never an
+    error."""
+    from bodhium_webscrapper_spark.sources.sinks import parse_report
+
+    order = spark.createDataFrame(
+        [(0, 1, "https://a.example/"), (0, 2, "https://b.example/")],
+        "wave int, seq int, canonical_url string",
+    )
+    extracted = spark.createDataFrame(
+        [(1, "https://a.example/", 0, "hello world")],
+        "url_hash long, canonical_url string, wave int, text string",
+    )
+    metrics = spark.createDataFrame(
+        [(0, "fetched", 0, 1, 11)],
+        "wave int, stage string, partition_id int, rows long, bytes long",
+    )
+    rep = crawl_report(order, extracted, metrics, "job-rt")
+    good = parse_report(rep).first()
+    assert good["report_ok"] and good["job_id"] == "job-rt"
+    assert good["total_scheduled"] == 2 and good["pages_extracted"] == 1
+    assert [(w["wave"], w["n_urls"]) for w in good["waves"]] == [(0, 2)]
+
+    corrupt = spark.createDataFrame([("{not json",), (None,)], "report string")
+    rows = parse_report(corrupt).collect()
+    assert all(not r["report_ok"] for r in rows)
+    assert all(r["job_id"] is None for r in rows)
+
+
+def test_valid_products_filter(spark):
+    """P8: rows with blank/missing name or source_url are dropped."""
+    from bodhium_webscrapper_spark.operators.upsert import valid_products
+
+    df = spark.createDataFrame(
+        [("A", "https://a"), ("", "https://b"), ("  ", "https://c"),
+         (None, "https://d"), ("E", None), ("F", " "), ("G", "https://g")],
+        "productname string, source_url string",
+    )
+    kept = [r.productname for r in valid_products(df).collect()]
+    assert sorted(kept) == ["A", "G"]
+
+
+def test_truncate_content(spark):
+    """P9: content capped at max_chars, short rows untouched."""
+    from pyspark.sql import functions as F
+
+    from bodhium_webscrapper_spark.operators.upsert import truncate_content
+
+    df = spark.createDataFrame([("x" * 100,), ("short",)], "text string")
+    out = df.select(F.length(truncate_content(F.col("text"), 10)).alias("n")).collect()
+    assert sorted(r.n for r in out) == [5, 10]

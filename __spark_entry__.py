@@ -658,13 +658,43 @@ def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming <= 3). No oracle (bit-level custom)."""
-    from bodhium_webscrapper_spark.operators.dedup import simhash_pairs
+    """SimHash near-dup pairs (hamming <= 3), run under the md5-derived
+    60-bit token hash so DuckDB can rebuild the signatures bit-for-bit
+    (production default stays xxhash64 — same banding/majority/verify
+    logic, see dedup.md5_token_hash)."""
+    from bodhium_webscrapper_spark.operators.dedup import md5_token_hash, simhash_pairs
 
     df = _docs_with_near_dups(spark, sf_dir)
-    return simhash_pairs(df, "doc_id", "text", max_hamming=3).select(
-        "id_a", "id_b", "hamming"
-    ).orderBy("id_a", "id_b")
+    return simhash_pairs(
+        df, "doc_id", "text", max_hamming=3, token_hash=md5_token_hash
+    ).select("id_a", "id_b", "hamming").orderBy("id_a", "id_b")
+
+
+_Q_SIMHASH_SQL = f"""
+    WITH d AS ({_DOCS_WITH_DUPS_SQL}),
+    tok AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t
+      FROM d),
+    th AS (
+      SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+      FROM tok),
+    n AS (SELECT doc_id, count(*) AS n_tok FROM th GROUP BY doc_id),
+    bits AS (
+      SELECT doc_id, r.b AS b, sum(CAST((h >> r.b) & 1 AS BIGINT)) AS ones
+      FROM th, unnest(range(0, 60)) AS r(b)
+      GROUP BY doc_id, r.b),
+    sig AS (
+      SELECT bits.doc_id,
+             CAST(sum(CASE WHEN ones * 2 > n.n_tok
+                           THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS s
+      FROM bits JOIN n USING (doc_id) GROUP BY bits.doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= 3
+    ORDER BY id_a, id_b
+"""
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1002,7 +1032,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _Q_ANN_PLANTED_SQL,
         "ann_lsh_topk": _Q_ANN_PLANTED_SQL,
         "media_features": _Q_MEDIA_FEATURES_SQL,
-        # simhash_dups: rows-only by design — the 64-bit signature is built
-        # from xxhash64 token hashes, which DuckDB cannot reproduce, and no
-        # jaccard threshold cleanly brackets a hamming<=3 pair set.
+        "simhash_dups": _Q_SIMHASH_SQL,
     }

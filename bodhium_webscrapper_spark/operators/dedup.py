@@ -309,18 +309,36 @@ def _simhash_from_hashes(token_hashes: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-def simhash_col(text_col: Column) -> Column:
-    token_hashes = F.transform(tokens_col(text_col), lambda t: F.xxhash64(t))
+def md5_token_hash(t: Column) -> Column:
+    """60-bit token hash from the md5 hex prefix — reproducible in ANY SQL
+    engine with md5() (DuckDB: CAST('0x'||substr(md5(t),1,15) AS BIGINT)),
+    which is what makes the simhash query oracle-checkable end to end.
+    xxhash64 stays the production default (a single JVM intrinsic vs
+    md5 + string slice + base conversion); the signature/banding/verify
+    logic is identical under either hash."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
+def simhash_col(text_col: Column, token_hash=None) -> Column:
+    fn = token_hash or (lambda t: F.xxhash64(t))
+    token_hashes = F.transform(tokens_col(text_col), fn)
     return _simhash_from_hashes(token_hashes)
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    token_hash=None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: candidates share one of four 16-bit bands
     (pigeonhole: hamming<=3 ⇒ at least one of 4 bands identical), verified
     with bit_count(a^b) <= max_hamming — all JVM-side except the signature."""
-    sigs = df.select(F.col(id_col).alias("_id"), simhash_col(F.col(text_col)).alias("_sim"))
+    sigs = df.select(
+        F.col(id_col).alias("_id"),
+        simhash_col(F.col(text_col), token_hash=token_hash).alias("_sim"),
+    )
     banded = sigs.select(
         "_id",
         "_sim",

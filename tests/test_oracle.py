@@ -17,11 +17,10 @@ import oracle_harness  # tests dir is on sys.path via conftest rootdir
 
 SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.001")
 
-# rows-only by design (documented in __spark_entry__.oracle_sql): anything
-# NOT in this set must have a value-exact oracle
-EXPECTED_ROWS_ONLY = {
-    "simhash_dups",
-}
+# rows-only by design: anything NOT in this set must have a value-exact
+# oracle. Empty since round 2 — every query is oracled (simhash runs under
+# the md5-derived token hash so DuckDB can rebuild its signatures).
+EXPECTED_ROWS_ONLY: set[str] = set()
 
 
 @pytest.mark.skipif(not os.path.isdir(SF_DIR), reason=f"{SF_DIR} missing")

@@ -242,3 +242,31 @@ def test_lineage_events(spark, crawl_fixture, tmp_path):
         (F.col("wave") == 0) & (F.col("event") == "wave_commit")
     ).first()
     assert int(row["details"]["scheduled"]) > 0
+
+
+def test_bloom_resume_rehydrates_from_artifact(spark, crawl_fixture, tmp_path):
+    """Resume in the bloom regime must rehydrate the blob table from the
+    last committed wave's bloom artifact (O(1) read, no full-seen rebuild)
+    and still replay the identical crawl order."""
+    import os as _os
+
+    full = _mk_job(
+        spark, crawl_fixture, tmp_path, "bfull",
+        use_bloom=True, seen_broadcast_threshold=0,
+    )
+    full.run()
+
+    partial = _mk_job(
+        spark, crawl_fixture, tmp_path, "bpart",
+        use_bloom=True, seen_broadcast_threshold=0, max_waves=2,
+    )
+    partial.run()
+    # the partial run materialized a bloom artifact for its last wave
+    assert _os.path.exists(partial.store.wave_dir(1, "bloom"))
+
+    resumed = _mk_job(
+        spark, crawl_fixture, tmp_path, "bpart",
+        use_bloom=True, seen_broadcast_threshold=0,
+    )
+    resumed.run(resume=True)
+    assert _order_tuples(resumed) == _order_tuples(full)

@@ -270,3 +270,51 @@ def test_bloom_resume_rehydrates_from_artifact(spark, crawl_fixture, tmp_path):
     )
     resumed.run(resume=True)
     assert _order_tuples(resumed) == _order_tuples(full)
+
+
+def test_physical_knobs_preserve_order(spark, crawl_fixture, tmp_path):
+    """Every adaptive physical choice in the wave loop (host-hash salting,
+    attr-join broadcast vs shuffle, bloom pre-filter, broadcast vs shuffle
+    anti-join) is an optimization, not a semantics change: the crawl order
+    must be bit-identical under all of them."""
+    base = _mk_job(spark, crawl_fixture, tmp_path, "k_base")
+    base.run()
+    expected = _order_tuples(base)
+    variants = {
+        "k_salt": dict(salt_activation_threshold=0, salt_buckets=8),
+        "k_shuffle_attrs": dict(broadcast_wave_threshold=0),
+        "k_shuffle_seen": dict(seen_broadcast_threshold=0, use_bloom=False),
+        "k_bloom": dict(seen_broadcast_threshold=0, use_bloom=True),
+    }
+    for name, knobs in variants.items():
+        job = _mk_job(spark, crawl_fixture, tmp_path, name, **knobs)
+        job.run()
+        assert _order_tuples(job) == expected, name
+
+
+def test_edge_empty_seeds_and_total_block(spark, crawl_fixture, tmp_path):
+    """Empty seed list → zero waves; robots blocking every path → wave 0
+    schedules nothing and the loop stops cleanly."""
+    from bodhium_webscrapper_spark.plans.frontier import CrawlConfig, CrawlJob
+
+    empty_seeds = spark.createDataFrame([], "url string, priority double")
+    job = CrawlJob(
+        spark, crawl_fixture["pages"], empty_seeds, None,
+        CrawlConfig(max_waves=3), os.path.join(str(tmp_path), "empty"),
+    )
+    out = job.run()
+    assert out["waves"] == [] and out["total_scheduled"] == 0
+
+    seeds = spark.read.parquet(crawl_fixture["seeds"])
+    hosts = spark.read.parquet(crawl_fixture["robots"]).select("host")
+    block_all = hosts.select(
+        "host",
+        F.array(F.lit("/")).alias("disallow_prefixes"),
+        F.lit(0).cast("long").alias("crawl_delay_ms"),
+    )
+    job2 = CrawlJob(
+        spark, crawl_fixture["pages"], seeds, block_all,
+        CrawlConfig(max_waves=3), os.path.join(str(tmp_path), "blocked"),
+    )
+    out2 = job2.run()
+    assert out2["total_scheduled"] == 0

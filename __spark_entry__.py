@@ -737,6 +737,7 @@ def q_merge_upsert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing = with_product_hash(base.filter(F.col("p_partkey") % 3 == 0)).drop("p_partkey")
     staged = with_product_hash(base.filter(F.col("p_partkey") % 2 == 0)).drop("p_partkey")
     r = upsert_by_key(existing, staged, "product_hash")
+    r.release()  # counts already materialized; free the tagged-join cache
     return spark.createDataFrame(
         [(r.n_new, r.n_existing)], "n_new long, n_existing long"
     )
@@ -910,11 +911,15 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q_MEDIA_FEATURES_SQL = """
-    WITH bins AS (
+    WITH hx AS (
+      SELECT doc_id, hex(encode(text)) AS h FROM documents),
+    bins AS (
+      -- histogram over UTF-8 BYTES (not codepoints): the Spark feature
+      -- extractor bins payload bytes, and a non-ASCII char is several bytes
       SELECT doc_id,
-             unicode(text[i]) // 8 AS bin
-      FROM documents, unnest(range(1, length(text) + 1)) AS t(i)
-      WHERE length(text) > 0),
+             CAST(concat('0x', substr(h, 2 * i - 1, 2)) AS INTEGER) // 8 AS bin
+      FROM hx, unnest(range(1, length(h) // 2 + 1)) AS t(i)
+      WHERE length(h) > 0),
     top AS (
       SELECT doc_id, bin FROM (
         SELECT doc_id, bin,

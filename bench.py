@@ -221,43 +221,41 @@ def _run_stage_level_inproc(fixture: dict, parts: int) -> dict:
     from bodhium_webscrapper_spark.functions.extract import extract_page_udf
     from bodhium_webscrapper_spark.session import build_session
 
-    if True:
-        spark = build_session(f"local[{parts}]", "stage_scaling", parts)
-        pages = spark.read.parquet(fixture["pages"])
-        pages.limit(5000).select(extract_page_udf(F.col("html")).alias("p")).select(
-            F.count("p.text")
+    spark = build_session(f"local[{parts}]", "stage_scaling", parts)
+    pages = spark.read.parquet(fixture["pages"])
+    pages.limit(5000).select(extract_page_udf(F.col("html")).alias("p")).select(
+        F.count("p.text")
+    ).first()
+    # workloads sized so the scalable work dominates per-level fixed
+    # cost (job submit + arrow streaming setup ~1-2 s): at the 10^10
+    # target every stage is in this regime
+    links = spark.range(32_000_000).select(
+        F.concat(F.lit("/p"), (F.col("id") % 100000).cast("string")).alias("u"),
+        F.concat(F.lit("https://host"), (F.col("id") % 5000).cast("string"),
+                 F.lit(".example/")).alias("b"),
+    )
+    links.limit(5000).select(resolve_and_canonicalize_udf("u", "b")).count()
+    dd = spark.range(64_000_000).select(
+        (F.col("id") % 16_000_000).alias("k"), F.col("id").alias("v")
+    )
+    best = {"extract": 1e9, "canonicalize": 1e9, "dedup": 1e9}
+    for _ in range(2):
+        t0 = _t.time()
+        pages.filter(F.col("url_hash") % 16 == 0).select(
+            extract_page_udf(F.col("html")).alias("p")
+        ).select(F.sum(F.length("p.text"))).first()
+        best["extract"] = min(best["extract"], _t.time() - t0)
+        t0 = _t.time()
+        links.select(resolve_and_canonicalize_udf("u", "b").alias("c")).select(
+            F.count("c")
         ).first()
-        # workloads sized so the scalable work dominates per-level fixed
-        # cost (job submit + arrow streaming setup ~1-2 s): at the 10^10
-        # target every stage is in this regime
-        links = spark.range(32_000_000).select(
-            F.concat(F.lit("/p"), (F.col("id") % 100000).cast("string")).alias("u"),
-            F.concat(F.lit("https://host"), (F.col("id") % 5000).cast("string"),
-                     F.lit(".example/")).alias("b"),
-        )
-        links.limit(5000).select(resolve_and_canonicalize_udf("u", "b")).count()
-        dd = spark.range(64_000_000).select(
-            (F.col("id") % 16_000_000).alias("k"), F.col("id").alias("v")
-        )
-        best = {"extract": 1e9, "canonicalize": 1e9, "dedup": 1e9}
-        for _ in range(2):
-            t0 = _t.time()
-            pages.filter(F.col("url_hash") % 16 == 0).select(
-                extract_page_udf(F.col("html")).alias("p")
-            ).select(F.sum(F.length("p.text"))).first()
-            best["extract"] = min(best["extract"], _t.time() - t0)
-            t0 = _t.time()
-            links.select(resolve_and_canonicalize_udf("u", "b").alias("c")).select(
-                F.count("c")
-            ).first()
-            best["canonicalize"] = min(best["canonicalize"], _t.time() - t0)
-            t0 = _t.time()
-            dd.groupBy("k").agg(F.min("v")).select(F.count("k")).first()
-            best["dedup"] = min(best["dedup"], _t.time() - t0)
-        result = {k: round(v, 2) for k, v in best.items()}
-        _stop(spark)
+        best["canonicalize"] = min(best["canonicalize"], _t.time() - t0)
+        t0 = _t.time()
+        dd.groupBy("k").agg(F.min("v")).select(F.count("k")).first()
+        best["dedup"] = min(best["dedup"], _t.time() - t0)
+    result = {k: round(v, 2) for k, v in best.items()}
+    _stop(spark)
     return result
-
 
 def run_queries(sf_dir: str, cpus: int) -> dict:
     import __spark_entry__ as entrymod

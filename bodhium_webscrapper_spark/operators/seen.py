@@ -197,16 +197,31 @@ class DistributedBloom:
     def state(self) -> "DistributedBloom | None":
         return self if self.blobs is not None else None
 
-    def pre_filter(self, frontier: DataFrame, hash_col: str = "url_hash") -> DataFrame:
-        """frontier + boolean ``_maybe_seen`` column (cogrouped probe)."""
+    def pre_filter(
+        self, frontier: DataFrame, hash_col: str = "url_hash", probe_salt: int = 8
+    ) -> DataFrame:
+        """frontier + boolean ``_maybe_seen`` column (cogrouped probe).
+
+        The cogroup yields one task per group, so plain bucket grouping
+        would cap probe parallelism at n_buckets AND hand each task
+        ~|frontier|/n_buckets rows as one pandas frame. ``probe_salt``
+        sub-splits every bucket: blobs are replicated salt-ways (cheap —
+        blobs are small and read-only) giving n_buckets×probe_salt groups,
+        each pandas-sized. At 10^10 keys also raise n_buckets so a single
+        blob fits task memory.
+        """
         out_schema = T.StructType(
             list(frontier.schema.fields) + [T.StructField("_maybe_seen", T.BooleanType())]
         )
         cols = [f.name for f in frontier.schema.fields]
+        salt = F.pmod(F.xxhash64(F.col(hash_col), F.lit(0x5EED)), F.lit(probe_salt))
         fb = frontier.withColumn(
             "_bucket", F.pmod(F.col(hash_col), F.lit(self.n_buckets)).cast("int")
+        ).withColumn("_psalt", salt.cast("int"))
+        bb = (
+            self.blobs.withColumnRenamed("bucket_id", "_bucket")
+            .withColumn("_psalt", F.explode(F.sequence(F.lit(0), F.lit(probe_salt - 1))))
         )
-        bb = self.blobs.withColumnRenamed("bucket_id", "_bucket")
 
         def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             out = left[cols].copy()
@@ -229,8 +244,8 @@ class DistributedBloom:
             return out
 
         return (
-            fb.groupBy("_bucket")
-            .cogroup(bb.groupBy("_bucket"))
+            fb.groupBy("_bucket", "_psalt")
+            .cogroup(bb.groupBy("_bucket", "_psalt"))
             .applyInPandas(probe, out_schema)
         )
 
@@ -251,11 +266,19 @@ def seen_anti_join(
     seen_keys = seen.select(hash_col)
     if bloom is None:
         return frontier.join(seen_keys, hash_col, "left_anti")
-    flagged = bloom.pre_filter(frontier, hash_col)
+    # persist the probe output: the definite-new and confirmed-new branches
+    # below both read it, and without caching the whole probe subtree would
+    # execute twice inside the one downstream action. Blocks are
+    # MEMORY_AND_DISK (spill/evict under pressure); the caller can release
+    # them eagerly via the `_bloom_flagged` handle once its action ran
+    # (CrawlJob does, after the wave's scheduled write).
+    flagged = bloom.pre_filter(frontier, hash_col).persist()
     definite_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     confirmed_new = (
         flagged.filter(F.col("_maybe_seen"))
         .drop("_maybe_seen")
         .join(seen_keys, hash_col, "left_anti")
     )
-    return definite_new.unionByName(confirmed_new)
+    out = definite_new.unionByName(confirmed_new)
+    out._bloom_flagged = flagged
+    return out

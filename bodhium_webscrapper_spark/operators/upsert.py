@@ -63,6 +63,14 @@ class UpsertResult:
     new_rows: DataFrame
     n_new: int
     n_existing: int
+    cached: DataFrame | None = None
+
+    def release(self) -> None:
+        """Unpersist the tagged-join cache once merged/new_rows have been
+        materialized — long-lived sessions calling upsert per batch would
+        otherwise accumulate pinned blocks."""
+        if self.cached is not None:
+            self.cached.unpersist()
 
 
 def upsert_by_key(
@@ -95,7 +103,13 @@ def upsert_by_key(
     merged = existing.unionByName(new_rows, allowMissingColumns=True)
     n_existing = int(counts["n_existing"])
     n_new = int(counts["n_staged"]) - n_existing
-    return UpsertResult(merged=merged, new_rows=new_rows, n_new=n_new, n_existing=n_existing)
+    return UpsertResult(
+        merged=merged,
+        new_rows=new_rows,
+        n_new=n_new,
+        n_existing=n_existing,
+        cached=tagged,
+    )
 
 
 def link_table(pairs: DataFrame, left_key: str, right_key: str) -> DataFrame:

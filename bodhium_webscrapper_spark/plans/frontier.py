@@ -258,10 +258,11 @@ class CrawlJob:
             return now
 
         if n_candidates is None:
-            # seeds wave only: count the RAW seeds (same cardinality as the
-            # canonicalized frontier — _seed_frontier drops no rows), so the
-            # count doesn't spin up python workers for the canonicalize UDF
-            n_candidates = self.seeds.count()
+            # seeds wave only (once per run): must count the CANONICALIZED
+            # frontier — with_canonical_url drops null/hostless/non-http
+            # seeds, so a raw seeds.count() would overstate candidates and
+            # could mis-trigger the salting threshold
+            n_candidates = frontier.count()
         t = mark("count_frontier", t0)
 
         # schedule: dedup -> seen anti-join -> robots -> per-host budget ->
@@ -305,6 +306,9 @@ class CrawlJob:
                 F.col("priority").desc(), F.col("url_hash").asc()
             ).limit(cfg.global_wave_limit)
         self.store.write(wave, "scheduled", self._assign_order(capped, wave))
+        flagged = getattr(new, "_bloom_flagged", None)
+        if flagged is not None:  # bloom probe cache served its one action
+            flagged.unpersist()
         scheduled = self.store.read(self.spark, wave, "scheduled")
         n_scheduled = self.store.row_count(wave, "scheduled")  # footer, no job
         t = mark("schedule", t)
@@ -491,7 +495,17 @@ class CrawlJob:
             frontier = self.store.read(self.spark, wave, "frontier_next")
             n_frontier = self.store.row_count(wave, "frontier_next")
             seen = self._seen_upto(wave)
-            if bloom is not None and bloom_hydrated_upto == wave - 1:
+            # incremental bloom maintenance ONLY while the bloom regime is
+            # active (seen too big to broadcast) — in the broadcast regime
+            # the bloom is never probed, and building/merging/writing blobs
+            # there would re-add fixed per-wave jobs for nothing; if the
+            # regime activates later, the lazy-hydration branch above
+            # catches up from the last artifact or one O(seen) build
+            if (
+                bloom is not None
+                and self._total_seen > cfg.seen_broadcast_threshold
+                and bloom_hydrated_upto == wave - 1
+            ):
                 bloom.add_delta(
                     self.store.read(self.spark, wave, "scheduled").select("url_hash")
                 )

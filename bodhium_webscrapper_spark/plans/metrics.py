@@ -13,7 +13,7 @@ order and seen membership are; metrics are advisory).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 LINEAGE_SCHEMA = (
@@ -28,7 +28,13 @@ def partition_metrics(
     stage: str,
     bytes_col: str | None = None,
 ) -> DataFrame:
-    """(wave, stage, partition_id, rows, bytes) per physical partition."""
+    """(wave, stage, partition_id, rows, bytes) per physical partition.
+
+    Ad-hoc / in-flight variant: computes metrics with a Spark job over any
+    DataFrame (including ones never written). The wave loop itself uses
+    ``footer_metrics`` instead — same rows-per-partition information read
+    free from the parquet footers of artifacts it writes anyway; the two are
+    cross-checked in tests/test_frontier_e2e.py."""
     aggs = [F.count(F.lit(1)).alias("rows")]
     if bytes_col is not None:
         aggs.append(F.coalesce(F.sum(F.length(F.col(bytes_col))), F.lit(0)).alias("bytes"))
@@ -110,14 +116,3 @@ def lineage_rows_table(job_id: str, wave: int, events: list[tuple[str, dict]]):
     )
 
 
-def lineage_event(
-    spark: SparkSession,
-    job_id: str,
-    wave: int,
-    event_seq: int,
-    event: str,
-    details: dict[str, str],
-) -> DataFrame:
-    """One orchestration-event row (analogue of app.py:829-837 put_item)."""
-    row = [(job_id, wave, event_seq, event, -1, {k: str(v) for k, v in details.items()})]
-    return spark.createDataFrame(row, LINEAGE_SCHEMA)

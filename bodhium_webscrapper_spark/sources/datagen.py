@@ -300,7 +300,7 @@ def pages_between(spark, path: str, start_ts, end_ts, columns: list[str] | None 
 
     df = spark.read.parquet(path)
     if columns:
-        df = df.select(*columns, "warc_ts")
+        df = df.select(*[c for c in columns if c != "warc_ts"], "warc_ts")
     return df.filter(
         (F.col("warc_ts") >= F.lit(start_ts)) & (F.col("warc_ts") < F.lit(end_ts))
     )

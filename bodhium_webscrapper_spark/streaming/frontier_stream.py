@@ -87,12 +87,18 @@ def stream_per_host_budget(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         taken = state.get[0] if state.exists else 0
+        room = max(0, budget - taken)
+        if room == 0:
+            # budget exhausted: don't materialize/sort the group at all
+            # (a mega-host would otherwise pay O(group log group) per epoch
+            # to admit nothing)
+            state.update((taken,))
+            return
         # a host's micro-batch rows may span several Arrow chunks; sorting
         # each chunk independently would make admission depend on chunk
         # boundaries — concatenate the whole group first, then sort+truncate
         batch = pd.concat(list(pdfs)) if not isinstance(pdfs, pd.DataFrame) else pdfs
         batch = batch.sort_values("url_hash")
-        room = max(0, budget - taken)
         admitted = batch.head(room)
         taken += len(admitted)
         state.update((taken,))

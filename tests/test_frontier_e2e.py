@@ -318,3 +318,25 @@ def test_edge_empty_seeds_and_total_block(spark, crawl_fixture, tmp_path):
     )
     out2 = job2.run()
     assert out2["total_scheduled"] == 0
+
+
+def test_footer_metrics_match_spark_metrics(spark, crawl_fixture, tmp_path):
+    """The footer-derived metrics (zero-job path the loop uses) must agree
+    with the Spark-computed partition_metrics on totals, and with the
+    footer row_count and df.count()."""
+    from bodhium_webscrapper_spark.plans.metrics import partition_metrics
+
+    job = _mk_job(spark, crawl_fixture, tmp_path, "fm", max_waves=2)
+    job.run()
+    for wave in (0, 1):
+        df = job.store.read(spark, wave, "scheduled")
+        n = df.count()
+        assert job.store.row_count(wave, "scheduled") == n
+        footer_rows = (
+            job.metrics()
+            .filter((F.col("wave") == wave) & (F.col("stage") == "scheduled"))
+            .agg(F.sum("rows"))
+            .first()[0]
+        )
+        spark_rows = partition_metrics(df, wave, "scheduled").agg(F.sum("rows")).first()[0]
+        assert footer_rows == spark_rows == n

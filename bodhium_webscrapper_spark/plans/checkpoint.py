@@ -86,10 +86,43 @@ class SnapshotStore:
                 total += pq.ParquetFile(os.path.join(path, fn)).metadata.num_rows
         return total
 
+    def compact_dir(self, name: str, base_wave: int) -> str:
+        return os.path.join(self.root, "compact", name, f"base={base_wave:04d}")
+
+    def compact_deltas(self, spark: SparkSession, name: str, upto_wave: int) -> None:
+        """LSM-style delta compaction: rewrite deltas 0..upto as one base.
+
+        read_deltas unions one directory per wave; over hundreds of waves
+        the listing cost, plan width, and small-file count of every seen
+        anti-join grow linearly. Compacting every K waves bounds the union
+        at (1 base + K tails) for an amortized O(seen)/K rewrite per wave —
+        the classic LSM trade. Crash-safe: the base lands fully before the
+        manifest points at it; a stale base dir is inert. Original wave
+        dirs are kept (idempotent re-commits still overwrite per wave); on
+        Iceberg this whole method is a metadata-only manifest rewrite.
+        """
+        df = self.read_deltas(spark, name, upto_wave)
+        if df is None:
+            return
+        path = self.compact_dir(name, upto_wave)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        df.write.mode("overwrite").parquet(path)
+        m = self.manifest()
+        m.setdefault("compacted", {})[name] = upto_wave
+        self._save_manifest(m)
+
     def read_deltas(self, spark: SparkSession, name: str, upto_wave: int) -> DataFrame | None:
-        paths = [
+        m = self.manifest()
+        base = m.get("compacted", {}).get(name)
+        paths = []
+        start = 0
+        if base is not None and base <= upto_wave:
+            paths.append(self.compact_dir(name, base))
+            start = base + 1
+        paths += [
             self.wave_dir(w, name)
-            for w in range(upto_wave + 1)
+            for w in range(start, upto_wave + 1)
             if os.path.exists(self.wave_dir(w, name))
         ]
         if not paths:
@@ -116,6 +149,9 @@ class SnapshotStore:
             )
         m["committed_wave"] = wave
         m["waves"][str(wave)] = stats
+        self._save_manifest(m)
+
+    def _save_manifest(self, m: dict[str, Any]) -> None:
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(m, f, indent=1)

@@ -96,6 +96,11 @@ class CrawlConfig:
     # MAX_URLS=100 hard cap (app.py:303), which likewise discards the
     # overflow rather than queueing it.
     salt_buckets: int = 16
+    # compact the scheduled/seen deltas every K committed waves (0 = off):
+    # bounds read_deltas at (1 base + K tail dirs) for long crawls — at
+    # hundreds of waves the per-wave anti-join otherwise unions hundreds of
+    # small-file directories. Amortized O(seen)/K rewrite per wave.
+    compact_seen_every: int = 0
     use_bloom: bool = True
     bloom_buckets: int = 64
     bloom_capacity: int = 4_000_000  # fixed-width blobs -> OR-mergeable deltas
@@ -492,6 +497,8 @@ class CrawlJob:
             self._total_seen = total_scheduled
             # re-read state from the snapshot: flat lineage, O(1) plans;
             # bloom absorbs only the new delta (O(wave), not O(seen))
+            if cfg.compact_seen_every and (wave + 1) % cfg.compact_seen_every == 0:
+                self.store.compact_deltas(self.spark, "scheduled", wave)
             frontier = self.store.read(self.spark, wave, "frontier_next")
             n_frontier = self.store.row_count(wave, "frontier_next")
             seen = self._seen_upto(wave)

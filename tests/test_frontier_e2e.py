@@ -340,3 +340,34 @@ def test_footer_metrics_match_spark_metrics(spark, crawl_fixture, tmp_path):
         )
         spark_rows = partition_metrics(df, wave, "scheduled").agg(F.sum("rows")).first()[0]
         assert footer_rows == spark_rows == n
+
+
+def test_seen_compaction_preserves_semantics(spark, crawl_fixture, tmp_path):
+    """Delta compaction (LSM base + tail dirs) must not change the crawl:
+    identical order and seen set vs the uncompacted twin, and the compacted
+    base must actually be registered and used."""
+    import os as _os
+
+    plain = _mk_job(spark, crawl_fixture, tmp_path, "nc")
+    plain.run()
+
+    compacted = _mk_job(spark, crawl_fixture, tmp_path, "cc", compact_seen_every=2)
+    compacted.run()
+    assert _order_tuples(compacted) == _order_tuples(plain)
+    a = sorted(r.url_hash for r in compacted.seen_set().collect())
+    b = sorted(r.url_hash for r in plain.seen_set().collect())
+    assert a == b
+
+    m = compacted.store.manifest()
+    base = m.get("compacted", {}).get("scheduled")
+    assert base is not None and base >= 1
+    assert _os.path.exists(compacted.store.compact_dir("scheduled", base))
+
+    # resume over a compacted store still replays deterministically
+    partial = _mk_job(
+        spark, crawl_fixture, tmp_path, "cp", compact_seen_every=2, max_waves=2
+    )
+    partial.run()
+    resumed = _mk_job(spark, crawl_fixture, tmp_path, "cp", compact_seen_every=2)
+    resumed.run(resume=True)
+    assert _order_tuples(resumed) == _order_tuples(plain)

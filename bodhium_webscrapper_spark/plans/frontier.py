@@ -104,7 +104,11 @@ class CrawlConfig:
     use_bloom: bool = True
     bloom_buckets: int = 64
     bloom_capacity: int = 4_000_000  # fixed-width blobs -> OR-mergeable deltas
-    broadcast_wave_threshold: int = 2_000_000  # attr-join broadcast cutover
+    # attr-join broadcast cutover: above this the narrow wave attributes
+    # join the extraction output via shuffle instead of broadcast — the
+    # broadcast build is driver-serial (~100 B/row: 250k rows ≈ 25 MB) and
+    # measured slower than the scalable shuffle from ~500k rows up
+    broadcast_wave_threshold: int = 250_000
     seen_broadcast_threshold: int = 4_000_000  # below: broadcast anti-join, no bloom
     salt_activation_threshold: int = 2_000_000  # salt only when frontier is huge
     same_host_only: bool = True  # app.py:497 exclude_external_links

@@ -934,6 +934,41 @@ _Q_MEDIA_FEATURES_SQL = """
 """
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic video frame-sampling plan over binary payloads
+    (multimodal §: the schedule a real decoder would consume). Run under
+    the md5-derived payload hash so DuckDB reproduces the per-media frame
+    count and stride exactly (production default stays xxhash64)."""
+    from bodhium_webscrapper_spark.functions.multimodal import (
+        deterministic_media_fixture, frame_sample_plan,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = deterministic_media_fixture(docs, "text", "doc_id")
+    seed = F.conv(F.substring(F.md5(F.col("payload")), 1, 15), 16, 10).cast("long")
+    return (
+        frame_sample_plan(
+            media, "doc_id", "payload", every_n=10, max_frames=8, seed_expr=seed
+        )
+        .select("media_id", F.col("frame_index").cast("long").alias("frame_index"))
+        .orderBy("media_id", "frame_index")
+    )
+
+
+_Q_FRAME_SAMPLE_SQL = """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             -- md5(VARCHAR) hashes the string's UTF-8 bytes — identical to
+             -- Spark's md5 over the encode(text,'utf-8') payload
+             CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)
+               % 120 + 1 AS n_frames
+      FROM documents)
+    SELECT media_id, CAST(t.f AS BIGINT) AS frame_index
+    FROM m, unnest(range(0, least(n_frames - 1, 70) + 1, 10)) AS t(f)
+    ORDER BY media_id, frame_index
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1002,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh,
         "media_metadata": q_media_metadata,
         "media_features": q_media_features,
+        "frame_sample": q_frame_sample,
     }
 
 
@@ -1037,5 +1073,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _Q_ANN_PLANTED_SQL,
         "ann_lsh_topk": _Q_ANN_PLANTED_SQL,
         "media_features": _Q_MEDIA_FEATURES_SQL,
+        "frame_sample": _Q_FRAME_SAMPLE_SQL,
         "simhash_dups": _Q_SIMHASH_SQL,
     }

@@ -110,15 +110,22 @@ def extract_features(
 
 
 def frame_sample_plan(
-    df: DataFrame, id_col: str, payload_col: str, every_n: int = 10, max_frames: int = 8
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    every_n: int = 10,
+    max_frames: int = 8,
+    seed_expr=None,
 ) -> DataFrame:
     """Deterministic frame-sampling *plan* for video payloads.
 
     Emits (media_id, frame_index) rows — the schedule a real decoder would
     consume — computed purely from the payload hash so it is reproducible.
-    The decode of each frame is the stubbed step.
+    The decode of each frame is the stubbed step. ``seed_expr``: optional
+    alternative payload-hash column (e.g. an md5-derived hash a SQL oracle
+    can reproduce); default stays xxhash64.
     """
-    seed = F.xxhash64(F.col(payload_col))
+    seed = seed_expr if seed_expr is not None else F.xxhash64(F.col(payload_col))
     n_frames = F.pmod(seed, F.lit(120)) + 1  # fake container probe: 1..120 frames
     idx = F.sequence(
         F.lit(0),

@@ -969,6 +969,135 @@ _Q_FRAME_SAMPLE_SQL = """
 """
 
 
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data curation pipeline (jobs/dataset_job.py) as one
+    checked row: quality filter -> language filter -> exact dedup ->
+    near-dup removal (MinHash-LSH, exact-verified, drop larger id) -> token
+    accounting, over documents with planted near- AND exact-duplicates.
+    Every stage reuses an individually-oracled operator; this query checks
+    their composition end to end."""
+    from bodhium_webscrapper_spark.functions.textstats import (
+        lang_id, quality_score, token_count,
+    )
+    from bodhium_webscrapper_spark.operators.dedup import (
+        exact_text_dedup, minhash_lsh_pairs,
+    )
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz91 zz92 zz93")).alias("text"),
+    )
+    copies = base.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper(F.col("text"))).alias("text"),
+    )
+    df = base.unionByName(variants).unionByName(copies)
+    scored = df.withColumn(
+        "qm", F.floor(quality_score(F.col("text")) * 1e6).cast("long")
+    ).withColumn("lp", lang_id(F.col("text")))
+    q1 = scored.filter(F.col("qm") >= 500_000)
+    q2 = q1.filter(F.col("lp") == "en")
+    q3 = exact_text_dedup(q2, "text", "doc_id")
+    pairs = minhash_lsh_pairs(q3, "doc_id", "text", jaccard_threshold=0.8)
+    drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    q4 = q3.join(drops, "doc_id", "left_anti")
+    row = (
+        df.count(), q1.count(), q2.count(), q3.count(), q4.count(),
+        int(
+            q4.select(token_count(F.col("text")).alias("n"))
+            .agg(F.coalesce(F.sum("n"), F.lit(0)))
+            .first()[0]
+        ),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_input long, after_quality long, after_lang long, "
+        "after_exact_dedup long, after_near_dedup long, tokens_total long",
+    )
+
+
+_Q_CURATION_SQL = """
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000, text || ' zz91 zz92 zz93'
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 20000, '  ' || upper(text)
+      FROM documents WHERE doc_id % 7 = 0),
+    t AS (
+      SELECT doc_id, text,
+        string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok
+      FROM d),
+    s AS (
+      SELECT doc_id, text, toks, n_tok,
+        least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) AS len_score,
+        least((CASE WHEN len(toks) > 0 THEN
+            CAST(len(list_filter(toks, x -> list_contains(
+              ['the','and','of','to','in','is','that','with','for','was'], x))) AS DOUBLE)
+            / len(toks) ELSE 0.0 END) * 5.0, 1.0) AS stop_score,
+        CASE WHEN len(toks) > 0 THEN
+            CAST(list_aggregate(list_transform(toks, w -> length(w)), 'sum') AS DOUBLE)
+            / len(toks) ELSE 0.0 END AS mwl,
+        least((CASE WHEN length(text) > 0 THEN
+            CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\\-]', '', 'g'))
+              AS DOUBLE) / length(text) ELSE 0.0 END) * 2.0, 0.5) AS punct_pen,
+        len(list_filter(toks, x -> list_contains(
+          ['the','and','of','to','in','is','that','with','for','was'], x))) AS en,
+        len(list_filter(toks, x -> list_contains(
+          ['der','die','das','und','ist','nicht','eine','mit','von','für'], x))) AS de,
+        len(list_filter(toks, x -> list_contains(
+          ['le','la','les','et','est','pas','une','avec','dans','pour'], x))) AS fr
+      FROM t),
+    g AS (
+      SELECT doc_id, text, toks,
+        CAST(floor(round(
+          (len_score * 0.4 + stop_score * 0.3 +
+           (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.3)
+          - punct_pen, 6) * 1e6) AS BIGINT) AS qm,
+        CASE WHEN greatest(en, de, fr) = 0 THEN 'und'
+             WHEN en = greatest(en, de, fr) THEN 'en'
+             WHEN de = greatest(en, de, fr) THEN 'de'
+             ELSE 'fr' END AS lp
+      FROM s),
+    q1 AS (SELECT * FROM g WHERE qm >= 500000),
+    q2 AS (SELECT * FROM q1 WHERE lp = 'en'),
+    q3 AS (
+      SELECT doc_id, text, toks FROM (
+        SELECT doc_id, text, toks, row_number() OVER (
+          PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+          ORDER BY doc_id) AS rn
+        FROM q2) WHERE rn = 1),
+    sh AS (
+      SELECT doc_id, list_distinct(
+        CASE WHEN len(toks) >= 3 THEN
+          list_transform(range(1, len(toks) - 1),
+                         i -> array_to_string(toks[i:i+2], ' '))
+        ELSE [array_to_string(toks, ' ')] END) AS shingles
+      FROM q3),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_filter(a.shingles, x -> list_contains(b.shingles, x))) AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))) >= 0.8),
+    q4 AS (SELECT * FROM q3 WHERE doc_id NOT IN (SELECT id_b FROM pairs)),
+    tok4 AS (
+      SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS ntk
+      FROM q4)
+    SELECT (SELECT count(*) FROM d) AS n_input,
+           (SELECT count(*) FROM q1) AS after_quality,
+           (SELECT count(*) FROM q2) AS after_lang,
+           (SELECT count(*) FROM q3) AS after_exact_dedup,
+           (SELECT count(*) FROM q4) AS after_near_dedup,
+           (SELECT CAST(coalesce(sum(ntk), 0) AS BIGINT) FROM tok4) AS tokens_total
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1038,6 +1167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": q_media_metadata,
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
+        "curation_funnel": q_curation_funnel,
     }
 
 
@@ -1074,5 +1204,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _Q_ANN_PLANTED_SQL,
         "media_features": _Q_MEDIA_FEATURES_SQL,
         "frame_sample": _Q_FRAME_SAMPLE_SQL,
+        "curation_funnel": _Q_CURATION_SQL,
         "simhash_dups": _Q_SIMHASH_SQL,
     }

@@ -205,9 +205,13 @@ _Q_ROBOTS_SQL = """
 
 
 def q_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2/A1: URL-seen anti-join with bloom pre-pass (bloom-on == bloom-off)."""
+    """J2/A1: URL-seen anti-join with bloom pre-pass (bloom-on == bloom-off).
+
+    The bloom is the executor-side DistributedBloom blob table (cogrouped
+    probe) — blob bytes never transit the driver, the same path the wave
+    loop uses at 10^10 seen keys."""
     from bodhium_webscrapper_spark.operators.seen import (
-        BloomState, build_bloom, seen_anti_join,
+        DistributedBloom, seen_anti_join,
     )
 
     docs = _t(spark, sf_dir, "documents")
@@ -219,8 +223,9 @@ def q_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.xxhash64(F.concat(F.lit("u"), F.col("doc_id").cast("string"))).alias("url_hash"),
         F.lit("x").alias("url"),
     )
-    bloom = BloomState.from_df(spark, build_bloom(seen, n_buckets=8), 8)
-    return seen_anti_join(frontier, seen, bloom=bloom).select("doc_id").orderBy("doc_id")
+    bloom = DistributedBloom(spark, n_buckets=8, capacity=100_000)
+    bloom.add_delta(seen)
+    return seen_anti_join(frontier, seen, bloom=bloom.state()).select("doc_id").orderBy("doc_id")
 
 
 _Q_SEEN_ANTIJOIN_SQL = "SELECT doc_id FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id"
@@ -870,20 +875,33 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column metadata extraction (opaque payload + typed metadata)."""
-    from bodhium_webscrapper_spark.functions.multimodal import deterministic_media_fixture
+    """Binary-column metadata extraction (opaque payload + typed metadata:
+    length, content hash, magic-sniffed container kind — all JVM built-ins,
+    functions/multimodal.py media_metadata)."""
+    from bodhium_webscrapper_spark.functions.multimodal import (
+        deterministic_media_fixture, media_metadata,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     media = deterministic_media_fixture(docs, "text", "doc_id")
-    return media.select(
-        F.col("doc_id").alias("media_id"),
-        F.length(F.col("payload")).cast("long").alias("n_bytes"),
-        F.sha2(F.col("payload"), 256).alias("payload_sha"),
+    return media_metadata(media, "doc_id", "payload").select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.col("sha256").alias("payload_sha"),
     ).orderBy("media_id")
 
 
 _Q_MEDIA_METADATA_SQL = """
-    SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+    SELECT doc_id AS media_id,
+           -- magic sniff over the UTF-8 payload: png/jpeg prefixes contain
+           -- bytes UTF-8 text cannot start with, so only the ASCII magics
+           -- are reachable here
+           CASE WHEN substr(text, 1, 4) IN ('<htm', '<!DO') THEN 'html'
+                WHEN substr(text, 1, 4) = 'GIF8' THEN 'gif'
+                WHEN substr(text, 1, 4) = 'RIFF' THEN 'riff'
+                ELSE 'unknown' END AS kind,
+           octet_length(encode(text)) AS n_bytes,
            sha256(text) AS payload_sha
     FROM documents ORDER BY media_id
 """
@@ -993,25 +1011,35 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("  "), F.upper(F.col("text"))).alias("text"),
     )
     df = base.unionByName(variants).unionByName(copies)
+    # each funnel stage is PERSISTED so its prefix executes exactly once:
+    # without the caches, every per-stage count re-runs the full upstream
+    # lineage (quality scoring, lang-id, dedup, LSH) from the source — ~5x
+    # the pipeline at 100 TB. Caches are released as soon as the next stage
+    # is materialized (the wave loop's write+footer-count pattern is the
+    # storage-backed equivalent, plans/checkpoint.py row_count).
     scored = df.withColumn(
         "qm", F.floor(quality_score(F.col("text")) * 1e6).cast("long")
-    ).withColumn("lp", lang_id(F.col("text")))
+    ).withColumn("lp", lang_id(F.col("text"))).persist()
+    n_input = scored.count()
     q1 = scored.filter(F.col("qm") >= 500_000)
     q2 = q1.filter(F.col("lp") == "en")
-    q3 = exact_text_dedup(q2, "text", "doc_id")
+    n_q1, n_q2 = q1.count(), q2.count()
+    q3 = exact_text_dedup(q2, "text", "doc_id").persist()
+    n_q3 = q3.count()
+    scored.unpersist()
     pairs = minhash_lsh_pairs(q3, "doc_id", "text", jaccard_threshold=0.8)
     drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    q4 = q3.join(drops, "doc_id", "left_anti")
-    row = (
-        df.count(), q1.count(), q2.count(), q3.count(), q4.count(),
-        int(
-            q4.select(token_count(F.col("text")).alias("n"))
-            .agg(F.coalesce(F.sum("n"), F.lit(0)))
-            .first()[0]
-        ),
+    q4 = q3.join(drops, "doc_id", "left_anti").persist()
+    n_q4 = q4.count()
+    q3.unpersist()
+    tokens = int(
+        q4.select(token_count(F.col("text")).alias("n"))
+        .agg(F.coalesce(F.sum("n"), F.lit(0)))
+        .first()[0]
     )
+    q4.unpersist()
     return spark.createDataFrame(
-        [row],
+        [(n_input, n_q1, n_q2, n_q3, n_q4, tokens)],
         "n_input long, after_quality long, after_lang long, "
         "after_exact_dedup long, after_near_dedup long, tokens_total long",
     )

@@ -127,17 +127,18 @@ _SIMPLE_PATH_RE = re.compile(r"^/[A-Za-z0-9_\-/]*$")
 _ORIGIN_RE = re.compile(r"^(https?://[^/]+)")
 
 
-@pandas_udf(StringType())
-def resolve_and_canonicalize_udf(urls: pd.Series, bases: pd.Series) -> pd.Series:
-    """Canonicalize outlinks relative to the page URL they were found on.
+def resolve_series(urls: pd.Series, bases: pd.Series) -> pd.Series:
+    """Vectorized resolve+canonicalize over aligned Series (the engine of
+    ``resolve_and_canonicalize_udf``; also reused by the fused
+    extract+canonicalize page UDF so outlink canonicalization shares the
+    same Arrow batch as text extraction).
 
-    Vectorized fast path: most real-world outlinks are plain absolute paths
-    ("/a/b") with no scheme/query/escape/dot-segments — for those, canonical
-    = base origin + path, computed with pandas string ops (~10x faster than
-    the full RFC 3986 walk). Everything else falls back to
-    ``canonicalize_one`` row-wise. Results are identical by construction:
-    the fast path only accepts inputs the full path normalizer would leave
-    untouched.
+    Fast path: most real-world outlinks are plain absolute paths ("/a/b")
+    with no scheme/query/escape/dot-segments — for those, canonical = base
+    origin + path, computed with pandas string ops (~10x faster than the
+    full RFC 3986 walk). Everything else falls back to ``canonicalize_one``
+    row-wise. Results are identical by construction: the fast path only
+    accepts inputs the full path normalizer would leave untouched.
     """
     fast = (
         urls.str.match(_SIMPLE_PATH_RE, na=False)
@@ -154,6 +155,13 @@ def resolve_and_canonicalize_udf(urls: pd.Series, bases: pd.Series) -> pd.Series
             canonicalize_one(u, b) for u, b in zip(urls[slow], bases[slow])
         ]
     return out
+
+
+@pandas_udf(StringType())
+def resolve_and_canonicalize_udf(urls: pd.Series, bases: pd.Series) -> pd.Series:
+    """Canonicalize outlinks relative to the page URL they were found on
+    (see ``resolve_series``)."""
+    return resolve_series(urls, bases)
 
 
 def url_slug(col: Column, max_len: int = 100) -> Column:

@@ -21,6 +21,7 @@ from __future__ import annotations
 import html as _htmllib
 import re
 
+import numpy as np
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType, StructField, StructType
@@ -131,3 +132,66 @@ def extract_page_udf(html: pd.Series) -> pd.DataFrame:
             "links": html.map(extract_links_py),
         }
     )
+
+
+_PAGE_OUTLINKS_STRUCT = StructType(
+    [
+        StructField("text", StringType()),
+        StructField("outlinks", ArrayType(StringType())),
+    ]
+)
+
+_HOST_RE = re.compile(r"^https?://([^/:?#]+)")
+
+
+def make_extract_page_outlinks_udf(same_host_only: bool = True):
+    """Fused extract+canonicalize page UDF: (html, page_url) →
+    struct(text, outlinks) where ``outlinks`` are already RESOLVED and
+    CANONICALIZED (and same-host filtered when configured).
+
+    This folds the wave loop's outlink-canonicalization pass into the same
+    Arrow batch as text extraction: the html payload crosses into Python
+    exactly once, and the downstream frontier derivation becomes pure JVM
+    (explode + xxhash64) — removing one Spark job plus a full frontier
+    write+read per wave (plans/frontier.py). ``text`` stays byte-identical
+    to ``extract_text_py`` (the golden contract); link resolution reuses
+    ``canonicalize.resolve_series`` so results match the standalone
+    ``resolve_and_canonicalize_udf`` exactly.
+
+    ``page_url`` must be the page's canonical URL (the pages-table contract:
+    rows are keyed by xxhash64(url), which only ever matches a frontier row
+    when ``url`` equals its canonical form).
+    """
+    from bodhium_webscrapper_spark.functions.canonicalize import resolve_series
+
+    @pandas_udf(_PAGE_OUTLINKS_STRUCT)
+    def extract_page_outlinks(html: pd.Series, page_url: pd.Series) -> pd.DataFrame:
+        texts = html.map(extract_text_py)
+        raw_lists = [extract_links_py(h) for h in html]
+        counts = np.fromiter((len(ls) for ls in raw_lists), dtype=np.int64,
+                             count=len(raw_lists))
+        n_rows = len(raw_lists)
+        flat = [link for ls in raw_lists for link in ls]
+        if flat:
+            links = pd.Series(flat, dtype="object")
+            bases = pd.Series(
+                np.repeat(page_url.to_numpy(), counts), dtype="object"
+            )
+            canon = resolve_series(links, bases)
+            keep = canon.notna().to_numpy()
+            if same_host_only:
+                # hosts of canonical forms: scheme://host[:port]/..., host
+                # already lowercased/www-stripped by canonicalization —
+                # one vectorized regex instead of a per-link urlsplit
+                link_hosts = canon.str.extract(_HOST_RE, expand=False)
+                base_hosts = bases.str.extract(_HOST_RE, expand=False)
+                keep &= (link_hosts == base_hosts).to_numpy()
+            row_idx = np.repeat(np.arange(n_rows), counts)[keep]
+            kept = canon.to_numpy()[keep]
+            bounds = np.searchsorted(row_idx, np.arange(1, n_rows))
+            out_lists = [arr.tolist() for arr in np.split(kept, bounds)]
+        else:
+            out_lists = [[] for _ in range(n_rows)]
+        return pd.DataFrame({"text": texts, "outlinks": out_lists})
+
+    return extract_page_outlinks

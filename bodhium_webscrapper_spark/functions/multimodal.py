@@ -15,18 +15,14 @@ downstream shape exact.
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Callable, Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-MEDIA_META_SCHEMA = (
-    "media_id long, kind string, n_bytes long, sha256 string, "
-    "magic string, width int, height int"
-)
+MEDIA_META_SCHEMA = "media_id long, kind string, n_bytes long, sha256 string"
 FEATURE_SCHEMA = "media_id long, feature array<float>, feat_dim int"
 
 _MAGIC = {
@@ -39,11 +35,15 @@ _MAGIC = {
 }
 
 
-def _sniff_magic(b: bytes) -> str:
-    for prefix, kind in _MAGIC.items():
-        if b.startswith(prefix):
-            return kind
-    return "unknown"
+def magic_kind(payload: Column) -> Column:
+    """Container kind from the payload's magic bytes — a pure JVM when-chain
+    over binary prefix comparisons (no Python in the plan)."""
+    expr = F.lit("unknown")
+    for prefix, kind in reversed(list(_MAGIC.items())):
+        expr = F.when(
+            F.substring(payload, 1, len(prefix)) == F.lit(prefix), F.lit(kind)
+        ).otherwise(expr)
+    return expr
 
 
 def real_decode_stub(payload: bytes) -> np.ndarray:
@@ -68,14 +68,14 @@ def fake_decode(payload: bytes) -> np.ndarray:
 
 
 def media_metadata(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
-    """Typed metadata from the binary column — pure JVM built-ins."""
+    """Typed metadata from the binary column — pure JVM built-ins
+    (``MEDIA_META_SCHEMA``): length, content hash, magic-sniffed kind."""
     b = F.col(payload_col)
     return df.select(
         F.col(id_col).cast("long").alias("media_id"),
-        F.lit("binary").alias("kind"),
+        magic_kind(b).alias("kind"),
         F.length(b).cast("long").alias("n_bytes"),
         F.sha2(b, 256).alias("sha256"),
-        F.substring(b, 1, 4).cast("string").alias("magic_raw"),
     )
 
 
@@ -146,7 +146,3 @@ def deterministic_media_fixture(df: DataFrame, text_col: str, id_col: str) -> Da
         F.col(id_col),
         F.encode(F.col(text_col), "utf-8").alias("payload"),
     )
-
-
-def sha256_hex(b: bytes) -> str:
-    return hashlib.sha256(b).hexdigest()

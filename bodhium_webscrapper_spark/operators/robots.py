@@ -36,22 +36,34 @@ def robots_gate(
     url_col: str = "canonical_url",
     host_col: str = "host",
     flat: bool = False,
+    strategy: str = "broadcast",
 ) -> DataFrame:
     """Drop rows whose URL path starts with any disallowed prefix for its host.
 
     Hosts absent from the rules table are allowed (standard robots default).
     ``flat=True`` promises ``robots`` is already one-row-per-host (e.g. a
     persisted ``flatten_rules`` output), skipping the per-call aggregation.
+
+    ``strategy``: ``"broadcast"`` (default — realistic robots corpora are
+    MBs) or ``"shuffle"`` for a rules table too large to broadcast (10^8
+    hosts with rules would blow past executor memory as a broadcast build);
+    the shuffle join partitions both sides by host, the same cutover pattern
+    as the wave loop's attr join. CrawlJob flips this automatically above
+    ``robots_broadcast_threshold`` rules rows.
     """
+    if strategy not in ("broadcast", "shuffle"):
+        raise ValueError(f"strategy must be broadcast|shuffle, got {strategy!r}")
     path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("/"))
     flattened = robots if flat else flatten_rules(robots)
     rules = flattened.select(
         F.col("host").alias("_r_host"),
         F.col("disallow_prefixes").alias("_r_prefixes"),
     )
-    joined = df.join(
-        F.broadcast(rules), df[host_col] == F.col("_r_host"), "left"
-    )
+    if strategy == "broadcast":
+        rules = F.broadcast(rules)
+    else:
+        rules = rules.hint("shuffle_hash")
+    joined = df.join(rules, df[host_col] == F.col("_r_host"), "left")
     blocked = F.exists("_r_prefixes", lambda p: F.startswith(path, p))
     return joined.filter(~F.coalesce(blocked, F.lit(False))).drop(
         "_r_host", "_r_prefixes"

@@ -8,11 +8,12 @@ checkpointed) and accelerates the anti-join with per-bucket bloom filters:
 
 - build: ``groupBy(bucket_id).applyInPandas`` → one numpy bit-array blob per
   bucket (Arrow-batched, vectorized; no per-row Python).
-- probe: blobs broadcast to executors; a vectorized pandas UDF tests
-  membership. Rows the bloom says are definitely-new skip the exact join
-  entirely; only possible-seen rows (bloom positives) reach the exact
-  anti-join, so bloom false positives can never drop a URL — correctness is
-  anchored on the exact join (tested bloom-on == bloom-off).
+- probe: frontier rows cogrouped with their bucket's blob
+  (``DistributedBloom.pre_filter``) — blob bytes never transit the driver.
+  Rows the bloom says are definitely-new skip the exact join entirely; only
+  possible-seen rows (bloom positives) reach the exact anti-join, so bloom
+  false positives can never drop a URL — correctness is anchored on the
+  exact join (tested bloom-on == bloom-off).
 
 Hashing: the 64-bit key is Spark's built-in ``xxhash64`` (JVM-side); the k
 bloom probes derive from its two 32-bit halves via double hashing
@@ -21,15 +22,11 @@ bloom probes derive from its two 32-bit halves via double hashing
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import BooleanType
 
 BLOOM_K = 8
 BITS_PER_KEY = 16
@@ -58,8 +55,8 @@ def build_bloom(
 
     With ``fixed_m`` every bucket uses the same bit width, which makes blobs
     OR-mergeable across waves (incremental maintenance: build a bloom over
-    each wave's small seen-delta and merge driver-side instead of rescanning
-    the full 10^10-key seen table every wave).
+    each wave's small seen-delta and OR-merge executor-side instead of
+    rescanning the full 10^10-key seen table every wave).
     """
 
     def make(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -87,60 +84,6 @@ def build_bloom(
         F.col(hash_col),
     )
     return bucketed.groupBy("bucket_id").applyInPandas(make, _BLOOM_SCHEMA)
-
-
-@dataclass
-class BloomState:
-    """Driver-held broadcast of the per-bucket blobs (small: ~2 B/key)."""
-
-    n_buckets: int
-    broadcast: object  # sc.broadcast of {bucket_id: (m, bytes)}
-
-    @classmethod
-    def from_df(cls, spark: SparkSession, bloom_df: DataFrame, n_buckets: int) -> "BloomState":
-        blobs = {
-            r["bucket_id"]: (r["m"], r["blob"]) for r in bloom_df.collect()
-        }
-        return cls(n_buckets=n_buckets, broadcast=spark.sparkContext.broadcast(blobs))
-
-    def might_contain_udf(self):
-        n_buckets = self.n_buckets
-        bc = self.broadcast
-
-        @pandas_udf(BooleanType())
-        def might_contain(hashes: pd.Series) -> pd.Series:
-            blobs = bc.value
-            h = hashes.to_numpy()
-            out = np.zeros(len(h), dtype=bool)
-            # signed modulo (numpy result takes the divisor's sign) matches
-            # F.pmod used at build time for ANY n_buckets; the previous
-            # uint64 % only agreed for power-of-two bucket counts, and a
-            # mismatch meant bloom false NEGATIVES that bypass the exact
-            # anti-join (re-scheduling already-seen URLs).
-            buckets = np.mod(h.astype(np.int64), np.int64(n_buckets))
-            for b in np.unique(buckets):
-                entry = blobs.get(int(b))
-                if entry is None:
-                    continue
-                m, blob = entry
-                bits = np.frombuffer(blob, dtype=np.uint8)
-                mask = buckets == b
-                sub = h[mask]
-                hit = np.ones(len(sub), dtype=bool)
-                for idx in _probe_positions(sub, m):
-                    byte_idx = (idx >> np.uint64(3)).astype(np.int64)
-                    bit = (bits[byte_idx] >> (idx & np.uint64(7)).astype(np.uint8)) & 1
-                    hit &= bit.astype(bool)
-                out[mask] = hit
-            return pd.Series(out)
-
-        return might_contain
-
-    def pre_filter(self, frontier: DataFrame, hash_col: str = "url_hash") -> DataFrame:
-        """frontier + boolean ``_maybe_seen`` column (broadcast probe)."""
-        return frontier.withColumn(
-            "_maybe_seen", self.might_contain_udf()(F.col(hash_col))
-        )
 
 
 def or_merge_blobs(blobs: DataFrame) -> DataFrame:
@@ -251,34 +194,59 @@ class DistributedBloom:
 
 
 
-def seen_anti_join(
-    frontier: DataFrame,
-    seen: DataFrame,
-    hash_col: str = "url_hash",
-    bloom: BloomState | None = None,
+def _bloom_split_plan(
+    flagged: DataFrame, seen_keys: DataFrame, hash_col: str
 ) -> DataFrame:
-    """Rows of ``frontier`` whose key is not in ``seen`` (exact semantics).
-
-    With ``bloom`` (a BloomState broadcast or a DistributedBloom blob
-    table): definitely-new rows bypass the join; bloom positives get the
-    exact anti-join confirm. Without: plain left-anti join.
-    """
-    seen_keys = seen.select(hash_col)
-    if bloom is None:
-        return frontier.join(seen_keys, hash_col, "left_anti")
-    # persist the probe output: the definite-new and confirmed-new branches
-    # below both read it, and without caching the whole probe subtree would
-    # execute twice inside the one downstream action. Blocks are
-    # MEMORY_AND_DISK (spill/evict under pressure); the caller can release
-    # them eagerly via the `_bloom_flagged` handle once its action ran
-    # (CrawlJob does, after the wave's scheduled write).
-    flagged = bloom.pre_filter(frontier, hash_col).persist()
+    """definitely-new rows bypass the join; bloom positives get the exact
+    anti-join confirm (false positives can never drop a URL)."""
     definite_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     confirmed_new = (
         flagged.filter(F.col("_maybe_seen"))
         .drop("_maybe_seen")
         .join(seen_keys, hash_col, "left_anti")
     )
-    out = definite_new.unionByName(confirmed_new)
-    out._bloom_flagged = flagged
-    return out
+    return definite_new.unionByName(confirmed_new)
+
+
+def seen_anti_join(
+    frontier: DataFrame,
+    seen: DataFrame,
+    hash_col: str = "url_hash",
+    bloom: "DistributedBloom | None" = None,
+) -> DataFrame:
+    """Rows of ``frontier`` whose key is not in ``seen`` (exact semantics).
+
+    With ``bloom`` (a DistributedBloom blob table): bloom pre-pass + exact
+    confirm of the positives. Without: plain left-anti join.
+
+    Pure plan, no caching: the probe subtree feeds both the definite-new and
+    confirmed-new branches and will execute twice inside one action. Loop
+    callers that pay for the probe should use ``seen_anti_join_cached`` and
+    own the cache lifecycle explicitly.
+    """
+    seen_keys = seen.select(hash_col)
+    if bloom is None:
+        return frontier.join(seen_keys, hash_col, "left_anti")
+    return _bloom_split_plan(bloom.pre_filter(frontier, hash_col), seen_keys, hash_col)
+
+
+def seen_anti_join_cached(
+    frontier: DataFrame,
+    seen: DataFrame,
+    hash_col: str = "url_hash",
+    bloom: "DistributedBloom | None" = None,
+) -> tuple[DataFrame, DataFrame | None]:
+    """``seen_anti_join`` with the bloom-probe output persisted so it is
+    computed once across the two consuming branches.
+
+    Returns ``(result, cache_handle)``; the CALLER must ``unpersist()`` the
+    handle (when not None) after its action ran — the explicit lifecycle
+    replaces the old hidden ``_bloom_flagged`` attribute, which leaked cache
+    blocks for any caller that didn't know the secret and silently vanished
+    under a transformation.
+    """
+    seen_keys = seen.select(hash_col)
+    if bloom is None:
+        return frontier.join(seen_keys, hash_col, "left_anti"), None
+    flagged = bloom.pre_filter(frontier, hash_col).persist()
+    return _bloom_split_plan(flagged, seen_keys, hash_col), flagged

@@ -31,9 +31,26 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class SnapshotStore:
+    """LOCAL-FILESYSTEM contract: ``root`` must be a plain local path.
+
+    The loop's zero-job counting discipline (``row_count``,
+    ``footer_metrics``, ``write_rows``) reads parquet footers with
+    os.listdir + pyarrow, which silently reads nothing on an hdfs:// or
+    s3:// URI that spark.read/write would happily accept — so a non-local
+    root is rejected loudly here. The Iceberg equivalent of this store
+    (snapshot summaries carry the row counts as table metadata) is the
+    production path for object stores; see IcebergSnapshotStore.
+    """
+
     def __init__(self, root: str):
-        self.root = root
-        os.makedirs(root, exist_ok=True)
+        if "://" in root and not root.startswith("file://"):
+            raise ValueError(
+                f"SnapshotStore requires a local filesystem root, got {root!r}: "
+                "footer-derived counts/metrics are read with local pyarrow. "
+                "Use IcebergSnapshotStore (snapshot-summary stats) for object stores."
+            )
+        self.root = root[len("file://"):] if root.startswith("file://") else root
+        os.makedirs(self.root, exist_ok=True)
         # schema of each artifact name, captured at write time: readers skip
         # parquet schema inference (a per-read driver round trip that adds
         # up to seconds of fixed latency per wave in the hot loop)
@@ -86,6 +103,42 @@ class SnapshotStore:
                 total += pq.ParquetFile(os.path.join(path, fn)).metadata.num_rows
         return total
 
+    def _artifact_files(self, wave: int, name: str) -> list[str]:
+        path = self.wave_dir(wave, name)
+        return [
+            os.path.join(path, fn)
+            for fn in os.listdir(path)
+            if fn.endswith(".parquet")
+        ]
+
+    def column_sum(self, wave: int, name: str, col: str) -> int:
+        """Driver-side sum of one small numeric column of a written artifact
+        (pyarrow single-column read — no Spark job). Reading one int64
+        column of even a 10M-row wave is tens of MB; the Iceberg equivalent
+        would be a column aggregate pushed to manifest-level stats."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in self._artifact_files(wave, name):
+            t = pq.read_table(f, columns=[col])
+            s = pc.sum(t[col]).as_py()
+            total += int(s or 0)
+        return total
+
+    def count_where_lt(self, wave: int, name: str, col: str, bound: int) -> int:
+        """Driver-side count of rows with ``col < bound`` — same single-column
+        pyarrow read as ``column_sum``."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in self._artifact_files(wave, name):
+            t = pq.read_table(f, columns=[col])
+            s = pc.sum(pc.less(t[col], bound)).as_py()
+            total += int(s or 0)
+        return total
+
     def compact_dir(self, name: str, base_wave: int) -> str:
         return os.path.join(self.root, "compact", name, f"base={base_wave:04d}")
 
@@ -96,18 +149,30 @@ class SnapshotStore:
         the listing cost, plan width, and small-file count of every seen
         anti-join grow linearly. Compacting every K waves bounds the union
         at (1 base + K tails) for an amortized O(seen)/K rewrite per wave —
-        the classic LSM trade. Crash-safe: the base lands fully before the
-        manifest points at it; a stale base dir is inert. Original wave
-        dirs are kept (idempotent re-commits still overwrite per wave); on
-        Iceberg this whole method is a metadata-only manifest rewrite.
+        the classic LSM trade. Crash-safe: the base is written to a temp dir
+        and atomically renamed into place, and the manifest points at it
+        only after the rename — the lazy read_deltas source can therefore
+        never be a directory this method deletes (re-running with the same
+        upto_wave is a no-op; a crash mid-write leaves only an inert .tmp).
+        Original wave dirs are kept (idempotent re-commits still overwrite
+        per wave); on Iceberg this whole method is a metadata-only manifest
+        rewrite.
         """
+        m = self.manifest()
+        if m.get("compacted", {}).get(name) == upto_wave:
+            return  # already compacted at this wave: rewriting would read
+            # the very base dir it deletes (self-sourcing write)
         df = self.read_deltas(spark, name, upto_wave)
         if df is None:
             return
         path = self.compact_dir(name, upto_wave)
+        tmp = path + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        df.write.mode("overwrite").parquet(tmp)
         if os.path.exists(path):
             shutil.rmtree(path)
-        df.write.mode("overwrite").parquet(path)
+        os.rename(tmp, path)
         m = self.manifest()
         m.setdefault("compacted", {})[name] = upto_wave
         self._save_manifest(m)

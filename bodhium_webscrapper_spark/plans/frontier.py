@@ -7,18 +7,24 @@ DataFrame plan, the only driver-side control flow is the wave loop and
 empty-checks (mirroring the reference's source-fallback control flow).
 
 Wave t (every stage a DataFrame; schema of frontier rows:
-url_hash, canonical_url, host, depth, priority, retry_count):
+url_hash, canonical_url, host, depth, priority, retry_count) runs exactly
+TWO Spark jobs — the two artifact writes; counts/metrics come free from
+parquet footers and the next frontier is DERIVED, not materialized:
 
+  frontier_t = explode(page_results_{t-1}.outlinks) ∪ pending misses
+               (lazy plan over committed artifacts; wave 0: seeds)
   candidates = dedup(frontier_t)   first-wins per url_hash         [A1]
   new        = candidates ANTI-JOIN seen (bloom pre-pass + exact)  [J2]
   gated      = robots_gate(new)                                    [U5]
   scheduled  = per-host top-budget window, host-hash salted        [W1/W3]
                → global wave cap, ordered (priority desc, url_hash)[W2]
-  fetched    = pages BROADCAST-JOIN scheduled on url_hash          [J1/S4]
-  extracted  = extract_text(html) pandas UDF                       [U1]
-  outlinks   = explode(extract_links) → canonicalize → same-host   [U2/P4/P7]
-  frontier_{t+1} = outlinks ∪ fetch-misses(retry_count+1)
-  commit: order, extracted, seen-delta, frontier, metrics → snapshot
+               → WRITE (job 1)
+  fetched    = pages BROADCAST-KEYS-SEMI-JOIN scheduled            [J1/S4]
+  extracted  = ONE fused pandas-UDF pass: text + canonicalized
+               same-host outlinks from a single Arrow transfer     [U1/U2/P4/P7]
+               → WRITE page_results (job 2)
+  commit: manifest (scheduled + page_results ARE the checkpoint;
+  frontier_{t+1} and the seen delta are projections of them)
 
 Determinism: scheduling order is a pure function of the data — sort key
 (priority DESC, url_hash ASC); no monotonically_increasing_id, no clocks,
@@ -49,13 +55,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from bodhium_webscrapper_spark.functions.canonicalize import with_canonical_url
-from bodhium_webscrapper_spark.functions.extract import extract_page_udf
+from bodhium_webscrapper_spark.functions.extract import make_extract_page_outlinks_udf
 from bodhium_webscrapper_spark.operators.politeness import (
     per_host_budget,
     with_crawl_delay_budget,
 )
 from bodhium_webscrapper_spark.operators.robots import robots_gate
-from bodhium_webscrapper_spark.operators.seen import seen_anti_join
+from bodhium_webscrapper_spark.operators.seen import seen_anti_join_cached
 from bodhium_webscrapper_spark.plans.checkpoint import SnapshotStore
 from bodhium_webscrapper_spark.plans.metrics import footer_metrics, lineage_rows_table
 
@@ -100,7 +106,15 @@ class CrawlConfig:
     # bounds read_deltas at (1 base + K tail dirs) for long crawls — at
     # hundreds of waves the per-wave anti-join otherwise unions hundreds of
     # small-file directories. Amortized O(seen)/K rewrite per wave.
-    compact_seen_every: int = 0
+    # Default ON (16): a default-config long crawl must not regress into
+    # one-directory-per-wave unions; bench shows flat anti-join time vs the
+    # uncompacted twin's growth (BENCH/BASELINE.md §compaction).
+    compact_seen_every: int = 16
+    # robots rules broadcast cutover: above this many flattened rules rows
+    # the gate joins by shuffle instead of broadcast (a 10^8-host rules
+    # table cannot be a broadcast build) — same pattern as
+    # broadcast_wave_threshold below
+    robots_broadcast_threshold: int = 1_000_000
     use_bloom: bool = True
     bloom_buckets: int = 64
     bloom_capacity: int = 4_000_000  # fixed-width blobs -> OR-mergeable deltas
@@ -116,6 +130,29 @@ class CrawlConfig:
     verify_extraction: bool = False  # assert byte-identical text vs golden
 
 
+def dedup_first_wins_frontier(frontier: DataFrame) -> DataFrame:
+    """A1: one row per url_hash — keep highest priority, then lowest depth
+    (deterministic; discovery order is encoded in (depth, priority)).
+
+    retry_count is carried as the MAX over the group (same window
+    partitioning, so no extra shuffle): a pending retry rediscovered as a
+    fresh outlink (retry_count=0) must not have its retry budget reset —
+    otherwise a permanently-missing URL that is re-linked every wave is
+    rescheduled until max_waves instead of being dropped after
+    1+max_retries attempts."""
+    w = Window.partitionBy("url_hash").orderBy(
+        F.col("priority").desc(), F.col("depth").asc(), F.col("retry_count").desc()
+    )
+    return (
+        frontier.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "retry_count", F.max("retry_count").over(Window.partitionBy("url_hash"))
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 @dataclass
 class WaveStats:
     wave: int
@@ -125,6 +162,10 @@ class WaveStats:
     fetched: int
     misses: int
     outlinks: int
+    # |frontier_{t+1}| = outlinks + pending retryable misses — exact, derived
+    # from footer/column reads, and persisted so the next wave (or a resume)
+    # never counts the frontier with a Spark job
+    next_candidates: int = field(default=0)
     seconds: float = field(default=0.0)
 
 
@@ -151,19 +192,29 @@ class CrawlJob:
         # was a repeated serial broadcast-build cost in the schedule stage
         self._rules = None
         self._budgets = None
+        self._robots_strategy = "broadcast"
         if robots is not None:
             from bodhium_webscrapper_spark.operators.politeness import host_budget_map
             from bodhium_webscrapper_spark.operators.robots import flatten_rules
 
             self._rules = flatten_rules(robots).persist()
+            # one count at job init (not per wave) decides the join strategy
+            # for every wave: rules tables past the threshold cannot be a
+            # broadcast build
+            if self._rules.count() > config.robots_broadcast_threshold:
+                self._robots_strategy = "shuffle"
             if "crawl_delay_ms" in robots.columns:
                 self._budgets = host_budget_map(
                     robots, config.max_urls_per_host_per_wave, config.wave_period_ms
                 ).persist()
-        # column pruning: the fetch join needs only key + payload (+ golden
-        # text when verifying) — never lang/warc_ts
+        # column pruning: the fetch join needs only key + url (the link
+        # resolution base) + payload (+ golden text when verifying) — never
+        # lang/warc_ts
         cols = ["url_hash", "url", "html"] + (["text"] if config.verify_extraction else [])
         self.pages = spark.read.parquet(pages_path).select(*cols)
+        # fused extract+canonicalize UDF: one Arrow pass yields text AND the
+        # page's canonicalized (same-host-filtered) outlinks
+        self._extract_udf = make_extract_page_outlinks_udf(config.same_host_only)
 
     # ---- wave-0 frontier from seeds (reference discovery, app.py:297-396)
     def _seed_frontier(self) -> DataFrame:
@@ -183,16 +234,7 @@ class CrawlJob:
         return self.spark.createDataFrame([], schema)
 
     def _dedup_first_wins(self, frontier: DataFrame) -> DataFrame:
-        """A1: one row per url_hash — keep highest priority, then lowest
-        depth (deterministic; discovery order is encoded in (depth, priority))."""
-        w = Window.partitionBy("url_hash").orderBy(
-            F.col("priority").desc(), F.col("depth").asc(), F.col("retry_count").asc()
-        )
-        return (
-            frontier.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        return dedup_first_wins_frontier(frontier)
 
     def _assign_order(self, scheduled: DataFrame, wave: int) -> DataFrame:
         """Tag the wave id. The wave sequence number is NOT materialized in
@@ -203,38 +245,56 @@ class CrawlJob:
         """
         return scheduled.withColumn("wave", F.lit(wave))
 
-    def _expand_outlinks(self, fetched: DataFrame) -> DataFrame:
-        from bodhium_webscrapper_spark.functions.canonicalize import (
-            host_of,
-            resolve_and_canonicalize_udf,
-            url_key,
+    def _pending_misses(self, wave: int, incremented: bool) -> DataFrame:
+        """Fetch-misses of ``wave`` that still have retry budget: scheduled
+        rows absent from page_results with retry_count < max_retries. These
+        are the only scheduled URLs NOT permanently seen.
+
+        ``incremented=True`` returns full frontier rows with retry_count+1
+        (the retry term of the wave equation); ``incremented=False`` returns
+        bare keys (the seen-set exclusion)."""
+        scheduled = self.store.read(self.spark, wave, "scheduled")
+        fetched_keys = self.store.read(self.spark, wave, "page_results").select(
+            "url_hash"
+        )
+        misses = scheduled.join(fetched_keys, "url_hash", "left_anti").filter(
+            F.col("retry_count") < self.config.max_retries
+        )
+        if not incremented:
+            return misses.select("url_hash")
+        return misses.select(
+            "url_hash", "canonical_url", "host", "depth", "priority",
+            (F.col("retry_count") + 1).alias("retry_count"),
         )
 
-        links = (
-            fetched.select(
-                F.col("canonical_url").alias("base_url"),
-                F.col("host").alias("base_host"),
-                F.col("priority").alias("parent_priority"),
-                F.col("depth").alias("parent_depth"),
-                F.explode(F.col("links")).alias("raw_link"),
-            )
-            .withColumn(
-                "canonical_url",
-                resolve_and_canonicalize_udf(F.col("raw_link"), F.col("base_url")),
-            )
-            .filter(F.col("canonical_url").isNotNull())
-            .withColumn("host", host_of(F.col("canonical_url")))
+    def _frontier_after(self, wave: int) -> DataFrame:
+        """frontier_{wave+1}, DERIVED lazily from committed artifacts:
+        explode(page_results.outlinks) ∪ pending retryable misses.
+
+        The outlinks are already canonicalized (and same-host filtered) by
+        the fused extraction UDF, so this plan is pure JVM — explode,
+        xxhash64 keying, arithmetic. Replacing the old materialized
+        frontier_next artifact removed one Spark job plus a full frontier
+        write+read per wave (at 10^10 scale: 10^8-10^9 rows/wave of I/O);
+        determinism is unchanged because the derivation is a pure function
+        of committed data (resume replays it identically)."""
+        from bodhium_webscrapper_spark.functions.canonicalize import host_of, url_key
+
+        results = self.store.read(self.spark, wave, "page_results")
+        links = results.select(
+            F.col("depth").alias("parent_depth"),
+            F.col("priority").alias("parent_priority"),
+            F.explode(F.col("outlinks")).alias("canonical_url"),
         )
-        if self.config.same_host_only:
-            links = links.filter(F.col("host") == F.col("base_host"))
-        return links.select(
+        outl = links.select(
             url_key(F.col("canonical_url")).alias("url_hash"),
             "canonical_url",
-            "host",
+            host_of(F.col("canonical_url")).alias("host"),
             (F.col("parent_depth") + 1).alias("depth"),
             (F.col("parent_priority") * F.lit(self.config.priority_decay)).alias("priority"),
             F.lit(0).alias("retry_count"),
         )
+        return outl.unionByName(self._pending_misses(wave, incremented=True))
 
     # ---- one wave = one pure dataflow, materialized once into the snapshot
     def _run_wave(
@@ -251,11 +311,13 @@ class CrawlJob:
 
         Counting discipline: NO .count() actions in the loop. Every count
         the stats need is either passed in (``n_candidates`` — the previous
-        wave's frontier_next footer count) or read from the parquet footers
-        of an artifact the wave writes anyway (``store.row_count``). Each
+        wave's derived next_candidates) or read driver-side from the parquet
+        footers/columns of an artifact the wave writes anyway
+        (``store.row_count`` / ``column_sum`` / ``count_where_lt``). Each
         removed count was a full Spark job of fixed driver latency — the
         dominant per-wave cost at small wave sizes and the reason round-1
-        scaling efficiency collapsed to 0.39.
+        scaling efficiency collapsed to 0.39. The wave submits exactly TWO
+        Spark jobs: the scheduled write and the page_results write.
         """
         cfg = self.config
         t0 = time.time()
@@ -283,13 +345,18 @@ class CrawlJob:
         #   below it, per-host partitions are small enough that the second
         #   window pass would be pure overhead.
         deduped = self._dedup_first_wins(frontier)
+        probe_cache = None
         if self._total_seen <= cfg.seen_broadcast_threshold:
             new = deduped.join(
                 F.broadcast(seen.select("url_hash")), "url_hash", "left_anti"
             )
         else:
-            new = seen_anti_join(deduped, seen, "url_hash", bloom)
-        gated = robots_gate(new, self._rules, flat=True) if self._rules is not None else new
+            new, probe_cache = seen_anti_join_cached(deduped, seen, "url_hash", bloom)
+        gated = (
+            robots_gate(new, self._rules, flat=True, strategy=self._robots_strategy)
+            if self._rules is not None
+            else new
+        )
         salt = cfg.salt_buckets if n_candidates > cfg.salt_activation_threshold else 1
         budget_col = None
         if self._budgets is not None:
@@ -315,9 +382,8 @@ class CrawlJob:
                 F.col("priority").desc(), F.col("url_hash").asc()
             ).limit(cfg.global_wave_limit)
         self.store.write(wave, "scheduled", self._assign_order(capped, wave))
-        flagged = getattr(new, "_bloom_flagged", None)
-        if flagged is not None:  # bloom probe cache served its one action
-            flagged.unpersist()
+        if probe_cache is not None:  # bloom probe cache served its one action
+            probe_cache.unpersist()
         scheduled = self.store.read(self.spark, wave, "scheduled")
         n_scheduled = self.store.row_count(wave, "scheduled")  # footer, no job
         t = mark("schedule", t)
@@ -328,33 +394,38 @@ class CrawlJob:
         #      100 TB side is scanned once and hash-probed in place. This is
         #      the plain-parquet analogue of Iceberg storage-partitioned
         #      bucket(N, url_hash) + runtime filtering.
-        #   2. extract text+outlinks in ONE pandas-UDF pass over the pruned
-        #      pages (html never travels past this projection).
-        #   3. join the narrow wave attributes (url/host/depth/priority)
-        #      onto the narrow extraction output — broadcast for normal
-        #      waves, shuffle of narrow rows only for giant ones.
+        #   2. ONE fused pandas-UDF pass over the pruned pages extracts text
+        #      AND resolves+canonicalizes the outlinks (html never travels
+        #      past this projection, and outlink canonicalization shares its
+        #      Arrow batch — no second UDF pass, no separate frontier job).
+        #   3. join the narrow wave attributes (url/host/depth/priority/
+        #      retry_count) onto the narrow extraction output — broadcast
+        #      for normal waves, shuffle of narrow rows only for giant ones.
         fetched_cols = ["url_hash", "canonical_url", "host", "depth",
-                        "priority", "wave"]
+                        "priority", "retry_count", "wave"]
         keys = F.broadcast(scheduled.select("url_hash"))
         pruned = self.pages.join(keys, "url_hash", "left_semi")
         raw_cols = [
             F.col("url_hash"),
             F.col("_page.text").alias("text"),
-            F.col("_page.links").alias("links"),
+            F.col("_page.outlinks").alias("outlinks"),
+            F.size(F.col("_page.outlinks")).alias("n_links"),
         ]
         if cfg.verify_extraction:
             raw_cols.append(
                 F.col("_page.text").eqNullSafe(F.col("text")).alias("golden_ok")
             )
-        raw = pruned.withColumn("_page", extract_page_udf(F.col("html"))).select(*raw_cols)
+        raw = pruned.withColumn(
+            "_page", self._extract_udf(F.col("html"), F.col("url"))
+        ).select(*raw_cols)
         attrs = scheduled.select(*fetched_cols)
         if n_scheduled <= cfg.broadcast_wave_threshold:
             attrs = F.broadcast(attrs)
         fetch_plan = raw.join(attrs, "url_hash")
         self.store.write(wave, "page_results", fetch_plan)
-        results = self.store.read(self.spark, wave, "page_results")
         n_fetched = self.store.row_count(wave, "page_results")  # footer, no job
         if cfg.verify_extraction:
+            results = self.store.read(self.spark, wave, "page_results")
             mismatches = results.filter(~F.col("golden_ok")).count()
             if mismatches:
                 raise AssertionError(
@@ -362,18 +433,21 @@ class CrawlJob:
                 )
         t = mark("fetch_extract", t)
 
-        # next frontier = outlinks(page_results) ∪ fetch-miss retries
-        misses = (
-            scheduled.join(results.select("url_hash"), "url_hash", "left_anti")
-            .filter(F.col("retry_count") < cfg.max_retries)
-            .select(
-                "url_hash", "canonical_url", "host", "depth", "priority",
-                (F.col("retry_count") + 1).alias("retry_count"),
-            )
+        # |frontier_{t+1}| without materializing it (the frontier itself is
+        # derived lazily by _frontier_after): outlink rows come from the
+        # n_links column sum, pending retryable misses from two column-level
+        # counts — all driver-side pyarrow reads of the artifacts this wave
+        # already wrote, zero Spark jobs. Exact, because
+        #   pending = |scheduled, retry<max| - |fetched, retry<max|
+        # (every fetched row's retry_count is carried through the attr join).
+        n_outlinks = self.store.column_sum(wave, "page_results", "n_links")
+        pending = self.store.count_where_lt(
+            wave, "scheduled", "retry_count", cfg.max_retries
+        ) - self.store.count_where_lt(
+            wave, "page_results", "retry_count", cfg.max_retries
         )
-        next_frontier = self._expand_outlinks(results).unionByName(misses)
-        self.store.write(wave, "frontier_next", next_frontier)
-        t = mark("expand_outlinks", t)
+        next_candidates = n_outlinks + pending
+        t = mark("count_next", t)
 
         # per-partition metrics straight from the footers of the artifacts
         # this wave already wrote — zero extra Spark jobs (the seen delta is
@@ -408,7 +482,8 @@ class CrawlJob:
             scheduled=n_scheduled,
             fetched=n_fetched,
             misses=n_misses,
-            outlinks=0,
+            outlinks=n_outlinks,
+            next_candidates=next_candidates,
             seconds=round(time.time() - t0, 3),
         )
         # S9: orchestration event trail (reference: DynamoDB events,
@@ -452,12 +527,14 @@ class CrawlJob:
             if cfg.use_bloom
             else None
         )
-        n_frontier: int | None = None  # footer count; None = seeds wave
+        n_frontier: int | None = None  # derived count; None = seeds wave
         self._resumed_at = committed + 1 if (resume and committed >= 0) else -1
         if resume and committed >= 0:
             start = committed + 1
-            frontier = self.store.read(self.spark, committed, "frontier_next")
-            n_frontier = self.store.row_count(committed, "frontier_next")
+            frontier = self._frontier_after(committed)
+            n_frontier = self.store.manifest()["waves"][str(committed)].get(
+                "next_candidates"
+            )
             seen = self._seen_upto(committed)
         else:
             start = 0
@@ -503,8 +580,8 @@ class CrawlJob:
             # bloom absorbs only the new delta (O(wave), not O(seen))
             if cfg.compact_seen_every and (wave + 1) % cfg.compact_seen_every == 0:
                 self.store.compact_deltas(self.spark, "scheduled", wave)
-            frontier = self.store.read(self.spark, wave, "frontier_next")
-            n_frontier = self.store.row_count(wave, "frontier_next")
+            frontier = self._frontier_after(wave)
+            n_frontier = stats.next_candidates
             seen = self._seen_upto(wave)
             # incremental bloom maintenance ONLY while the bloom regime is
             # active (seen too big to broadcast) — in the broadcast regime
@@ -553,21 +630,18 @@ class CrawlJob:
     def _seen_upto(self, wave: int) -> DataFrame:
         """Seen = everything scheduled so far MINUS pending retries.
 
-        A fetch-miss is re-queued into frontier_{wave+1} with retry_count+1;
-        since it was scheduled, a plain projection of the scheduled table
-        would anti-join it away next wave and the retry would be dead code.
-        Pending retries live only in the LATEST committed frontier_next
-        (a miss either got rescheduled later, or exhausted max_retries and
-        stays seen → permanently dropped), so one small anti-join restores
-        the wave equation frontier_{t+1} = outlinks ∪ fetch-misses."""
+        A fetch-miss re-enters frontier_{wave+1} with retry_count+1; since
+        it was scheduled, a plain projection of the scheduled table would
+        anti-join it away next wave and the retry would be dead code.
+        Pending retries can only originate from the LATEST committed wave
+        (an older miss either got rescheduled later, or exhausted
+        max_retries and stays seen → permanently dropped), so one small
+        anti-join against that wave's retryable misses restores the wave
+        equation frontier_{t+1} = outlinks ∪ fetch-misses."""
         df = self.store.read_deltas(self.spark, "scheduled", wave)
         seen = df.select("url_hash", F.col("canonical_url").alias("url"))
-        if os.path.exists(self.store.wave_dir(wave, "frontier_next")):
-            pending = (
-                self.store.read(self.spark, wave, "frontier_next")
-                .filter(F.col("retry_count") > 0)
-                .select("url_hash")
-            )
+        if os.path.exists(self.store.wave_dir(wave, "page_results")):
+            pending = self._pending_misses(wave, incremented=False)
             seen = seen.join(F.broadcast(pending), "url_hash", "left_anti")
         return seen
 

@@ -96,10 +96,17 @@ def stream_per_host_budget(
             return
         # a host's micro-batch rows may span several Arrow chunks; sorting
         # each chunk independently would make admission depend on chunk
-        # boundaries — concatenate the whole group first, then sort+truncate
-        batch = pd.concat(list(pdfs)) if not isinstance(pdfs, pd.DataFrame) else pdfs
-        batch = batch.sort_values("url_hash")
-        admitted = batch.head(room)
+        # boundaries. Keep a RUNNING top-`room` selection across chunks
+        # (stable mergesort keeps ties deterministic): memory stays bounded
+        # at room + one chunk, so a mega-host group of millions of rows in
+        # one epoch cannot OOM the python worker, while the result is
+        # identical to sorting the whole concatenated group.
+        chunks = [pdfs] if isinstance(pdfs, pd.DataFrame) else pdfs
+        best = None
+        for chunk in chunks:
+            pool = chunk if best is None else pd.concat([best, chunk])
+            best = pool.sort_values("url_hash", kind="mergesort").head(room)
+        admitted = best if best is not None else pd.DataFrame()
         taken += len(admitted)
         state.update((taken,))
         if len(admitted):

@@ -53,11 +53,18 @@ def main() -> int:
 
     spark = build_session(master=args.master, app_name="dataset_job")
     docs = spark.read.parquet(args.input)
-    funnel = {"input": docs.count()}
 
+    # Funnel discipline: every stage is persisted (MEMORY_AND_DISK) so its
+    # prefix executes exactly once — a per-stage .count() without the cache
+    # re-runs quality scoring + lang-id + dedup + LSH from the source
+    # parquet, ~5x the whole pipeline at 100 TB. Caches are released as
+    # soon as the next stage is materialized, so at most two stages are
+    # resident at a time.
     scored = docs.withColumn("quality", quality_score(F.col(args.text_col))).withColumn(
         "lang_pred", lang_id(F.col(args.text_col))
-    )
+    ).persist()
+    funnel = {"input": scored.count()}
+
     kept = scored.filter(F.col("quality") >= args.min_quality)
     funnel["after_quality"] = kept.count()
 
@@ -66,22 +73,28 @@ def main() -> int:
         kept = kept.filter(F.col("lang_pred").isin(langs))
     funnel["after_lang"] = kept.count()
 
-    kept = exact_text_dedup(kept, args.text_col, args.id_col)
+    kept = exact_text_dedup(kept, args.text_col, args.id_col).persist()
     funnel["after_exact_dedup"] = kept.count()
+    scored.unpersist()
+    deduped = kept
 
     # near-dup removal: survivor = min id of each near-dup pair component.
     # Pair→drop-list (greedy: drop the larger id of every verified pair) —
     # standard near-dedup policy, deterministic.
     pairs = minhash_lsh_pairs(
-        kept, args.id_col, args.text_col, jaccard_threshold=args.jaccard
+        deduped, args.id_col, args.text_col, jaccard_threshold=args.jaccard
     )
     drops = pairs.select(F.col("id_b").alias(args.id_col)).distinct()
-    kept = kept.join(drops, args.id_col, "left_anti")
-    funnel["after_near_dedup"] = kept.count()
+    kept = deduped.join(drops, args.id_col, "left_anti")
 
+    # final stage is WRITTEN (it is the job's output anyway); its row count
+    # and token total come from the written files, not a recompute
     out = kept.withColumn("n_tokens", token_count(F.col(args.text_col)))
     out.write.mode("overwrite").parquet(args.output)
-    funnel["tokens_total"] = out.agg(F.sum("n_tokens")).first()[0]
+    deduped.unpersist()
+    final = spark.read.parquet(args.output)
+    funnel["after_near_dedup"] = final.count()
+    funnel["tokens_total"] = final.agg(F.sum("n_tokens")).first()[0]
     print(json.dumps(funnel))
     spark.stop()
     return 0

@@ -50,17 +50,13 @@ def test_e2e_crawl(spark, crawl_fixture, tmp_path):
         assert seqs == list(range(1, len(seqs) + 1))
 
     # seen set has no duplicate hashes and covers exactly the distinct
-    # scheduled urls minus retries still pending in the final frontier
+    # scheduled urls minus retries still pending after the final wave
+    # (pending = that wave's retryable fetch-misses — the frontier is
+    # derived, not stored, so recompute the same projection)
     seen = job.seen_set()
     assert seen.count() == seen.select("url_hash").distinct().count()
     final = job.store.committed_wave()
-    pending = (
-        job.store.read(spark, final, "frontier_next")
-        .filter(F.col("retry_count") > 0)
-        .select("url_hash")
-        .distinct()
-        .count()
-    )
+    pending = job._pending_misses(final, incremented=False).distinct().count()
     scheduled_distinct = (
         job.store.read_deltas(spark, "scheduled", final)
         .select("url_hash")
@@ -285,6 +281,7 @@ def test_physical_knobs_preserve_order(spark, crawl_fixture, tmp_path):
         "k_shuffle_attrs": dict(broadcast_wave_threshold=0),
         "k_shuffle_seen": dict(seen_broadcast_threshold=0, use_bloom=False),
         "k_bloom": dict(seen_broadcast_threshold=0, use_bloom=True),
+        "k_shuffle_robots": dict(robots_broadcast_threshold=0),
     }
     for name, knobs in variants.items():
         job = _mk_job(spark, crawl_fixture, tmp_path, name, **knobs)

@@ -71,6 +71,43 @@ def test_stream_per_host_budget(spark, tmp_path):
     q.stop()
 
 
+def test_stream_per_host_budget_chunked_identical(spark, tmp_path):
+    """The running top-`room` selection must be chunk-boundary-invariant:
+    with tiny Arrow batches (many chunks per host group) the admitted rows
+    equal the global sort+head of the whole group — and memory stays
+    bounded at room + one chunk by construction."""
+    src = os.path.join(str(tmp_path), "pages4")
+    df = _write_pages(spark, src)
+    expected = (
+        df.withColumn("host", F.parse_url("url", F.lit("HOST")))
+        .select("host", "url", "url_hash")
+        .toPandas()
+        .sort_values(["host", "url_hash"], kind="mergesort")
+        .groupby("host", sort=False)
+        .head(7)
+    )
+    exp = sorted(map(tuple, expected[["host", "url"]].values.tolist()))
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
+    try:
+        urls = stream_pages(spark, src).select(
+            F.parse_url("url", F.lit("HOST")).alias("host"), "url", "url_hash"
+        )
+        q = _run_stream(
+            stream_per_host_budget(urls, budget=7),
+            "budget_chunk_sink",
+            os.path.join(str(tmp_path), "ck4"),
+        )
+        got = sorted(
+            (r.host, r.url)
+            for r in spark.sql("select host, url from budget_chunk_sink").collect()
+        )
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert got == exp
+
+
 def test_host_rate_metrics(spark, tmp_path):
     src = os.path.join(str(tmp_path), "pages3")
     _write_pages(spark, src)

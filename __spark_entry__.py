@@ -579,6 +579,109 @@ _Q_LANG_ID_SQL = """
 """
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails/SSNs/phones/IPv4 → typed tokens) over documents
+    with PLANTED PII: per-doc category counts + md5 of the scrubbed text
+    (the value oracle checks redaction byte-for-byte). Pure JVM
+    regexp_replace/regexp_count; patterns are backref/lookaround-free so
+    Java and RE2 agree."""
+    from bodhium_webscrapper_spark.functions.textstats import pii_counts, pii_scrub
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-123-4567 or 10.0.0."),
+                (F.col("doc_id") % 255).cast("string"),
+                F.lit(" ssn 123-45-6789"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    counts = pii_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        counts["email"].cast("long").alias("n_emails"),
+        counts["phone"].cast("long").alias("n_phones"),
+        counts["ipv4"].cast("long").alias("n_ips"),
+        counts["ssn"].cast("long").alias("n_ssns"),
+        F.md5(pii_scrub(F.col("text"))).alias("scrubbed_md5"),
+    ).orderBy("doc_id")
+
+
+_Q_PII_SCRUB_SQL = r"""
+    WITH d AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN
+          text || ' contact user' || doc_id || '@example.com or 555-123-4567 or 10.0.0.'
+               || (doc_id % 255) || ' ssn 123-45-6789'
+        ELSE text END AS text
+      FROM documents)
+    SELECT doc_id,
+      len(regexp_extract_all(text, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS n_emails,
+      len(regexp_extract_all(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS n_phones,
+      len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+      len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssns,
+      md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS scrubbed_md5
+    FROM d ORDER BY doc_id
+"""
+
+
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-line stripping over documents with PLANTED footer/nav
+    chrome: line counts before/after + md5 of the stripped text. The strip
+    keeps content lines verbatim (curation stage for a 100 TB corpus)."""
+    from bodhium_webscrapper_spark.functions.textstats import strip_boilerplate
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("Subscribe to our newsletter today\n"),
+                F.col("text"),
+                F.lit("\nCopyright 2020 Example Corp\nAll rights reserved"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    stripped = strip_boilerplate(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), r"\n")).cast("long").alias("n_lines_before"),
+        F.size(F.split(stripped, r"\n")).cast("long").alias("n_lines_after"),
+        F.md5(stripped).alias("stripped_md5"),
+    ).orderBy("doc_id")
+
+
+_Q_BOILERPLATE_SQL = r"""
+    WITH d AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 4 = 0 THEN
+          'Subscribe to our newsletter today' || chr(10) || text || chr(10) ||
+          'Copyright 2020 Example Corp' || chr(10) || 'All rights reserved'
+        ELSE text END AS text
+      FROM documents),
+    s AS (
+      SELECT doc_id, text,
+        array_to_string(list_filter(string_split(text, chr(10)),
+          l -> NOT regexp_matches(lower(l),
+            '^\s*(copyright|all rights reserved|terms of (service|use)|privacy policy|cookie policy|subscribe to our newsletter|click here|share this (page|article))')),
+          chr(10)) AS stripped
+      FROM d)
+    SELECT doc_id,
+      len(string_split(text, chr(10))) AS n_lines_before,
+      len(string_split(stripped, chr(10))) AS n_lines_after,
+      md5(stripped) AS stripped_md5
+    FROM s ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # dedup suite
 # --------------------------------------------------------------------------
@@ -867,6 +970,20 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _ann_planted_check(
         spark, sf_dir, lambda emb, q: lsh_topk(emb, q, k=5, n_planes=4)
+    )
+
+
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe hyperplane LSH (exact bucket + every 1-bit flip): higher
+    recall at more planes without a second index; the planted-duplicate
+    guarantee holds a fortiori (identical vector → same bucket ⊆ probe set).
+    The recall gain over single-probe is pytest-asserted with a crafted
+    1-bit-flip near-neighbor (tests/test_similarity_textstats.py)."""
+    from bodhium_webscrapper_spark.operators.similarity import lsh_topk
+
+    return _ann_planted_check(
+        spark, sf_dir,
+        lambda emb, q: lsh_topk(emb, q, k=5, n_planes=8, multi_probe=True),
     )
 
 
@@ -1180,6 +1297,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_by_source": q_group_by_source,
         "top10_per_source": q_top10_per_source,
         "token_count": q_token_count,
+        "pii_scrub": q_pii_scrub,
+        "boilerplate_strip": q_boilerplate_strip,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "merge_upsert_stats": q_merge_upsert_stats,
@@ -1192,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce_topk": q_ann_bruteforce,
         "ann_ivf_topk": q_ann_ivf,
         "ann_lsh_topk": q_ann_lsh,
+        "ann_lsh_multiprobe_topk": q_ann_lsh_multiprobe,
         "media_metadata": q_media_metadata,
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
@@ -1218,6 +1338,8 @@ def oracle_sql() -> dict[str, str]:
         "group_by_source": _Q_GROUP_BY_SOURCE_SQL,
         "top10_per_source": _Q_TOP10_SQL,
         "token_count": _Q_TOKEN_COUNT_SQL,
+        "pii_scrub": _Q_PII_SCRUB_SQL,
+        "boilerplate_strip": _Q_BOILERPLATE_SQL,
         "quality_score": _Q_QUALITY_SQL,
         "lang_id": _Q_LANG_ID_SQL,
         "merge_upsert_stats": _Q_MERGE_UPSERT_SQL,
@@ -1230,6 +1352,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_dups": _Q_MINHASH_SQL,
         "ann_ivf_topk": _Q_ANN_PLANTED_SQL,
         "ann_lsh_topk": _Q_ANN_PLANTED_SQL,
+        "ann_lsh_multiprobe_topk": _Q_ANN_PLANTED_SQL,
         "media_features": _Q_MEDIA_FEATURES_SQL,
         "frame_sample": _Q_FRAME_SAMPLE_SQL,
         "curation_funnel": _Q_CURATION_SQL,

@@ -41,6 +41,7 @@ HEADLINE = [
     "simhash_dups",
     "ann_bruteforce_topk",
     "token_count",
+    "pii_scrub",
     "quality_score",
     "lang_id",
     "exact_dedup",
@@ -118,9 +119,11 @@ def _run_frontier_inproc(master: str, fixture: dict, tag: str) -> dict:
     # path that exists at 10^10 seen keys (a broadcast of the seen set is
     # physically impossible there), and the one whose cost scales with
     # cores instead of serializing through the driver.
+    budget = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "50000"))
+    max_waves = int(os.environ.get("SPARK_GRAFT_BENCH_WAVES", "5"))
     cfg = CrawlConfig(
-        max_urls_per_host_per_wave=10_000,
-        max_waves=4,
+        max_urls_per_host_per_wave=budget,
+        max_waves=max_waves,
         global_wave_limit=None,
         salt_buckets=16,
         seen_broadcast_threshold=0,
@@ -142,7 +145,6 @@ def _run_frontier_inproc(master: str, fixture: dict, tag: str) -> dict:
     from bodhium_webscrapper_spark.functions.canonicalize import (
         resolve_and_canonicalize_udf,
     )
-    from bodhium_webscrapper_spark.functions.extract import extract_page_udf
 
     warm = spark.range(2000).select(
         F.concat(F.lit("/w"), F.col("id").cast("string")).alias("u"),
@@ -151,8 +153,9 @@ def _run_frontier_inproc(master: str, fixture: dict, tag: str) -> dict:
     warm.select(resolve_and_canonicalize_udf("u", "b").alias("c")).select(
         F.count("c")
     ).first()
+    # warm the fused extract+canonicalize UDF the wave loop actually runs
     spark.read.parquet(fixture["pages"]).limit(500).select(
-        extract_page_udf(F.col("html")).alias("p")
+        job._extract_udf(F.col("html"), F.col("url")).alias("p")
     ).select(F.count("p.text")).first()
     # pre-warm the OS page cache over the pages table: on a real cluster
     # every executor reads its shard from distributed storage (aggregate
@@ -257,6 +260,56 @@ def _run_stage_level_inproc(fixture: dict, parts: int) -> dict:
     _stop(spark)
     return result
 
+def run_compaction_bench(n_pages: int = 200_000, waves: int = 32) -> dict:
+    """Long-crawl LSM compaction evidence: with compaction ON the per-wave
+    schedule stage (whose seen anti-join unions the scheduled deltas) must
+    stay flat over 30+ waves, while the uncompacted twin degrades as it
+    unions one directory per wave. Budget is tiny so the crawl survives many
+    waves; outputs must be identical either way."""
+    import shutil
+
+    from bodhium_webscrapper_spark.plans.frontier import CrawlConfig, CrawlJob
+    from bodhium_webscrapper_spark.session import build_session
+
+    fixture = _fixture(n_pages)
+    out = {"n_pages": n_pages, "waves": waves}
+    orders = {}
+    for tag, every in (("uncompacted", 0), ("compacted", 8)):
+        ckpt = os.path.join(BENCH_DIR, f"ckpt_compact_{tag}")
+        shutil.rmtree(ckpt, ignore_errors=True)
+        spark = build_session("local[8]", f"bench_compact_{tag}", shuffle_partitions=8)
+        cfg = CrawlConfig(
+            max_urls_per_host_per_wave=2,
+            max_waves=waves,
+            global_wave_limit=None,
+            compact_seen_every=every,
+        )
+        job = CrawlJob(
+            spark,
+            fixture["pages"],
+            spark.read.parquet(fixture["seeds_full"]),
+            spark.read.parquet(fixture["robots"]),
+            cfg,
+            ckpt,
+        )
+        job.run()
+        m = job.store.manifest()["waves"]
+        sched = [m[str(w)]["timings"]["schedule"] for w in sorted(map(int, m))]
+        orders[tag] = [
+            (r["wave"], r["seq"], r["canonical_url"])
+            for r in job.crawl_order().orderBy("wave", "seq").collect()
+        ]
+        out[tag] = {
+            "waves_run": len(sched),
+            "schedule_sec_first8": round(sum(sched[:8]) / max(1, len(sched[:8])), 3),
+            "schedule_sec_last8": round(sum(sched[-8:]) / max(1, len(sched[-8:])), 3),
+            "total_sec": round(sum(sched), 2),
+        }
+        _stop(spark)
+    out["outputs_identical"] = orders["uncompacted"] == orders["compacted"]
+    return out
+
+
 def run_queries(sf_dir: str, cpus: int) -> dict:
     import __spark_entry__ as entrymod
     from bodhium_webscrapper_spark.session import build_session
@@ -325,13 +378,16 @@ def main():
         }
 
     stage_scaling = {}
+    compaction = {}
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
         stage_scaling = run_stage_scaling(fixture, n_pages)
+        compaction = run_compaction_bench()
 
     result["value"] = round(time.time() - t_total, 2)
     result["queries"] = queries
     result["frontier"] = frontier
     result["stage_scaling"] = stage_scaling
+    result["compaction"] = compaction
     print(json.dumps(result))
 
 

@@ -191,6 +191,86 @@ def host_of(col: Column) -> Column:
     return F.parse_url(col, F.lit("HOST"))
 
 
+# Embedded SNAPSHOT of multi-label public suffixes (publicsuffix.org — public
+# data). Deliberately a representative subset: a production deployment swaps
+# in the full PSL file via ``set_public_suffixes``. Single-label TLDs need no
+# entry (the default "last two labels" rule covers them).
+PUBLIC_SUFFIXES_2LABEL: frozenset[str] = frozenset(
+    """
+    co.uk org.uk me.uk ac.uk gov.uk net.uk sch.uk ltd.uk plc.uk
+    co.jp ne.jp or.jp ac.jp go.jp ad.jp ed.jp lg.jp gr.jp
+    com.au net.au org.au edu.au gov.au asn.au id.au
+    co.nz net.nz org.nz govt.nz ac.nz school.nz geek.nz gen.nz maori.nz
+    com.br net.br org.br gov.br edu.br art.br blog.br eco.br
+    co.in net.in org.in gen.in firm.in ind.in res.in edu.in gov.in ac.in
+    com.cn net.cn org.cn gov.cn edu.cn ac.cn mil.cn
+    com.mx org.mx gob.mx edu.mx net.mx
+    com.ar net.ar org.ar edu.ar gob.ar
+    com.sg net.sg org.sg edu.sg gov.sg per.sg
+    com.hk net.hk org.hk edu.hk gov.hk idv.hk
+    com.tw net.tw org.tw edu.tw gov.tw idv.tw
+    com.tr net.tr org.tr edu.tr gov.tr web.tr
+    com.my net.my org.my edu.my gov.my name.my
+    co.za org.za net.za web.za ac.za gov.za
+    co.kr or.kr go.kr ne.kr re.kr pe.kr ac.kr
+    co.il org.il net.il ac.il gov.il muni.il
+    com.pk net.pk org.pk edu.pk gov.pk
+    com.ng net.ng org.ng edu.ng gov.ng
+    co.th or.th ac.th go.th in.th net.th
+    com.vn net.vn org.vn edu.vn gov.vn biz.vn
+    com.ph net.ph org.ph edu.ph gov.ph
+    com.co net.co org.co edu.co gov.co nom.co
+    com.pe net.pe org.pe edu.pe gob.pe nom.pe
+    com.cl gob.cl gov.cl mil.cl
+    com.ec net.ec org.ec edu.ec gob.ec
+    com.ve net.ve org.ve edu.ve gob.ve web.ve
+    co.id or.id ac.id web.id net.id go.id sch.id my.id biz.id
+    com.eg net.eg org.eg edu.eg gov.eg sci.eg
+    com.sa net.sa org.sa edu.sa gov.sa med.sa pub.sa sch.sa
+    com.ua net.ua org.ua edu.ua gov.ua in.ua
+    co.ke or.ke ne.ke go.ke ac.ke sc.ke me.ke info.ke
+    """.split()
+)
+
+
+def registrable_domain_py(host: str | None) -> str | None:
+    """eTLD+1 of a canonical host (pure function; the python twin of
+    ``registrable_domain``). Hosts with <=2 labels, IP literals, and hosts
+    whose last two labels are not a known multi-label public suffix follow
+    the default rule (last two labels)."""
+    if host is None:
+        return None
+    if _IPV4_RE.match(host):
+        return host
+    parts = host.split(".")
+    if len(parts) <= 2:
+        return host
+    if ".".join(parts[-2:]) in PUBLIC_SUFFIXES_2LABEL:
+        return ".".join(parts[-3:])
+    return ".".join(parts[-2:])
+
+
+_IPV4_RE = re.compile(r"^\d{1,3}(\.\d{1,3}){3}$")
+
+
+def registrable_domain(col: Column) -> Column:
+    """eTLD+1 of a canonical host as a pure JVM expression (split +
+    element_at + isin over the embedded suffix snapshot — whole-stage
+    codegen, no Python). Matches ``registrable_domain_py`` exactly."""
+    parts = F.split(col, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    last3 = F.concat_ws(
+        ".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    return (
+        F.when(col.rlike(r"^\d{1,3}(\.\d{1,3}){3}$"), col)
+        .when(n <= 2, col)
+        .when(last2.isin(*sorted(PUBLIC_SUFFIXES_2LABEL)), last3)
+        .otherwise(last2)
+    )
+
+
 def url_key(col: Column) -> Column:
     """64-bit key of a canonical URL — built-in xxhash64 (JVM, codegen'd)."""
     return F.xxhash64(col)

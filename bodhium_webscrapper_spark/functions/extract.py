@@ -144,10 +144,22 @@ _PAGE_OUTLINKS_STRUCT = StructType(
 _HOST_RE = re.compile(r"^https?://([^/:?#]+)")
 
 
-def make_extract_page_outlinks_udf(same_host_only: bool = True):
+def make_extract_page_outlinks_udf(link_scope: str = "host"):
     """Fused extract+canonicalize page UDF: (html, page_url) →
     struct(text, outlinks) where ``outlinks`` are already RESOLVED and
-    CANONICALIZED (and same-host filtered when configured).
+    CANONICALIZED (and scope-filtered when configured).
+
+    ``link_scope`` — which outlinks count as in-scope (P4/P7):
+      - ``"host"``        exact host equality (default; app.py:497
+                          exclude_external_links as exact-host)
+      - ``"registrable"`` eTLD+1 equality (blog.example.co.uk ↔
+                          example.co.uk) via the embedded public-suffix
+                          snapshot — what a real crawl operator means by
+                          "same site"
+      - ``"substring"``   the reference's quirk, base host as a substring of
+                          the link host (app.py:384-387) — fixture
+                          compatibility mode
+      - ``"all"``         no filtering (external links kept)
 
     This folds the wave loop's outlink-canonicalization pass into the same
     Arrow batch as text extraction: the html payload crosses into Python
@@ -162,7 +174,13 @@ def make_extract_page_outlinks_udf(same_host_only: bool = True):
     rows are keyed by xxhash64(url), which only ever matches a frontier row
     when ``url`` equals its canonical form).
     """
-    from bodhium_webscrapper_spark.functions.canonicalize import resolve_series
+    from bodhium_webscrapper_spark.functions.canonicalize import (
+        registrable_domain_py,
+        resolve_series,
+    )
+
+    if link_scope not in ("host", "registrable", "substring", "all"):
+        raise ValueError(f"unknown link_scope {link_scope!r}")
 
     @pandas_udf(_PAGE_OUTLINKS_STRUCT)
     def extract_page_outlinks(html: pd.Series, page_url: pd.Series) -> pd.DataFrame:
@@ -179,13 +197,30 @@ def make_extract_page_outlinks_udf(same_host_only: bool = True):
             )
             canon = resolve_series(links, bases)
             keep = canon.notna().to_numpy()
-            if same_host_only:
+            if link_scope != "all":
                 # hosts of canonical forms: scheme://host[:port]/..., host
                 # already lowercased/www-stripped by canonicalization —
                 # one vectorized regex instead of a per-link urlsplit
                 link_hosts = canon.str.extract(_HOST_RE, expand=False)
                 base_hosts = bases.str.extract(_HOST_RE, expand=False)
-                keep &= (link_hosts == base_hosts).to_numpy()
+                same_host = (link_hosts == base_hosts).to_numpy()
+                if link_scope == "host":
+                    keep &= same_host
+                else:
+                    # exact-host links pass every scope; only the (few)
+                    # cross-host survivors need the per-link check
+                    widen = keep & ~same_host
+                    for i in np.nonzero(widen)[0]:
+                        lh, bh = link_hosts.iloc[i], base_hosts.iloc[i]
+                        if lh is None or (isinstance(lh, float)) or bh is None:
+                            widen[i] = False
+                        elif link_scope == "registrable":
+                            widen[i] = (
+                                registrable_domain_py(lh) == registrable_domain_py(bh)
+                            )
+                        else:  # substring: the reference quirk app.py:384-387
+                            widen[i] = bh in lh
+                    keep &= same_host | widen
             row_idx = np.repeat(np.arange(n_rows), counts)[keep]
             kept = canon.to_numpy()[keep]
             bounds = np.searchsorted(row_idx, np.arange(1, n_rows))

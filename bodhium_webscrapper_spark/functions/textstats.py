@@ -124,3 +124,48 @@ def doc_fingerprint(text: Column) -> Column:
     the reference's product_hash is sha256 of concatenated fields,
     RDS/app.py:459-460)."""
     return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
+
+
+# PII patterns: deliberately backref/lookaround-free so Java regex (Spark)
+# and RE2 (DuckDB oracle, and most scale-out regex engines) agree exactly
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    "phone": (r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+}
+
+
+def pii_scrub(text: Column) -> Column:
+    """Redact emails / SSNs / phone numbers / IPv4 literals with typed
+    placeholder tokens — pure JVM regexp_replace chain (scan-speed over
+    100 TB; order matters: email first so its digits can't be phone-matched,
+    SSN before the looser phone shape)."""
+    out = text
+    for pat, token in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-category PII match counts (JVM regexp_count)."""
+    return {name: F.regexp_count(text, F.lit(pat)) for name, (pat, _) in PII_PATTERNS.items()}
+
+
+BOILERPLATE_LINE_PATTERN = (
+    r"^\s*(copyright|all rights reserved|terms of (service|use)|"
+    r"privacy policy|cookie policy|subscribe to our newsletter|"
+    r"click here|share this (page|article))"
+)
+
+
+def strip_boilerplate(text: Column, pattern: str = BOILERPLATE_LINE_PATTERN) -> Column:
+    """Drop boilerplate LINES (copyright footers, nav/share chrome) from a
+    document, keeping content lines verbatim. Matching is on the lowercased
+    line against ``pattern`` (anchored at line start). Uses an array
+    higher-order filter — interpreted, not codegen'd, so keep it out of
+    per-wave hot loops; as a once-per-corpus curation stage the regex cost
+    dominates anyway."""
+    lines = F.split(text, r"\n")
+    kept = F.filter(lines, lambda l: ~F.lower(l).rlike(pattern))
+    return F.array_join(kept, "\n")

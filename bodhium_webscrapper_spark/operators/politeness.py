@@ -18,6 +18,15 @@ join skew but not window skew. We use salted two-phase top-k:
 Result is exactly the global per-host top-k because any row in the true
 top-k is also in the top-k of its salt cell. Ordering (priority desc,
 url_hash) is a pure function of the data → deterministic scheduling.
+
+Note (Spark ≥3.5/4): for CONSTANT budgets at or below
+``spark.sql.optimizer.windowGroupLimitThreshold`` (default 1000) the
+optimizer already pushes a map-side window-group-limit, which bounds the
+straggler much like salting's phase 1. Salting remains the load-bearing
+defense in exactly the regimes that pushdown does not cover — budgets above
+the threshold (real crawls schedule 10^4-10^5 URLs/host/wave) and per-host
+``budget_col`` caps (non-constant limit, no pushdown) — verified by the
+wall-clock skew test (tests/test_politeness.py).
 """
 
 from __future__ import annotations

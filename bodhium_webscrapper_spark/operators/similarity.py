@@ -207,12 +207,18 @@ def lsh_topk(
     k: int = 10,
     n_planes: int = 6,
     seed: int = 42,
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: hyperplane-bucket equi-join + exact rerank.
 
-    Recall < 1.0 by construction (single probe); raise recall by lowering
-    n_planes or adding multi-probe. This is the 100 TB path: candidates per
-    query shrink by ~2^n_planes versus brute force.
+    Recall < 1.0 by construction (single probe); ``multi_probe=True`` also
+    probes every 1-bit-flip neighbor of the query's bucket (n_planes+1
+    buckets per query) — a true near-neighbor differs from the query in few
+    plane signs, so multi-probe recovers most single-probe misses WITHOUT a
+    second index or lower selectivity for the corpus side. Cost: the
+    (small, broadcast) query side fans out ×(n_planes+1); the corpus is
+    still bucketed once. This is the 100 TB path: candidates per query
+    shrink by ~2^n_planes versus brute force (÷(n_planes+1) when probing).
     """
     dim = len(corpus.select(vec_col).first()[0])
     bucket = hyperplane_bucket_udf(dim, n_planes, seed)
@@ -224,11 +230,25 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        bucket(F.col(vec_col)).alias("_bucket"),
+        bucket(F.col(vec_col)).alias("_bucket0"),
     )
+    if multi_probe:
+        # exact bucket + all 1-bit flips, built JVM-side from the UDF output
+        probes = F.array(
+            F.col("_bucket0"),
+            *[F.col("_bucket0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        )
+        q = q.select(
+            "query_id", "_qv", F.explode(probes).alias("_bucket")
+        )
+    else:
+        q = q.withColumnRenamed("_bucket0", "_bucket")
     scored = (
         c.join(F.broadcast(q), "_bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", cosine_similarity_col(F.col("_cv"), F.col("_qv")))
     )
+    if multi_probe:
+        # a candidate can match several probes of the same query
+        scored = scored.dropDuplicates(["query_id", "neighbor_id"])
     return _topk_per_query(scored, k)

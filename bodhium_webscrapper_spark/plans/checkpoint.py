@@ -72,6 +72,11 @@ class SnapshotStore:
     def wave_dir(self, wave: int, name: str) -> str:
         return os.path.join(self.root, f"wave={wave:04d}", name)
 
+    def has_artifact(self, wave: int, name: str) -> bool:
+        """Store-agnostic artifact existence check (CrawlJob uses this, not
+        paths, so an Iceberg-backed store can answer from metadata)."""
+        return os.path.exists(self.wave_dir(wave, name))
+
     def write(self, wave: int, name: str, df: DataFrame) -> str:
         path = self.wave_dir(wave, name)
         if os.path.exists(path):

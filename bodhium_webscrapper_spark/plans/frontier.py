@@ -46,7 +46,6 @@ Scale notes (100 TB / 10^10 URLs):
 
 from __future__ import annotations
 
-import os
 import time
 from dataclasses import dataclass, field
 
@@ -126,6 +125,12 @@ class CrawlConfig:
     seen_broadcast_threshold: int = 4_000_000  # below: broadcast anti-join, no bloom
     salt_activation_threshold: int = 2_000_000  # salt only when frontier is huge
     same_host_only: bool = True  # app.py:497 exclude_external_links
+    # what "same site" means when same_host_only is on (P4):
+    #  "host" = exact host equality (default);
+    #  "registrable" = eTLD+1 via the embedded public-suffix snapshot
+    #    (blog.example.co.uk ↔ example.co.uk);
+    #  "substring" = the reference's quirk (app.py:384-387), fixture mode
+    domain_scope: str = "host"
     priority_decay: float = 0.5
     verify_extraction: bool = False  # assert byte-identical text vs golden
 
@@ -179,10 +184,14 @@ class CrawlJob:
         config: CrawlConfig,
         checkpoint_dir: str,
         job_id: str = "crawl",
+        store=None,
     ):
+        """``store``: inject a SnapshotStore-compatible backend (e.g.
+        plans.iceberg_store.IcebergSnapshotStore); default is the local
+        parquet+manifest shim rooted at ``checkpoint_dir``."""
         self.spark = spark
         self.config = config
-        self.store = SnapshotStore(checkpoint_dir)
+        self.store = store if store is not None else SnapshotStore(checkpoint_dir)
         self.job_id = job_id
         self.seeds = seeds
         self.robots = robots
@@ -213,8 +222,10 @@ class CrawlJob:
         cols = ["url_hash", "url", "html"] + (["text"] if config.verify_extraction else [])
         self.pages = spark.read.parquet(pages_path).select(*cols)
         # fused extract+canonicalize UDF: one Arrow pass yields text AND the
-        # page's canonicalized (same-host-filtered) outlinks
-        self._extract_udf = make_extract_page_outlinks_udf(config.same_host_only)
+        # page's canonicalized, scope-filtered outlinks
+        self._extract_udf = make_extract_page_outlinks_udf(
+            config.domain_scope if config.same_host_only else "all"
+        )
 
     # ---- wave-0 frontier from seeds (reference discovery, app.py:297-396)
     def _seed_frontier(self) -> DataFrame:
@@ -563,7 +574,7 @@ class CrawlJob:
                 # artifact when one exists (resume), else one O(seen) build —
                 # then incremental O(delta) afterwards
                 if bloom_hydrated_upto < wave - 1 and wave > 0:
-                    if os.path.exists(self.store.wave_dir(wave - 1, "bloom")):
+                    if self.store.has_artifact(wave - 1, "bloom"):
                         bloom.blobs = self.store.read(self.spark, wave - 1, "bloom")
                     else:
                         bloom.add_delta(self._seen_upto(wave - 1))
@@ -640,7 +651,7 @@ class CrawlJob:
         equation frontier_{t+1} = outlinks ∪ fetch-misses."""
         df = self.store.read_deltas(self.spark, "scheduled", wave)
         seen = df.select("url_hash", F.col("canonical_url").alias("url"))
-        if os.path.exists(self.store.wave_dir(wave, "page_results")):
+        if self.store.has_artifact(wave, "page_results"):
             pending = self._pending_misses(wave, incremented=False)
             seen = seen.join(F.broadcast(pending), "url_hash", "left_anti")
         return seen

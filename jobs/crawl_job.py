@@ -41,6 +41,15 @@ def main() -> int:
     p.add_argument("--verify-extraction", action="store_true")
     p.add_argument("--master", default=os.environ.get("SPARK_MASTER", "local[*]"))
     p.add_argument(
+        "--iceberg-warehouse",
+        help="use an Iceberg-backed snapshot store at this warehouse path "
+        "(requires the iceberg-spark-runtime jar, e.g. spark-submit "
+        "--packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:...); "
+        "--checkpoint is then unused",
+    )
+    p.add_argument("--iceberg-catalog", default="local")
+    p.add_argument("--iceberg-namespace", default="crawl_ckpt")
+    p.add_argument(
         "--synthesize",
         type=int,
         metavar="N_PAGES",
@@ -52,7 +61,26 @@ def main() -> int:
     from bodhium_webscrapper_spark.plans.frontier import CrawlConfig, CrawlJob
     from bodhium_webscrapper_spark.session import build_session
 
-    spark = build_session(master=args.master, app_name="crawl_job")
+    extra = {}
+    if args.iceberg_warehouse:
+        from bodhium_webscrapper_spark.plans.iceberg_store import iceberg_conf
+
+        extra = iceberg_conf(args.iceberg_catalog, args.iceberg_warehouse)
+    spark = build_session(master=args.master, app_name="crawl_job", extra_conf=extra)
+
+    store = None
+    if args.iceberg_warehouse:
+        from bodhium_webscrapper_spark.plans.iceberg_store import (
+            IcebergSnapshotStore,
+            has_iceberg_runtime,
+        )
+
+        if not has_iceberg_runtime(spark):
+            p.error(
+                "--iceberg-warehouse given but no iceberg-spark-runtime jar "
+                "on the classpath (add --packages org.apache.iceberg:...)"
+            )
+        store = IcebergSnapshotStore(spark, args.iceberg_catalog, args.iceberg_namespace)
 
     if args.synthesize:
         from bodhium_webscrapper_spark.sources.datagen import (
@@ -68,7 +96,10 @@ def main() -> int:
         args.robots = paths["robots"]
         args.checkpoint = args.checkpoint or os.path.join(args.workdir, "ckpt")
 
-    missing = [k for k in ("pages", "seeds", "robots", "checkpoint") if not getattr(args, k)]
+    required = ["pages", "seeds", "robots"]
+    if not args.iceberg_warehouse:
+        required.append("checkpoint")
+    missing = [k for k in required if not getattr(args, k)]
     if missing:
         p.error(f"missing required arguments: {', '.join('--' + m for m in missing)} "
                 f"(or use --synthesize)")
@@ -86,7 +117,8 @@ def main() -> int:
         spark.read.parquet(args.seeds),
         spark.read.parquet(args.robots),
         cfg,
-        args.checkpoint,
+        args.checkpoint or "unused-with-iceberg-store",
+        store=store,
     )
     summary = job.run(resume=args.resume)
     print(json.dumps(summary))

@@ -92,6 +92,77 @@ def test_crawl_delay_budget(spark):
     assert "_host_budget" not in out.columns
 
 
+def _stage_task_skew(spark, job_group: str) -> float:
+    """Worst max/median task duration over the job group's multi-task
+    stages, via the JVM status store (per-task wall-clock, not row counts).
+    A straggler is a straggler whichever stage it lives in, so the metric is
+    the max across stages; trivially short stages (max task under 200 ms)
+    are noise, not stragglers, and are skipped."""
+    tracker = spark.sparkContext.statusTracker()
+    store = spark.sparkContext._jsc.sc().statusStore()
+    worst = None
+    for job_id in tracker.getJobIdsForGroup(job_group):
+        for sid in tracker.getJobInfo(job_id).stageIds:
+            tl = store.taskList(sid, 0, 10_000)
+            durs = sorted(
+                tl.apply(i).duration().get() for i in range(tl.size())
+            )
+            if len(durs) < 4 or durs[-1] < 200:
+                continue
+            ratio = durs[-1] / max(1, durs[len(durs) // 2])
+            if worst is None or ratio > worst:
+                worst = ratio
+    assert worst is not None, "no substantial multi-task stage found"
+    return worst
+
+
+def test_salting_bounds_task_walltime(spark):
+    """SURVEY §7 hard-part (d): scheduling skew is about WALL-CLOCK balance,
+    not row counts — under a mega-host holding half the frontier, the
+    unsalted politeness window funnels that host's rows through one task
+    (max/median task time blows up), while the salted two-phase top-k keeps
+    task times balanced. Measured from the Spark status store, best-of-2
+    per variant (noisy host).
+
+    The budget must exceed spark.sql.optimizer.windowGroupLimitThreshold
+    (1000): below it Spark 4 pushes a map-side window-group-limit that
+    already bounds the straggler — the regime where host-hash salting
+    genuinely matters is big budgets (the bench crawls at 50k/host) and
+    per-host budget columns, where no pushdown applies."""
+    import uuid
+
+    n = 2_000_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit("megahost.example"))
+        .otherwise(F.concat(F.lit("h"), (F.col("id") % 20_000).cast("string"),
+                            F.lit(".example")))
+        .alias("host"),
+        F.xxhash64(F.concat(F.lit("s"), F.col("id"))).alias("url_hash"),
+        (F.col("id") % 97).cast("double").alias("priority"),
+    )
+
+    def run(salt_buckets: int) -> float:
+        ratios = []
+        for rep in range(2):
+            group = f"skew_{salt_buckets}_{rep}_{uuid.uuid4().hex[:6]}"
+            spark.sparkContext.setJobGroup(group, "skew probe")
+            try:
+                per_host_budget(df, 5000, salt_buckets=salt_buckets).select(
+                    F.count("url_hash")
+                ).first()
+            finally:
+                spark.sparkContext.setJobGroup(None, None)
+            ratios.append(_stage_task_skew(spark, group))
+        return min(ratios)
+
+    unsalted = run(1)
+    salted = run(16)
+    # the unsalted window's mega-host task dominates its stage; salting must
+    # cut the imbalance by a wide margin
+    assert unsalted > 2.0, f"fixture not skewed enough: {unsalted}"
+    assert salted < unsalted * 0.6, f"salted={salted} vs unsalted={unsalted}"
+
+
 def test_robots_gate_duplicate_host_rows_no_fanout(spark):
     """Duplicate host rows in the rules table must not duplicate frontier
     rows through the left join — rules are flattened per host first."""

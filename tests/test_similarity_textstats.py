@@ -52,6 +52,46 @@ def test_lsh_topk_reasonable_recall(spark):
     assert len(a & e) / len(e) > 0.3  # single-probe recall at n_planes=2
 
 
+def test_lsh_multiprobe_recovers_one_bit_miss(spark):
+    """Craft a near-neighbor whose bucket differs from its true neighbor's
+    by EXACTLY one plane sign at n_planes=8: single-probe must miss it,
+    multi-probe (1-bit-flip neighborhood) must surface it at rank 1."""
+    n_planes, dim, seed = 8, 16, 42
+    planes = np.random.RandomState(seed).standard_normal((dim, n_planes))
+    powers = 1 << np.arange(n_planes)
+
+    def bucket_of(v):
+        return int(((v @ planes) > 0) @ powers)
+
+    rng = np.random.RandomState(11)
+    target = rng.standard_normal(dim)
+    # deterministic scan for a small perturbation flipping exactly one bit
+    query = None
+    for trial in range(1000):
+        cand = target + 0.15 * np.random.RandomState(1000 + trial).standard_normal(dim)
+        if bin(bucket_of(cand) ^ bucket_of(target)).count("1") == 1:
+            query = cand
+            break
+    assert query is not None, "no 1-bit-flip perturbation found (fixture broken)"
+
+    corpus_rows = [(0, target.tolist())] + [
+        (i, rng.standard_normal(dim).tolist()) for i in range(1, 120)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, ["vec_id", "embedding"])
+    queries = spark.createDataFrame([(999, query.tolist())], ["vec_id", "embedding"])
+
+    single = lsh_topk(corpus, queries, k=5, n_planes=n_planes, seed=seed)
+    multi = lsh_topk(
+        corpus, queries, k=5, n_planes=n_planes, seed=seed, multi_probe=True
+    )
+    assert 0 not in {r.neighbor_id for r in single.collect()}  # the miss
+    m = {r.neighbor_id: r for r in multi.collect()}
+    assert 0 in m and m[0].rank == 1  # recovered, and as the top hit
+    # multi-probe candidates are a superset of single-probe's
+    s_ids = {r.neighbor_id for r in single.collect()}
+    assert s_ids <= set(m)
+
+
 def test_textstats(spark):
     df = spark.createDataFrame(
         [

@@ -16,17 +16,25 @@ from pyspark.sql import functions as F
 
 
 def flatten_rules(robots: DataFrame) -> DataFrame:
-    """One (host, disallow_prefixes) row per host.
+    """One (host, disallow_prefixes) row per host, PREFIX-BEARING hosts only.
 
     Duplicate host rows in a raw rules table would fan out frontier rows
     through robots_gate's left join, and the duplicates would then be
-    scheduled separately — flatten all prefix lists per host first. This is
+    scheduled separately — flatten all prefix lists per host first. Hosts
+    whose flattened prefix list is empty are dropped: they gate nothing
+    (absent host ⇒ allowed, exists() over an empty array ⇒ allowed — same
+    answer), and in a realistic corpus most hosts declare no disallows, so
+    keeping them multiplies the per-wave broadcast build for free. This is
     wave-invariant: callers running a loop should compute it once and
     persist (CrawlJob does)."""
-    return robots.groupBy("host").agg(
-        F.array_distinct(F.flatten(F.collect_list("disallow_prefixes"))).alias(
-            "disallow_prefixes"
+    return (
+        robots.groupBy("host")
+        .agg(
+            F.array_distinct(F.flatten(F.collect_list("disallow_prefixes"))).alias(
+                "disallow_prefixes"
+            )
         )
+        .filter(F.size("disallow_prefixes") > 0)
     )
 
 

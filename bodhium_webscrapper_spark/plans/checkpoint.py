@@ -55,6 +55,7 @@ class SnapshotStore:
         # parquet schema inference (a per-read driver round trip that adds
         # up to seconds of fixed latency per wave in the hot loop)
         self._schemas: dict[str, Any] = {}
+        self._arrow_schemas: dict[str, Any] = {}
 
     @property
     def _manifest_path(self) -> str:
@@ -87,6 +88,11 @@ class SnapshotStore:
 
     def _reader(self, spark: SparkSession, name: str):
         schema = self._schemas.get(name)
+        if schema is None and name in self._arrow_schemas:
+            from pyspark.sql.pandas.types import from_arrow_schema
+
+            schema = from_arrow_schema(self._arrow_schemas[name])
+            self._schemas[name] = schema
         return spark.read.schema(schema) if schema is not None else spark.read
 
     def read(self, spark: SparkSession, wave: int, name: str) -> DataFrame:
@@ -118,31 +124,44 @@ class SnapshotStore:
 
     def column_sum(self, wave: int, name: str, col: str) -> int:
         """Driver-side sum of one small numeric column of a written artifact
-        (pyarrow single-column read — no Spark job). Reading one int64
-        column of even a 10M-row wave is tens of MB; the Iceberg equivalent
-        would be a column aggregate pushed to manifest-level stats."""
+        (concurrent pyarrow single-column read — no Spark job). Reading one
+        int64 column of even a 10M-row wave is tens of MB; the Iceberg
+        equivalent would be a column aggregate pushed to manifest stats."""
         import pyarrow.compute as pc
+
+        t = self.read_columns(wave, name, [col])
+        return int(pc.sum(t[col]).as_py() or 0)
+
+    def read_columns(self, wave: int, name: str, cols: list[str]):
+        """Driver-side pyarrow read of a few narrow columns of a written
+        artifact (no Spark job). Returns one concatenated pyarrow Table.
+        Callers gate this on row counts they already have from footers —
+        it is the small-data fast path (e.g. building the pending-retry
+        artifact); stores without local files simply don't offer it and
+        callers fall back to a Spark plan. Files are read concurrently
+        (pyarrow releases the GIL), so this scales with available cores
+        instead of serializing the loop on one thread."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        total = 0
-        for f in self._artifact_files(wave, name):
-            t = pq.read_table(f, columns=[col])
-            s = pc.sum(t[col]).as_py()
-            total += int(s or 0)
-        return total
+        files = self._artifact_files(wave, name)
+        if not files:
+            return pa.table({c: [] for c in cols})
+        if len(files) == 1:
+            return pq.read_table(files[0], columns=cols)
+        with ThreadPoolExecutor(max_workers=min(16, len(files))) as pool:
+            tables = list(pool.map(lambda f: pq.read_table(f, columns=cols), files))
+        return pa.concat_tables(tables)
 
     def count_where_lt(self, wave: int, name: str, col: str, bound: int) -> int:
-        """Driver-side count of rows with ``col < bound`` — same single-column
-        pyarrow read as ``column_sum``."""
+        """Driver-side count of rows with ``col < bound`` — same concurrent
+        single-column pyarrow read as ``column_sum``."""
         import pyarrow.compute as pc
-        import pyarrow.parquet as pq
 
-        total = 0
-        for f in self._artifact_files(wave, name):
-            t = pq.read_table(f, columns=[col])
-            s = pc.sum(pc.less(t[col], bound)).as_py()
-            total += int(s or 0)
-        return total
+        t = self.read_columns(wave, name, [col])
+        return int(pc.sum(pc.less(t[col], bound)).as_py() or 0)
 
     def compact_dir(self, name: str, base_wave: int) -> str:
         return os.path.join(self.root, "compact", name, f"base={base_wave:04d}")
@@ -209,6 +228,7 @@ class SnapshotStore:
             shutil.rmtree(path)
         os.makedirs(path)
         pq.write_table(table, os.path.join(path, "part-00000.parquet"))
+        self._arrow_schemas[name] = table.schema
         return path
 
     def commit_wave(self, wave: int, stats: dict[str, Any]) -> None:

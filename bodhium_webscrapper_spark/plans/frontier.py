@@ -123,6 +123,11 @@ class CrawlConfig:
     # measured slower than the scalable shuffle from ~500k rows up
     broadcast_wave_threshold: int = 250_000
     seen_broadcast_threshold: int = 4_000_000  # below: broadcast anti-join, no bloom
+    # build the pending-retry artifact driver-side (pyarrow column reads +
+    # numpy set difference) while the wave's scheduled set fits comfortably
+    # in driver memory; above it, one extra small Spark anti-join job per
+    # MISS-BEARING wave does the same (zero-miss waves never pay either way)
+    pending_driver_threshold: int = 20_000_000
     salt_activation_threshold: int = 2_000_000  # salt only when frontier is huge
     same_host_only: bool = True  # app.py:497 exclude_external_links
     # what "same site" means when same_host_only is on (P4):
@@ -256,27 +261,81 @@ class CrawlJob:
         """
         return scheduled.withColumn("wave", F.lit(wave))
 
-    def _pending_misses(self, wave: int, incremented: bool) -> DataFrame:
-        """Fetch-misses of ``wave`` that still have retry budget: scheduled
-        rows absent from page_results with retry_count < max_retries. These
-        are the only scheduled URLs NOT permanently seen.
+    _PENDING_COLS = ["url_hash", "canonical_url", "host", "depth",
+                     "priority", "retry_count"]
 
-        ``incremented=True`` returns full frontier rows with retry_count+1
-        (the retry term of the wave equation); ``incremented=False`` returns
-        bare keys (the seen-set exclusion)."""
+    def _write_pending(self, wave: int, n_misses: int) -> int:
+        """Materialize the wave's pending retryable misses
+        (scheduled ∖ fetched, retry_count < max, stored with retry_count+1)
+        as the ``pending`` artifact; returns its row count.
+
+        Zero misses (the common case): an empty table, written driver-side.
+        Small scheduled sets: pyarrow column reads + numpy set difference on
+        the driver — no Spark job. Giant scheduled sets (beyond
+        ``pending_driver_threshold``): one small Spark anti-join job, paid
+        only by miss-bearing giant waves. Either way the artifact is tiny
+        (misses only), so every later consumer — next wave's frontier, the
+        seen-set exclusion — is a cheap read instead of re-deriving the
+        anti-join inside its own plan.
+        """
+        import numpy as np
+        import pyarrow as pa
+
+        cfg = self.config
+        if n_misses == 0:
+            empty = pa.table(
+                {
+                    "url_hash": pa.array([], pa.int64()),
+                    "canonical_url": pa.array([], pa.string()),
+                    "host": pa.array([], pa.string()),
+                    "depth": pa.array([], pa.int32()),
+                    "priority": pa.array([], pa.float64()),
+                    "retry_count": pa.array([], pa.int32()),
+                }
+            )
+            self.store.write_rows(wave, "pending", empty)
+            return 0
+        read_columns = getattr(self.store, "read_columns", None)
+        n_scheduled = self.store.row_count(wave, "scheduled")
+        if read_columns is not None and n_scheduled <= cfg.pending_driver_threshold:
+            sched = read_columns(wave, "scheduled", self._PENDING_COLS)
+            fetched = read_columns(wave, "page_results", ["url_hash"])
+            miss_mask = ~np.isin(
+                sched["url_hash"].to_numpy(), fetched["url_hash"].to_numpy()
+            )
+            misses = sched.filter(pa.array(miss_mask))
+            retry = misses["retry_count"].to_numpy()
+            keep = retry < cfg.max_retries
+            misses = misses.filter(pa.array(keep))
+            misses = misses.set_column(
+                misses.schema.get_field_index("retry_count"),
+                "retry_count",
+                pa.array((retry[keep] + 1).astype(retry.dtype)),
+            )
+            self.store.write_rows(wave, "pending", misses)
+            return misses.num_rows
         scheduled = self.store.read(self.spark, wave, "scheduled")
-        fetched_keys = self.store.read(self.spark, wave, "page_results").select(
-            "url_hash"
+        fetched_keys = self.store.read(self.spark, wave, "page_results").select("url_hash")
+        plan = (
+            scheduled.join(fetched_keys, "url_hash", "left_anti")
+            .filter(F.col("retry_count") < cfg.max_retries)
+            .select(
+                "url_hash", "canonical_url", "host", "depth", "priority",
+                (F.col("retry_count") + 1).alias("retry_count"),
+            )
         )
-        misses = scheduled.join(fetched_keys, "url_hash", "left_anti").filter(
-            F.col("retry_count") < self.config.max_retries
-        )
+        self.store.write(wave, "pending", plan)
+        return self.store.row_count(wave, "pending")
+
+    def _pending_misses(self, wave: int, incremented: bool) -> DataFrame:
+        """Read the wave's pending-retry artifact. ``incremented=True``
+        returns full frontier rows (retry_count already +1 as stored — the
+        retry term of the wave equation); ``incremented=False`` returns bare
+        keys (the seen-set exclusion)."""
+        pending = self.store.read(self.spark, wave, "pending")
         if not incremented:
-            return misses.select("url_hash")
-        return misses.select(
-            "url_hash", "canonical_url", "host", "depth", "priority",
-            (F.col("retry_count") + 1).alias("retry_count"),
-        )
+            return pending.select("url_hash")
+        return pending.select(*self._PENDING_COLS)
 
     def _frontier_after(self, wave: int) -> DataFrame:
         """frontier_{wave+1}, DERIVED lazily from committed artifacts:
@@ -413,7 +472,7 @@ class CrawlJob:
         #      retry_count) onto the narrow extraction output — broadcast
         #      for normal waves, shuffle of narrow rows only for giant ones.
         fetched_cols = ["url_hash", "canonical_url", "host", "depth",
-                        "priority", "retry_count", "wave"]
+                        "priority", "wave"]
         keys = F.broadcast(scheduled.select("url_hash"))
         pruned = self.pages.join(keys, "url_hash", "left_semi")
         raw_cols = [
@@ -444,20 +503,20 @@ class CrawlJob:
                 )
         t = mark("fetch_extract", t)
 
-        # |frontier_{t+1}| without materializing it (the frontier itself is
-        # derived lazily by _frontier_after): outlink rows come from the
-        # n_links column sum, pending retryable misses from two column-level
-        # counts — all driver-side pyarrow reads of the artifacts this wave
-        # already wrote, zero Spark jobs. Exact, because
-        #   pending = |scheduled, retry<max| - |fetched, retry<max|
-        # (every fetched row's retry_count is carried through the attr join).
+        # pending retryable misses, MATERIALIZED as a (tiny) wave artifact:
+        # misses = scheduled ∖ fetched with retry budget left, stored in
+        # frontier-row form (retry_count already incremented). Keeping this
+        # as a stored artifact instead of a lazy anti-join plan removes a
+        # whole broadcast-build sub-job from every subsequent schedule stage
+        # (the next wave's frontier and seen-exclusion just READ it) — that
+        # sub-job was ~half the schedule stage's parallelism-independent
+        # cost. The zero-miss wave (the common case) costs nothing at all.
+        n_misses = n_scheduled - n_fetched
+        n_pending = self._write_pending(wave, n_misses)
+        # |frontier_{t+1}| exactly, zero Spark jobs: outlink rows from the
+        # n_links column sum + the pending artifact's footer count
         n_outlinks = self.store.column_sum(wave, "page_results", "n_links")
-        pending = self.store.count_where_lt(
-            wave, "scheduled", "retry_count", cfg.max_retries
-        ) - self.store.count_where_lt(
-            wave, "page_results", "retry_count", cfg.max_retries
-        )
-        next_candidates = n_outlinks + pending
+        next_candidates = n_outlinks + n_pending
         t = mark("count_next", t)
 
         # per-partition metrics straight from the footers of the artifacts
@@ -485,7 +544,6 @@ class CrawlJob:
         )
         t = mark("commit_writes", t)
 
-        n_misses = n_scheduled - n_fetched
         stats = WaveStats(
             wave=wave,
             candidates=n_candidates,
@@ -651,7 +709,7 @@ class CrawlJob:
         equation frontier_{t+1} = outlinks ∪ fetch-misses."""
         df = self.store.read_deltas(self.spark, "scheduled", wave)
         seen = df.select("url_hash", F.col("canonical_url").alias("url"))
-        if self.store.has_artifact(wave, "page_results"):
+        if self.store.has_artifact(wave, "pending"):
             pending = self._pending_misses(wave, incremented=False)
             seen = seen.join(F.broadcast(pending), "url_hash", "left_anti")
         return seen

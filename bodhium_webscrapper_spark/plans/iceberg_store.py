@@ -115,8 +115,14 @@ class IcebergSnapshotStore:
         return tbl
 
     def write_rows(self, wave: int, name: str, table) -> str:
-        """Small driver-side pyarrow table (metrics/lineage rows)."""
-        return self.write(wave, name, self.spark.createDataFrame(table.to_pandas()))
+        """Small driver-side pyarrow table (metrics/lineage/pending rows);
+        the explicit schema keeps empty tables writable."""
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        df = self.spark.createDataFrame(
+            table.to_pandas(), schema=from_arrow_schema(table.schema)
+        )
+        return self.write(wave, name, df)
 
     def read(self, spark: SparkSession, wave: int, name: str) -> DataFrame:
         return (

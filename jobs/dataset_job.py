@@ -3,6 +3,7 @@
 Runs the documents table through the standard web-text curation stages a
 100 TB training-data pipeline needs (all engine operators):
 
+  boilerplate strip (optional) → PII scrub (optional) →
   quality filter (C4/Gopher-style score) → language filter →
   exact dedup (md5 of normalized text) → near-dup removal (MinHash-LSH,
   exact-Jaccard-verified, keep-min-id survivor) → token accounting
@@ -11,7 +12,7 @@ Usage:
     spark-submit --py-files build/engine.zip jobs/dataset_job.py \
         --input /root/testdata/sf0.01/documents.parquet \
         --output build/cleaned --min-quality 0.2 --langs en \
-        --jaccard 0.8
+        --jaccard 0.8 --pii-scrub --strip-boilerplate
 
 Prints one JSON line with stage-by-stage row counts (the curation funnel).
 """
@@ -35,6 +36,10 @@ def main() -> int:
     p.add_argument("--min-quality", type=float, default=0.2)
     p.add_argument("--langs", default="", help="comma list; empty = keep all")
     p.add_argument("--jaccard", type=float, default=0.8)
+    p.add_argument("--pii-scrub", action="store_true",
+                   help="redact emails/SSNs/phones/IPv4s before scoring")
+    p.add_argument("--strip-boilerplate", action="store_true",
+                   help="drop copyright/nav/share chrome lines before scoring")
     p.add_argument("--master", default=os.environ.get("SPARK_MASTER", "local[*]"))
     args = p.parse_args()
 
@@ -42,7 +47,9 @@ def main() -> int:
 
     from bodhium_webscrapper_spark.functions.textstats import (
         lang_id,
+        pii_scrub,
         quality_score,
+        strip_boilerplate,
         token_count,
     )
     from bodhium_webscrapper_spark.operators.dedup import (
@@ -53,6 +60,12 @@ def main() -> int:
 
     spark = build_session(master=args.master, app_name="dataset_job")
     docs = spark.read.parquet(args.input)
+    # text rewrites happen BEFORE scoring so quality/lang see clean content;
+    # both are narrow per-row column expressions fused into the scoring scan
+    if args.strip_boilerplate:
+        docs = docs.withColumn(args.text_col, strip_boilerplate(F.col(args.text_col)))
+    if args.pii_scrub:
+        docs = docs.withColumn(args.text_col, pii_scrub(F.col(args.text_col)))
 
     # Funnel discipline: every stage is persisted (MEMORY_AND_DISK) so its
     # prefix executes exactly once — a per-stage .count() without the cache

@@ -408,7 +408,45 @@ def main():
     result["frontier"] = frontier
     result["stage_scaling"] = stage_scaling
     result["compaction"] = compaction
-    print(json.dumps(result))
+
+    # FULL results go to a file; stdout gets ONE compact line. The round-3
+    # artifact lost its per-query walls because the full line (16M-page
+    # fixture + per-wave curves + compaction) outgrew the driver's stdout
+    # tail capture ("parsed": null) — the file keeps every detail, the
+    # printed line keeps every headline number and always parses.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "r_full.json"
+    )
+    os.makedirs(os.path.dirname(full_path), exist_ok=True)
+    with open(full_path, "w") as f:
+        json.dump(result, f, indent=1)
+
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "sf": sf,
+        "queries": queries,
+        "full": "BENCH/r_full.json",
+    }
+    if frontier:
+        n_lo = int(os.environ.get("SPARK_GRAFT_BENCH_N", "4"))
+        lo_k, hi_k = f"local[{n_lo}]", f"local[{4 * n_lo}]"
+        compact["frontier"] = {
+            "n_pages": frontier["n_pages"],
+            lo_k: {k: frontier[lo_k][k] for k in ("seconds", "urls_per_sec", "waves")},
+            hi_k: {k: frontier[hi_k][k] for k in ("seconds", "urls_per_sec", "waves")},
+            "scaling_efficiency": frontier["scaling_efficiency"],
+            "steady_state_efficiency": frontier["steady_state_efficiency"],
+        }
+        for extra in ("giant_wave", "biggest_wave_efficiency"):
+            if extra in frontier:
+                compact["frontier"][extra] = frontier[extra]
+    if stage_scaling:
+        compact["stage_efficiency"] = stage_scaling.get("efficiency")
+    if compaction:
+        compact["compaction_identical"] = compaction.get("outputs_identical")
+    print(json.dumps(compact))
 
 
 def _pinned_stage_main():

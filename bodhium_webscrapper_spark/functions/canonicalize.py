@@ -193,8 +193,9 @@ def host_of(col: Column) -> Column:
 
 # Embedded SNAPSHOT of multi-label public suffixes (publicsuffix.org — public
 # data). Deliberately a representative subset: a production deployment swaps
-# in the full PSL file via ``set_public_suffixes``. Single-label TLDs need no
-# entry (the default "last two labels" rule covers them).
+# in the full PSL via ``set_public_suffixes(load_public_suffix_list(text))``.
+# Single-label TLDs need no entry (the default "last two labels" rule covers
+# them).
 PUBLIC_SUFFIXES_2LABEL: frozenset[str] = frozenset(
     """
     co.uk org.uk me.uk ac.uk gov.uk net.uk sch.uk ltd.uk plc.uk
@@ -232,43 +233,160 @@ PUBLIC_SUFFIXES_2LABEL: frozenset[str] = frozenset(
     """.split()
 )
 
+# 3/4-label ICANN rules (publicsuffix.org): US K-12/community-college/library
+# registries and Australian state education domains.
+PUBLIC_SUFFIXES_3LABEL: frozenset[str] = frozenset(
+    """
+    k12.ca.us k12.ny.us k12.tx.us k12.fl.us k12.il.us k12.pa.us k12.oh.us
+    k12.ga.us k12.nc.us k12.mi.us k12.nj.us k12.va.us k12.wa.us k12.ma.us
+    cc.ca.us cc.ny.us cc.tx.us lib.ca.us lib.ny.us lib.tx.us
+    act.edu.au nsw.edu.au nt.edu.au qld.edu.au sa.edu.au tas.edu.au
+    vic.edu.au wa.edu.au
+    pvt.k12.ma.us chtr.k12.ma.us paroch.k12.ma.us
+    """.split()
+)
 
-def registrable_domain_py(host: str | None) -> str | None:
-    """eTLD+1 of a canonical host (pure function; the python twin of
-    ``registrable_domain``). Hosts with <=2 labels, IP literals, and hosts
-    whose last two labels are not a known multi-label public suffix follow
-    the default rule (last two labels)."""
+# PRIVATE-section suffixes (publicsuffix.org "PRIVATE DOMAINS"): hosted-
+# subdomain platforms where each subdomain is a distinct registrant — the
+# sites where eTLD+1 scoping matters most (user1.github.io must NOT be
+# same-site with user2.github.io).
+PRIVATE_SUFFIXES: frozenset[str] = frozenset(
+    """
+    github.io githubusercontent.com gitlab.io blogspot.com appspot.com
+    herokuapp.com netlify.app vercel.app web.app firebaseapp.com
+    azurewebsites.net cloudapp.net wordpress.com pages.dev workers.dev
+    glitch.me neocities.org readthedocs.io s3.amazonaws.com
+    """.split()
+)
+
+_IPV4_RE = re.compile(r"^\d{1,3}(\.\d{1,3}){3}$")
+
+# Active rule table: {suffix label count -> suffixes}. Built by
+# ``set_public_suffixes``; module init installs the embedded snapshot.
+_suffix_rules: dict[int, frozenset[str]] = {}
+
+
+def set_public_suffixes(suffixes) -> None:
+    """Install the public-suffix rule set both twins (``registrable_domain``
+    and ``registrable_domain_py``) consult. Accepts an iterable of plain
+    suffix strings (``co.uk``, ``k12.ca.us``, ``github.io``); a production
+    deployment passes ``load_public_suffix_list(open(psl_path).read())``.
+
+    Rules are grouped by label count; matching picks the LONGEST suffix (the
+    PSL algorithm), and the registrable domain is the suffix plus one label.
+    Single-label entries are dropped (they are the implicit default rule).
+    Wildcard (``*.``) and exception (``!``) entries are rejected — feed raw
+    PSL text through ``load_public_suffix_list``, which strips them.
+
+    JVM caveat: expressions built by ``registrable_domain`` BEFORE the call
+    keep the old rules (the rule set is baked into the Column at build
+    time); python-twin consumers (the fused extraction UDF) pick up the new
+    rules from the next Arrow batch onward — call this before starting jobs.
+    """
+    global _suffix_rules
+    rules: dict[int, set[str]] = {}
+    for s in suffixes:
+        s = s.strip().lower().rstrip(".")
+        if not s:
+            continue
+        if s.startswith(("*", "!")):
+            raise ValueError(
+                f"wildcard/exception rule {s!r} not supported here: parse raw "
+                "PSL text with load_public_suffix_list() first"
+            )
+        k = s.count(".") + 1
+        if k >= 2:
+            rules.setdefault(k, set()).add(s)
+    _suffix_rules = {k: frozenset(v) for k, v in sorted(rules.items())}
+
+
+def load_public_suffix_list(text: str, include_private: bool = True) -> list[str]:
+    """Parse publicsuffix.org list format → plain suffix strings for
+    ``set_public_suffixes``. Handles ``//`` comments, blank lines, and the
+    ICANN/PRIVATE section split (``include_private=False`` stops at the
+    PRIVATE DOMAINS marker). Wildcard (``*.foo``) and exception (``!bar``)
+    rules — a few dozen entries of the ~10k-line list — are SKIPPED: hosts
+    under them fall back to the default last-two-labels rule (documented
+    approximation; exact wildcard semantics need a trie matcher, which would
+    take the JVM twin out of whole-stage codegen)."""
+    out: list[str] = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not include_private and "===BEGIN PRIVATE DOMAINS===" in line:
+            break
+        if not line or line.startswith("//"):
+            continue
+        if line.startswith(("*", "!")):
+            continue
+        out.append(line.split()[0].lower())
+    return out
+
+
+def current_suffix_rules() -> dict[int, frozenset[str]]:
+    """Snapshot of the active rule table. UDF builders capture this in
+    their closure so the rules travel BY VALUE to executors — a bare
+    module-global read inside a UDF would re-import this module on each
+    executor and silently see the default snapshot, not the rules the
+    driver installed with ``set_public_suffixes``."""
+    return _suffix_rules
+
+
+def registrable_domain_with_rules(
+    host: str | None, rules: dict[int, frozenset[str]]
+) -> str | None:
+    """eTLD+1 under an explicit rule table (the executor-safe core of
+    ``registrable_domain_py``). Longest-suffix match; IP literals, hosts
+    with <=2 labels, and hosts matching no rule follow the default
+    last-two-labels rule. A host that IS itself a public suffix is returned
+    unchanged (the PSL says "no registrable domain"; for crawl scoping,
+    identity is the useful answer)."""
     if host is None:
         return None
     if _IPV4_RE.match(host):
         return host
     parts = host.split(".")
-    if len(parts) <= 2:
+    n = len(parts)
+    for k in sorted(rules, reverse=True):
+        if n > k and ".".join(parts[-k:]) in rules[k]:
+            return ".".join(parts[-(k + 1):])
+    if n <= 2:
         return host
-    if ".".join(parts[-2:]) in PUBLIC_SUFFIXES_2LABEL:
-        return ".".join(parts[-3:])
     return ".".join(parts[-2:])
 
 
-_IPV4_RE = re.compile(r"^\d{1,3}(\.\d{1,3}){3}$")
+def registrable_domain_py(host: str | None) -> str | None:
+    """eTLD+1 of a canonical host (pure function; the python twin of
+    ``registrable_domain``) over the active rule table
+    (``set_public_suffixes``). Driver-side convenience — code that ships to
+    executors should capture ``current_suffix_rules()`` and call
+    ``registrable_domain_with_rules`` instead (see ``current_suffix_rules``).
+    """
+    return registrable_domain_with_rules(host, _suffix_rules)
 
 
 def registrable_domain(col: Column) -> Column:
     """eTLD+1 of a canonical host as a pure JVM expression (split +
-    element_at + isin over the embedded suffix snapshot — whole-stage
-    codegen, no Python). Matches ``registrable_domain_py`` exactly."""
+    element_at + InSet membership per rule length — whole-stage codegen, no
+    Python; a 10k-rule full PSL becomes one hash-set probe per label count,
+    not an expression blow-up). Matches ``registrable_domain_py`` exactly
+    for the rule set active at BUILD time (see ``set_public_suffixes``)."""
     parts = F.split(col, r"\.")
     n = F.size(parts)
-    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
-    last3 = F.concat_ws(
-        ".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1)
-    )
-    return (
-        F.when(col.rlike(r"^\d{1,3}(\.\d{1,3}){3}$"), col)
-        .when(n <= 2, col)
-        .when(last2.isin(*sorted(PUBLIC_SUFFIXES_2LABEL)), last3)
-        .otherwise(last2)
-    )
+
+    def last(k: int) -> Column:
+        return F.concat_ws(".", *[F.element_at(parts, -i) for i in range(k, 0, -1)])
+
+    expr = F.when(col.rlike(r"^\d{1,3}(\.\d{1,3}){3}$"), col)
+    for k in sorted(_suffix_rules, reverse=True):
+        expr = expr.when(
+            (n > k) & last(k).isin(*sorted(_suffix_rules[k])), last(k + 1)
+        )
+    return expr.when(n <= 2, col).otherwise(last(2))
+
+
+set_public_suffixes(
+    PUBLIC_SUFFIXES_2LABEL | PUBLIC_SUFFIXES_3LABEL | PRIVATE_SUFFIXES
+)
 
 
 def url_key(col: Column) -> Column:

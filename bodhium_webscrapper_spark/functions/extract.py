@@ -175,12 +175,17 @@ def make_extract_page_outlinks_udf(link_scope: str = "host"):
     when ``url`` equals its canonical form).
     """
     from bodhium_webscrapper_spark.functions.canonicalize import (
-        registrable_domain_py,
+        current_suffix_rules,
+        registrable_domain_with_rules,
         resolve_series,
     )
 
     if link_scope not in ("host", "registrable", "substring", "all"):
         raise ValueError(f"unknown link_scope {link_scope!r}")
+
+    # captured BY VALUE at UDF-build time so executors (which re-import the
+    # module fresh) apply the same public-suffix rules the driver installed
+    psl_rules = current_suffix_rules()
 
     @pandas_udf(_PAGE_OUTLINKS_STRUCT)
     def extract_page_outlinks(html: pd.Series, page_url: pd.Series) -> pd.DataFrame:
@@ -212,11 +217,16 @@ def make_extract_page_outlinks_udf(link_scope: str = "host"):
                     widen = keep & ~same_host
                     for i in np.nonzero(widen)[0]:
                         lh, bh = link_hosts.iloc[i], base_hosts.iloc[i]
-                        if lh is None or (isinstance(lh, float)) or bh is None:
+                        # uniform guard BOTH sides: .str.extract yields NaN
+                        # (float) for non-matching values, and a base url
+                        # that is not absolute http(s) must not crash the
+                        # whole task (one bad pages row ≠ a dead wave)
+                        if not isinstance(lh, str) or not isinstance(bh, str):
                             widen[i] = False
                         elif link_scope == "registrable":
                             widen[i] = (
-                                registrable_domain_py(lh) == registrable_domain_py(bh)
+                                registrable_domain_with_rules(lh, psl_rules)
+                                == registrable_domain_with_rules(bh, psl_rules)
                             )
                         else:  # substring: the reference quirk app.py:384-387
                             widen[i] = bh in lh

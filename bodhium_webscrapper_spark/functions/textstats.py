@@ -163,9 +163,36 @@ def strip_boilerplate(text: Column, pattern: str = BOILERPLATE_LINE_PATTERN) -> 
     """Drop boilerplate LINES (copyright footers, nav/share chrome) from a
     document, keeping content lines verbatim. Matching is on the lowercased
     line against ``pattern`` (anchored at line start). Uses an array
-    higher-order filter — interpreted, not codegen'd, so keep it out of
-    per-wave hot loops; as a once-per-corpus curation stage the regex cost
-    dominates anyway."""
+    higher-order filter — interpreted, not codegen'd; kept as the reference
+    implementation and for pattern styles ``strip_boilerplate_re`` cannot
+    express. Hot 100 TB scan paths should use ``strip_boilerplate_re``
+    (identical output, whole-stage codegen) — equality is pytest-asserted.
+    """
     lines = F.split(text, r"\n")
     kept = F.filter(lines, lambda l: ~F.lower(l).rlike(pattern))
     return F.array_join(kept, "\n")
+
+
+def strip_boilerplate_re(
+    text: Column, pattern: str = BOILERPLATE_LINE_PATTERN
+) -> Column:
+    """``strip_boilerplate`` as a pure ``regexp_replace`` chain — whole-stage
+    codegen (the HOF variant never enters codegen; this is the default for
+    full-corpus scans, e.g. jobs/dataset_job.py).
+
+    Two passes reproduce split→filter→join EXACTLY:
+      1. remove every matched line TOGETHER WITH its trailing newline;
+      2. the only matched line left is a final line with no trailing
+         newline — remove it together with the newline BEFORE it (so
+         "keep\\ndrop" → "keep", not "keep\\n").
+    ``\\s*`` of the line-anchored pattern is rewritten to horizontal
+    whitespace ``[ \\t]*``: in (?m) mode a bare ``\\s`` crosses newlines and
+    would swallow the blank line above a matched line, which the per-line
+    HOF variant keeps.
+    """
+    line_pat = pattern.replace(r"^\s*", r"^[ \t]*")
+    return F.regexp_replace(
+        F.regexp_replace(text, f"(?im){line_pat}[^\\n]*\\n", ""),
+        f"(?im)\\n?{line_pat}[^\\n]*$",
+        "",
+    )

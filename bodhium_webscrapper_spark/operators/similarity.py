@@ -111,6 +111,35 @@ def hyperplane_bucket_udf(dim: int, n_planes: int = 8, seed: int = 42):
     return bucket
 
 
+def hyperplane_probe_udf(dim: int, n_planes: int = 8, seed: int = 42,
+                         n_probes: int = 4):
+    """RANKED multi-probe buckets: base bucket + (n_probes-1) single-bit
+    flips ordered by the vector's distance to each hyperplane (classic
+    multi-probe LSH, Lv et al.). A true near neighbor that lands across a
+    hyperplane almost always crosses one the query is CLOSE to — so probing
+    the lowest-|margin| flips first buys the recall of flipping every bit at
+    a fraction of the fan-out (n_probes ≪ n_planes+1), which matters once
+    the query side stops being broadcast-small. Same plane family as
+    ``hyperplane_bucket_udf`` (pure function of (dim, n_planes, seed));
+    one numpy matmul + argsort per Arrow batch."""
+    planes = np.random.RandomState(seed).standard_normal((dim, n_planes))
+    powers = (1 << np.arange(n_planes)).astype(np.int32)
+    n_flips = max(0, min(n_probes - 1, n_planes))
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def probes(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())
+        proj = mat @ planes
+        base = (((proj > 0) @ powers).astype(np.int32))
+        # margin rank: |proj| ascending = least-confident planes first
+        order = np.argsort(np.abs(proj), axis=1)[:, :n_flips]
+        flips = base[:, None] ^ (1 << order).astype(np.int32)
+        out = np.concatenate([base[:, None], flips], axis=1)
+        return pd.Series(list(out))
+
+    return probes
+
+
 def ivf_centroids(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -208,17 +237,25 @@ def lsh_topk(
     n_planes: int = 6,
     seed: int = 42,
     multi_probe: bool = False,
+    n_probes: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: hyperplane-bucket equi-join + exact rerank.
 
-    Recall < 1.0 by construction (single probe); ``multi_probe=True`` also
-    probes every 1-bit-flip neighbor of the query's bucket (n_planes+1
-    buckets per query) — a true near-neighbor differs from the query in few
-    plane signs, so multi-probe recovers most single-probe misses WITHOUT a
-    second index or lower selectivity for the corpus side. Cost: the
-    (small, broadcast) query side fans out ×(n_planes+1); the corpus is
-    still bucketed once. This is the 100 TB path: candidates per query
-    shrink by ~2^n_planes versus brute force (÷(n_planes+1) when probing).
+    Recall < 1.0 by construction (single probe). Two multi-probe modes:
+
+    - ``multi_probe=True`` probes every 1-bit-flip neighbor of the query's
+      bucket (n_planes+1 buckets per query) — a true near-neighbor differs
+      from the query in few plane signs, so this recovers most single-probe
+      misses WITHOUT a second index or lower corpus-side selectivity.
+    - ``n_probes=T`` (ranked multi-probe, overrides ``multi_probe``) probes
+      only the T buckets most likely to hold misses: the base bucket plus
+      flips of the T-1 planes the query is CLOSEST to (see
+      ``hyperplane_probe_udf``) — same recall mechanism at a fraction of
+      the fan-out, the right default once the query side is large.
+
+    The corpus is bucketed once either way; only the (small, broadcast)
+    query side fans out. This is the 100 TB path: candidates per query
+    shrink by ~2^n_planes versus brute force (÷fan-out when probing).
     """
     dim = len(corpus.select(vec_col).first()[0])
     bucket = hyperplane_bucket_udf(dim, n_planes, seed)
@@ -227,28 +264,37 @@ def lsh_topk(
         F.col(vec_col).alias("_cv"),
         bucket(F.col(vec_col)).alias("_bucket"),
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        bucket(F.col(vec_col)).alias("_bucket0"),
-    )
-    if multi_probe:
-        # exact bucket + all 1-bit flips, built JVM-side from the UDF output
-        probes = F.array(
-            F.col("_bucket0"),
-            *[F.col("_bucket0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
-        )
-        q = q.select(
-            "query_id", "_qv", F.explode(probes).alias("_bucket")
+    fan_out = multi_probe or n_probes is not None
+    if n_probes is not None:
+        probe = hyperplane_probe_udf(dim, n_planes, seed, n_probes=n_probes)
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.explode(probe(F.col(vec_col))).alias("_bucket"),
         )
     else:
-        q = q.withColumnRenamed("_bucket0", "_bucket")
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            bucket(F.col(vec_col)).alias("_bucket0"),
+        )
+        if multi_probe:
+            # exact bucket + all 1-bit flips, built JVM-side from the UDF output
+            probes = F.array(
+                F.col("_bucket0"),
+                *[F.col("_bucket0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+            )
+            q = q.select(
+                "query_id", "_qv", F.explode(probes).alias("_bucket")
+            )
+        else:
+            q = q.withColumnRenamed("_bucket0", "_bucket")
     scored = (
         c.join(F.broadcast(q), "_bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", cosine_similarity_col(F.col("_cv"), F.col("_qv")))
     )
-    if multi_probe:
+    if fan_out:
         # a candidate can match several probes of the same query
         scored = scored.dropDuplicates(["query_id", "neighbor_id"])
     return _topk_per_query(scored, k)

@@ -29,6 +29,15 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Manifest layout version, stamped at every wave commit and checked at
+# resume. Version 2 = the pending-artifact layout (round 3+): the frontier
+# is derived from page_results.outlinks ∪ the per-wave ``pending`` artifact,
+# and wave stats carry ``next_candidates``. Version 1 checkpoints (a
+# materialized ``frontier_next`` artifact, no pending) cannot be resumed by
+# this engine — the resume path fails LOUDLY on the marker instead of with
+# an opaque path-not-found deep inside the first frontier read.
+CHECKPOINT_FORMAT = 2
+
 
 class SnapshotStore:
     """LOCAL-FILESYSTEM contract: ``root`` must be a plain local path.
@@ -155,13 +164,34 @@ class SnapshotStore:
             tables = list(pool.map(lambda f: pq.read_table(f, columns=cols), files))
         return pa.concat_tables(tables)
 
-    def count_where_lt(self, wave: int, name: str, col: str, bound: int) -> int:
-        """Driver-side count of rows with ``col < bound`` — same concurrent
-        single-column pyarrow read as ``column_sum``."""
-        import pyarrow.compute as pc
+    def artifact_bytes(self, wave: int, name: str) -> int:
+        """Total ON-DISK (compressed) size of an artifact's parquet files —
+        an os.stat walk, no file reads. Callers that plan a driver-side read
+        of the artifact gate on this, not just the row count: a 20M-row wave
+        of short URLs fits driver memory, the same rows with kilobyte URLs
+        do not. The Iceberg equivalent sums file_size_in_bytes from the
+        ``.files`` metadata table."""
+        return sum(os.path.getsize(f) for f in self._artifact_files(wave, name))
 
-        t = self.read_columns(wave, name, [col])
-        return int(pc.sum(pc.less(t[col], bound)).as_py() or 0)
+    def partition_metrics(
+        self, wave: int, name: str, bytes_col: str | None = None
+    ) -> list[tuple[int, int, int]]:
+        """Per-file (≙ per-partition) ``(partition_id, rows, bytes)`` stats
+        of a written artifact, from parquet footer metadata — no Spark job.
+
+        This is the STORE-SEAM form of plans.metrics.footer_metrics: the
+        wave loop calls it on whatever store it was given, so a backend
+        whose ``wave_dir`` is a table identifier rather than a directory
+        (IcebergSnapshotStore) can answer from its own metadata instead of
+        the loop os.listdir()-ing a non-path."""
+        from bodhium_webscrapper_spark.plans.metrics import footer_metrics
+
+        return [
+            (pid, rows, nbytes)
+            for (_w, _s, pid, rows, nbytes) in footer_metrics(
+                self.wave_dir(wave, name), wave, name, bytes_col=bytes_col
+            )
+        ]
 
     def compact_dir(self, name: str, base_wave: int) -> str:
         return os.path.join(self.root, "compact", name, f"base={base_wave:04d}")
@@ -239,6 +269,7 @@ class SnapshotStore:
             )
         m["committed_wave"] = wave
         m["waves"][str(wave)] = stats
+        m["format"] = CHECKPOINT_FORMAT
         self._save_manifest(m)
 
     def _save_manifest(self, m: dict[str, Any]) -> None:

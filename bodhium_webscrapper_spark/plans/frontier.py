@@ -61,8 +61,8 @@ from bodhium_webscrapper_spark.operators.politeness import (
 )
 from bodhium_webscrapper_spark.operators.robots import robots_gate
 from bodhium_webscrapper_spark.operators.seen import seen_anti_join_cached
-from bodhium_webscrapper_spark.plans.checkpoint import SnapshotStore
-from bodhium_webscrapper_spark.plans.metrics import footer_metrics, lineage_rows_table
+from bodhium_webscrapper_spark.plans.checkpoint import CHECKPOINT_FORMAT, SnapshotStore
+from bodhium_webscrapper_spark.plans.metrics import lineage_rows_table
 
 FRONTIER_SCHEMA = T.StructType(
     [
@@ -128,6 +128,12 @@ class CrawlConfig:
     # in driver memory; above it, one extra small Spark anti-join job per
     # MISS-BEARING wave does the same (zero-miss waves never pay either way)
     pending_driver_threshold: int = 20_000_000
+    # ...and a BYTE gate on the same decision: the driver read pulls string
+    # columns (canonical_url, host), so a row-count gate alone under-counts
+    # wide rows — kilobyte URLs at 20M rows would be tens of GB on a
+    # standard 4-8 GB cluster driver. Gated on the artifact's on-disk
+    # (compressed) footprint; 256 MB compressed ≲ ~1-1.5 GB in memory.
+    pending_driver_max_bytes: int = 256 * 1024 * 1024
     salt_activation_threshold: int = 2_000_000  # salt only when frontier is huge
     same_host_only: bool = True  # app.py:497 exclude_external_links
     # what "same site" means when same_host_only is on (P4):
@@ -296,8 +302,17 @@ class CrawlJob:
             self.store.write_rows(wave, "pending", empty)
             return 0
         read_columns = getattr(self.store, "read_columns", None)
+        artifact_bytes = getattr(self.store, "artifact_bytes", None)
         n_scheduled = self.store.row_count(wave, "scheduled")
-        if read_columns is not None and n_scheduled <= cfg.pending_driver_threshold:
+        driver_ok = (
+            read_columns is not None
+            and artifact_bytes is not None
+            and n_scheduled <= cfg.pending_driver_threshold
+            # byte gate: on-disk footprint bounds the driver-memory cost of
+            # the string columns a row count cannot see (wide-URL waves)
+            and artifact_bytes(wave, "scheduled") <= cfg.pending_driver_max_bytes
+        )
+        if driver_ok:
             sched = read_columns(wave, "scheduled", self._PENDING_COLS)
             fetched = read_columns(wave, "page_results", ["url_hash"])
             miss_mask = ~np.isin(
@@ -383,7 +398,7 @@ class CrawlJob:
         the stats need is either passed in (``n_candidates`` — the previous
         wave's derived next_candidates) or read driver-side from the parquet
         footers/columns of an artifact the wave writes anyway
-        (``store.row_count`` / ``column_sum`` / ``count_where_lt``). Each
+        (``store.row_count`` / ``column_sum`` / ``partition_metrics``). Each
         removed count was a full Spark job of fixed driver latency — the
         dominant per-wave cost at small wave sizes and the reason round-1
         scaling efficiency collapsed to 0.39. The wave submits exactly TWO
@@ -519,16 +534,23 @@ class CrawlJob:
         next_candidates = n_outlinks + n_pending
         t = mark("count_next", t)
 
-        # per-partition metrics straight from the footers of the artifacts
+        # per-partition metrics straight from the metadata of the artifacts
         # this wave already wrote — zero extra Spark jobs (the seen delta is
-        # likewise NOT written separately: it is a projection of scheduled)
+        # likewise NOT written separately: it is a projection of scheduled).
+        # Routed through the STORE seam: the shim answers from parquet
+        # footers, IcebergSnapshotStore from its .files metadata table —
+        # the loop never assumes wave_dir() is a filesystem path.
         import pyarrow as pa
 
-        rows = footer_metrics(
-            self.store.wave_dir(wave, "scheduled"), wave, "scheduled"
-        ) + footer_metrics(
-            self.store.wave_dir(wave, "page_results"), wave, "fetched", bytes_col="text"
-        )
+        rows = [
+            (wave, "scheduled", pid, n, b)
+            for (pid, n, b) in self.store.partition_metrics(wave, "scheduled")
+        ] + [
+            (wave, "fetched", pid, n, b)
+            for (pid, n, b) in self.store.partition_metrics(
+                wave, "page_results", bytes_col="text"
+            )
+        ]
         self.store.write_rows(
             wave,
             "metrics",
@@ -599,6 +621,19 @@ class CrawlJob:
         n_frontier: int | None = None  # derived count; None = seeds wave
         self._resumed_at = committed + 1 if (resume and committed >= 0) else -1
         if resume and committed >= 0:
+            # checkpoint-format guard: resuming against a manifest written
+            # by an older engine (no ``pending`` artifact, stats without
+            # ``next_candidates``) must fail HERE with a format error, not
+            # waves later with an opaque path-not-found from the first
+            # frontier read
+            fmt = self.store.manifest().get("format")
+            if fmt != CHECKPOINT_FORMAT:
+                raise ValueError(
+                    f"checkpoint format {fmt!r} != engine format "
+                    f"{CHECKPOINT_FORMAT}: this checkpoint was committed by "
+                    "an incompatible engine version (pre-pending-artifact "
+                    "layout); re-run from scratch or migrate the snapshot"
+                )
             start = committed + 1
             frontier = self._frontier_after(committed)
             n_frontier = self.store.manifest()["waves"][str(committed)].get(

@@ -24,10 +24,13 @@ sandbox; the e2e test in tests/test_iceberg_store.py self-skips without it):
 |                                      | transform on the pages table →      |
 |                                      | storage-partitioned join            |
 
-``column_sum``/``count_where_lt`` run as column-pruned Spark aggregates
-(Iceberg keeps min/max per file but not sums); on a cluster these scan one
-int column of one partition — the same order of cost as the shim's local
-pyarrow read, without the local-filesystem assumption.
+``column_sum`` runs as a column-pruned Spark aggregate (Iceberg keeps
+min/max per file but not sums); on a cluster this scans one int column of
+one partition — the same order of cost as the shim's local pyarrow read,
+without the local-filesystem assumption. ``partition_metrics`` and
+``artifact_bytes`` come from the ``.files`` metadata table (record_count /
+file_size_in_bytes per data file) — metadata-only, like the shim's footer
+reads.
 
 Usage:
     spark = build_session(extra_conf=iceberg_conf("local", "build/iceberg_wh"))
@@ -76,9 +79,9 @@ class IcebergSnapshotStore:
     """SnapshotStore-compatible backend over an Iceberg namespace.
 
     Same interface as plans.checkpoint.SnapshotStore (write/read/row_count/
-    column_sum/count_where_lt/read_deltas/has_artifact/manifest/
-    committed_wave/commit_wave/compact_deltas/write_rows); CrawlJob takes it
-    via the ``store=`` seam.
+    column_sum/read_deltas/has_artifact/manifest/committed_wave/commit_wave/
+    compact_deltas/write_rows/partition_metrics/artifact_bytes); CrawlJob
+    takes it via the ``store=`` seam.
     """
 
     def __init__(self, spark: SparkSession, catalog: str, namespace: str,
@@ -109,9 +112,17 @@ class IcebergSnapshotStore:
         if not self.spark.catalog.tableExists(tbl):
             out.writeTo(tbl).using("iceberg").partitionedBy(WAVE_COL).create()
         else:
-            # idempotent wave re-commit after a crash: replace exactly this
-            # wave's partition in one atomic snapshot
-            out.writeTo(tbl).overwritePartitions()
+            # idempotent wave re-commit after a crash. NOT overwritePartitions:
+            # that replaces only partitions PRESENT in the new data, so a
+            # re-run that now produces zero rows for this artifact would
+            # leave the crashed attempt's rows visible (diverging from the
+            # shim's rmtree+rewrite). The explicit partition DELETE is a
+            # metadata-only drop of the wave's data files; delete and append
+            # are two atomic snapshots, and the window between them is
+            # invisible to readers because wave visibility is gated on the
+            # manifest commit, not on table contents.
+            self.spark.sql(f"DELETE FROM {tbl} WHERE {WAVE_COL} = {wave}")
+            out.writeTo(tbl).append()
         return tbl
 
     def write_rows(self, wave: int, name: str, table) -> str:
@@ -172,8 +183,33 @@ class IcebergSnapshotStore:
         )
         return int(r or 0)
 
-    def count_where_lt(self, wave: int, name: str, col: str, bound: int) -> int:
-        return self.read(self.spark, wave, name).filter(F.col(col) < bound).count()
+    def artifact_bytes(self, wave: int, name: str) -> int:
+        """Total on-disk size of the wave partition's data files, from the
+        ``.files`` metadata table — metadata-only, no data scan."""
+        r = self.spark.sql(
+            f"SELECT sum(file_size_in_bytes) FROM {self._tbl(name)}.files "
+            f"WHERE partition.{WAVE_COL} = {wave}"
+        ).first()[0]
+        return int(r or 0)
+
+    def partition_metrics(
+        self, wave: int, name: str, bytes_col: str | None = None
+    ) -> list[tuple[int, int, int]]:
+        """Per-data-file ``(partition_id, rows, bytes)`` from the ``.files``
+        metadata table (record_count / file_size_in_bytes) — the Iceberg
+        twin of the shim's parquet-footer read. ``bytes`` is the file's
+        on-disk size (the ``.files`` column_sizes map is keyed by Iceberg
+        field id, which Spark's schema does not expose, so the per-column
+        uncompressed proxy the shim reports is approximated file-level here;
+        metrics are advisory — see plans.metrics module doc)."""
+        rows = self.spark.sql(
+            f"SELECT record_count, file_size_in_bytes FROM {self._tbl(name)}.files "
+            f"WHERE partition.{WAVE_COL} = {wave} ORDER BY file_path"
+        ).collect()
+        return [
+            (i, int(r[0]), int(r[1]) if bytes_col is not None else 0)
+            for i, r in enumerate(rows)
+        ]
 
     # ---- manifest / commit --------------------------------------------------
     def manifest(self) -> dict[str, Any]:
@@ -197,6 +233,9 @@ class IcebergSnapshotStore:
             )
         m["committed_wave"] = wave
         m["waves"][str(wave)] = stats
+        from bodhium_webscrapper_spark.plans.checkpoint import CHECKPOINT_FORMAT
+
+        m["format"] = CHECKPOINT_FORMAT
         df = self.spark.createDataFrame(
             [(self.job_id, json.dumps(m))], "job_id string, payload string"
         )

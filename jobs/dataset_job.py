@@ -46,10 +46,11 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from bodhium_webscrapper_spark.functions.textstats import (
+        doc_fingerprint,
         lang_id,
         pii_scrub,
         quality_score,
-        strip_boilerplate,
+        strip_boilerplate_re,
         token_count,
     )
     from bodhium_webscrapper_spark.operators.dedup import (
@@ -61,35 +62,50 @@ def main() -> int:
     spark = build_session(master=args.master, app_name="dataset_job")
     docs = spark.read.parquet(args.input)
     # text rewrites happen BEFORE scoring so quality/lang see clean content;
-    # both are narrow per-row column expressions fused into the scoring scan
+    # both are narrow per-row column expressions fused into the scoring scan.
+    # strip_boilerplate_re is the codegen'd regexp_replace twin of the HOF
+    # strip_boilerplate (identical output, pytest-asserted) — the HOF variant
+    # would be the one interpreted expression in this full-corpus scan.
     if args.strip_boilerplate:
-        docs = docs.withColumn(args.text_col, strip_boilerplate(F.col(args.text_col)))
+        docs = docs.withColumn(args.text_col, strip_boilerplate_re(F.col(args.text_col)))
     if args.pii_scrub:
         docs = docs.withColumn(args.text_col, pii_scrub(F.col(args.text_col)))
 
-    # Funnel discipline: every stage is persisted (MEMORY_AND_DISK) so its
-    # prefix executes exactly once — a per-stage .count() without the cache
-    # re-runs quality scoring + lang-id + dedup + LSH from the source
-    # parquet, ~5x the whole pipeline at 100 TB. Caches are released as
-    # soon as the next stage is materialized, so at most two stages are
-    # resident at a time.
-    scored = docs.withColumn("quality", quality_score(F.col(args.text_col))).withColumn(
-        "lang_pred", lang_id(F.col(args.text_col))
-    ).persist()
-    funnel = {"input": scored.count()}
-
-    kept = scored.filter(F.col("quality") >= args.min_quality)
-    funnel["after_quality"] = kept.count()
-
+    # Funnel discipline, wave-loop style: the job runs exactly TWO Spark
+    # actions — one aggregate for every pre-write funnel count, and the
+    # output write itself; post-write counts come free from the parquet
+    # footers of files the job writes anyway. (The round-3 shape persisted
+    # each stage and counted it — correct, but one count-job per stage.)
+    scored = (
+        docs.withColumn("quality", quality_score(F.col(args.text_col)))
+        .withColumn("lang_pred", lang_id(F.col(args.text_col)))
+        .persist()
+    )
+    q_cond = F.col("quality") >= args.min_quality
+    l_cond = q_cond
     if args.langs:
         langs = [x.strip() for x in args.langs.split(",") if x.strip()]
-        kept = kept.filter(F.col("lang_pred").isin(langs))
-    funnel["after_lang"] = kept.count()
+        l_cond = l_cond & F.col("lang_pred").isin(langs)
+    # after_exact_dedup = distinct fingerprints among surviving rows: the
+    # same md5(normalized text) key exact_text_dedup first-wins on
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("input"),
+        F.sum(q_cond.cast("long")).alias("after_quality"),
+        F.sum(l_cond.cast("long")).alias("after_lang"),
+        F.count_distinct(
+            F.when(l_cond, doc_fingerprint(F.col(args.text_col)))
+        ).alias("after_exact_dedup"),
+    ).first()  # Spark action 1 of 2
+    funnel = {k: int(agg[k]) for k in ("input", "after_quality", "after_lang",
+                                       "after_exact_dedup")}
 
-    kept = exact_text_dedup(kept, args.text_col, args.id_col).persist()
-    funnel["after_exact_dedup"] = kept.count()
-    scored.unpersist()
-    deduped = kept
+    # persisted because the write plan consumes it TWICE (LSH candidate
+    # generation + the survivor anti-join): block-level get-or-compute makes
+    # the second subtree reuse partitions the first already materialized,
+    # without spending a separate count action on it
+    deduped = exact_text_dedup(
+        scored.filter(l_cond), args.text_col, args.id_col
+    ).persist()
 
     # near-dup removal: survivor = min id of each near-dup pair component.
     # Pair→drop-list (greedy: drop the larger id of every verified pair) —
@@ -101,13 +117,30 @@ def main() -> int:
     kept = deduped.join(drops, args.id_col, "left_anti")
 
     # final stage is WRITTEN (it is the job's output anyway); its row count
-    # and token total come from the written files, not a recompute
+    # and token total come from the written files' parquet footers + one
+    # driver-side single-column read — zero extra Spark jobs
     out = kept.withColumn("n_tokens", token_count(F.col(args.text_col)))
-    out.write.mode("overwrite").parquet(args.output)
+    out.write.mode("overwrite").parquet(args.output)  # Spark action 2 of 2
+    scored.unpersist()
     deduped.unpersist()
-    final = spark.read.parquet(args.output)
-    funnel["after_near_dedup"] = final.count()
-    funnel["tokens_total"] = final.agg(F.sum("n_tokens")).first()[0]
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        os.path.join(args.output, f)
+        for f in os.listdir(args.output)
+        if f.endswith(".parquet")
+    )
+    funnel["after_near_dedup"] = sum(
+        pq.ParquetFile(f).metadata.num_rows for f in files
+    )
+    funnel["tokens_total"] = int(
+        sum(
+            pc.sum(pq.read_table(f, columns=["n_tokens"])["n_tokens"]).as_py() or 0
+            for f in files
+        )
+    )
     print(json.dumps(funnel))
     spark.stop()
     return 0

@@ -81,8 +81,9 @@ def test_iceberg_store_interface_parity():
 
     needed = [
         "write", "write_rows", "read", "read_deltas", "has_artifact",
-        "row_count", "column_sum", "count_where_lt", "manifest",
-        "committed_wave", "commit_wave", "compact_deltas", "wave_dir",
+        "row_count", "column_sum", "manifest", "partition_metrics",
+        "artifact_bytes", "committed_wave", "commit_wave", "compact_deltas",
+        "wave_dir",
     ]
     for member in needed:
         assert callable(getattr(SnapshotStore, member)), member

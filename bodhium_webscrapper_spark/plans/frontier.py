@@ -19,7 +19,9 @@ parquet footers and the next frontier is DERIVED, not materialized:
   scheduled  = per-host top-budget window, host-hash salted        [W1/W3]
                → global wave cap, ordered (priority desc, url_hash)[W2]
                → WRITE (job 1)
-  fetched    = pages BROADCAST-KEYS-SEMI-JOIN scheduled            [J1/S4]
+  fetched    = pages BROADCAST-HASH-JOIN scheduled (normal waves
+               carry the numeric attrs in the broadcast — ONE join;
+               giant waves: keys-only semi-join + attrs shuffle)   [J1/S4]
   extracted  = ONE fused pandas-UDF pass: text + canonicalized
                same-host outlinks from a single Arrow transfer     [U1/U2/P4/P7]
                → WRITE page_results (job 2)
@@ -117,11 +119,15 @@ class CrawlConfig:
     use_bloom: bool = True
     bloom_buckets: int = 64
     bloom_capacity: int = 4_000_000  # fixed-width blobs -> OR-mergeable deltas
-    # attr-join broadcast cutover: above this the narrow wave attributes
-    # join the extraction output via shuffle instead of broadcast — the
-    # broadcast build is driver-serial (~100 B/row: 250k rows ≈ 25 MB) and
-    # measured slower than the scalable shuffle from ~500k rows up
-    broadcast_wave_threshold: int = 250_000
+    # fetch-join broadcast cutover: up to this wave size the scheduled
+    # wave broadcasts WITH its numeric attributes (url_hash, depth,
+    # priority, wave — 32 B/row, so 4M rows ≈ 128 MB, sized for a standard
+    # 4-8 GB executor) and ONE inner hash join prunes pages and attaches
+    # the attributes in the same probe; above it, the keys-only broadcast
+    # semi-join + a shuffle of the narrow extraction output takes over
+    # (the broadcast build is driver-serial fixed cost, the shuffle scales
+    # with cores). pages never shuffle on either path.
+    broadcast_wave_threshold: int = 4_000_000
     seen_broadcast_threshold: int = 4_000_000  # below: broadcast anti-join, no bloom
     # build the pending-retry artifact driver-side (pyarrow column reads +
     # numpy set difference) while the wave's scheduled set fits comfortably
@@ -149,6 +155,18 @@ class CrawlConfig:
 def dedup_first_wins_frontier(frontier: DataFrame) -> DataFrame:
     """A1: one row per url_hash — keep highest priority, then lowest depth
     (deterministic; discovery order is encoded in (depth, priority)).
+
+    Physical form, MEASURED not guessed (build/bench_dedup_forms.py, 48M
+    rows / 16M keys, local[16]): the row_number window (one exchange + one
+    post-shuffle sort) runs ~2x faster than the tempting
+    ``groupBy(url_hash).agg(max_by(struct(...), struct(...)))`` rewrite —
+    max_by over a struct buffer is not hash-aggregable, so the aggregate
+    falls back to SortAggregate (a SECOND full sort on the map side), and
+    its partial combine recovers almost nothing because a URL's duplicate
+    discoveries come from different pages scattered across partitions
+    (duplicates are not partition-local, so map-side reduction is ~nil).
+    Both forms produce checksum-identical output; the window's exchange is
+    on url_hash, which downstream (the seen anti-join key) reuses.
 
     retry_count is carried as the MAX over the group (same window
     partitioning, so no extra shuffle): a pending retry rediscovered as a
@@ -474,39 +492,71 @@ class CrawlJob:
         t = mark("schedule", t)
 
         # fetch: pages are NEVER shuffled, whatever the wave size.
-        #   1. semi-join prune with BROADCAST KEYS (8 bytes/url — a 5M-URL
-        #      wave broadcasts 40 MB of longs, never the row payloads): the
-        #      100 TB side is scanned once and hash-probed in place. This is
+        #   1. the politeness-capped wave is broadcast into a hash probe of
+        #      pages: the 100 TB side is scanned once and probed in place —
         #      the plain-parquet analogue of Iceberg storage-partitioned
-        #      bucket(N, url_hash) + runtime filtering.
+        #      bucket(N, url_hash) + runtime filtering. Normal waves
+        #      broadcast the NUMERIC attributes too (32 B/row) so ONE inner
+        #      join both prunes pages and attaches depth/priority/wave;
+        #      giant waves (> broadcast_wave_threshold) broadcast keys only
+        #      (8 B/row) as a semi-join and shuffle the narrow extraction
+        #      output onto the attrs instead (broadcast build is
+        #      driver-serial fixed cost; the shuffle scales with cores).
         #   2. ONE fused pandas-UDF pass over the pruned pages extracts text
         #      AND resolves+canonicalizes the outlinks (html never travels
         #      past this projection, and outlink canonicalization shares its
         #      Arrow batch — no second UDF pass, no separate frontier job).
-        #   3. join the narrow wave attributes (url/host/depth/priority/
-        #      retry_count) onto the narrow extraction output — broadcast
-        #      for normal waves, shuffle of narrow rows only for giant ones.
-        fetched_cols = ["url_hash", "canonical_url", "host", "depth",
-                        "priority", "wave"]
-        keys = F.broadcast(scheduled.select("url_hash"))
-        pruned = self.pages.join(keys, "url_hash", "left_semi")
-        raw_cols = [
-            F.col("url_hash"),
+        #   3. canonical_url/host are never broadcast or shuffled at all:
+        #      both sides key on url_hash == xxhash64(<canonical string>),
+        #      so a fetch match implies pages.url IS the scheduled
+        #      canonical_url (the engine merges 64-bit collisions
+        #      identically everywhere), and host is re-derived with the
+        #      same host_of expression that produced it.
+        from bodhium_webscrapper_spark.functions.canonicalize import host_of
+
+        derived_cols = [
+            F.col("url").alias("canonical_url"),
+            host_of(F.col("url")).alias("host"),
+        ]
+        extract_cols = [
             F.col("_page.text").alias("text"),
             F.col("_page.outlinks").alias("outlinks"),
             F.size(F.col("_page.outlinks")).alias("n_links"),
         ]
         if cfg.verify_extraction:
-            raw_cols.append(
+            extract_cols.append(
                 F.col("_page.text").eqNullSafe(F.col("text")).alias("golden_ok")
             )
-        raw = pruned.withColumn(
-            "_page", self._extract_udf(F.col("html"), F.col("url"))
-        ).select(*raw_cols)
-        attrs = scheduled.select(*fetched_cols)
         if n_scheduled <= cfg.broadcast_wave_threshold:
-            attrs = F.broadcast(attrs)
-        fetch_plan = raw.join(attrs, "url_hash")
+            attrs = F.broadcast(
+                scheduled.select("url_hash", "depth", "priority", "wave")
+            )
+            fetch_plan = (
+                self.pages.join(attrs, "url_hash")
+                .withColumn("_page", self._extract_udf(F.col("html"), F.col("url")))
+                .select(
+                    F.col("url_hash"),
+                    *derived_cols,
+                    F.col("depth"),
+                    F.col("priority"),
+                    F.col("wave"),
+                    *extract_cols,
+                )
+            )
+        else:
+            keys = F.broadcast(scheduled.select("url_hash"))
+            raw = (
+                self.pages.join(keys, "url_hash", "left_semi")
+                .withColumn("_page", self._extract_udf(F.col("html"), F.col("url")))
+                .select(F.col("url_hash"), *derived_cols, *extract_cols)
+            )
+            attrs = scheduled.select("url_hash", "depth", "priority", "wave")
+            # same column order as the broadcast path (one artifact schema)
+            final_cols = ["url_hash", "canonical_url", "host", "depth",
+                          "priority", "wave", "text", "outlinks", "n_links"]
+            if cfg.verify_extraction:
+                final_cols.append("golden_ok")
+            fetch_plan = raw.join(attrs, "url_hash").select(*final_cols)
         self.store.write(wave, "page_results", fetch_plan)
         n_fetched = self.store.row_count(wave, "page_results")  # footer, no job
         if cfg.verify_extraction:
@@ -533,38 +583,6 @@ class CrawlJob:
         n_outlinks = self.store.column_sum(wave, "page_results", "n_links")
         next_candidates = n_outlinks + n_pending
         t = mark("count_next", t)
-
-        # per-partition metrics straight from the metadata of the artifacts
-        # this wave already wrote — zero extra Spark jobs (the seen delta is
-        # likewise NOT written separately: it is a projection of scheduled).
-        # Routed through the STORE seam: the shim answers from parquet
-        # footers, IcebergSnapshotStore from its .files metadata table —
-        # the loop never assumes wave_dir() is a filesystem path.
-        import pyarrow as pa
-
-        rows = [
-            (wave, "scheduled", pid, n, b)
-            for (pid, n, b) in self.store.partition_metrics(wave, "scheduled")
-        ] + [
-            (wave, "fetched", pid, n, b)
-            for (pid, n, b) in self.store.partition_metrics(
-                wave, "page_results", bytes_col="text"
-            )
-        ]
-        self.store.write_rows(
-            wave,
-            "metrics",
-            pa.table(
-                {
-                    "wave": pa.array([r[0] for r in rows], pa.int32()),
-                    "stage": pa.array([r[1] for r in rows], pa.string()),
-                    "partition_id": pa.array([r[2] for r in rows], pa.int32()),
-                    "rows": pa.array([r[3] for r in rows], pa.int64()),
-                    "bytes": pa.array([r[4] for r in rows], pa.int64()),
-                }
-            ),
-        )
-        t = mark("commit_writes", t)
 
         stats = WaveStats(
             wave=wave,
@@ -595,11 +613,80 @@ class CrawlJob:
                 },
             )
         )
-        self.store.write_rows(
-            wave, "lineage", lineage_rows_table(self.job_id, wave, events)
-        )
-        self.store.commit_wave(wave, {**stats.__dict__, "timings": timings})
+        # wave finalize — per-partition metrics (footer/metadata reads via
+        # the store seam: the shim answers from parquet footers,
+        # IcebergSnapshotStore from its .files metadata table — the loop
+        # never assumes wave_dir() is a filesystem path), lineage rows, and
+        # the manifest commit. Every input (the wave's artifacts) is already
+        # durably written and every count already extracted, so NONE of it
+        # is on the next wave's data path: it runs on a background thread,
+        # overlapping the next wave's schedule job. This is ~0.5-1 s/wave of
+        # parallelism-INDEPENDENT driver latency — exactly the fixed cost
+        # that caps N->4N scaling efficiency at small wave sizes. Commit
+        # order is preserved (the loop joins thread t before spawning t+1),
+        # so a crash mid-finalize just leaves wave t uncommitted and resume
+        # redoes it idempotently — the same contract as a crash mid-wave.
+        def finalize() -> None:
+            import pyarrow as pa
+
+            t_fin = time.time()
+            rows = [
+                (wave, "scheduled", pid, n, b)
+                for (pid, n, b) in self.store.partition_metrics(wave, "scheduled")
+            ] + [
+                (wave, "fetched", pid, n, b)
+                for (pid, n, b) in self.store.partition_metrics(
+                    wave, "page_results", bytes_col="text"
+                )
+            ]
+            self.store.write_rows(
+                wave,
+                "metrics",
+                pa.table(
+                    {
+                        "wave": pa.array([r[0] for r in rows], pa.int32()),
+                        "stage": pa.array([r[1] for r in rows], pa.string()),
+                        "partition_id": pa.array([r[2] for r in rows], pa.int32()),
+                        "rows": pa.array([r[3] for r in rows], pa.int64()),
+                        "bytes": pa.array([r[4] for r in rows], pa.int64()),
+                    }
+                ),
+            )
+            self.store.write_rows(
+                wave, "lineage", lineage_rows_table(self.job_id, wave, events)
+            )
+            timings["commit_async"] = round(time.time() - t_fin, 2)
+            self.store.commit_wave(wave, {**stats.__dict__, "timings": timings})
+
+        self._spawn_finalize(finalize)
         return stats
+
+    # ---- background wave-finalize lifecycle (metrics/lineage/commit)
+    def _spawn_finalize(self, fn) -> None:
+        import threading
+
+        self._join_finalize()  # one in flight: commits stay ordered
+
+        def wrapped() -> None:
+            try:
+                fn()
+            except BaseException as e:  # surfaced at the next join
+                self._finalize_err = e
+
+        self._finalize_err = None
+        t = threading.Thread(target=wrapped, name="wave-finalize", daemon=True)
+        t.start()
+        self._finalize_thread = t
+
+    def _join_finalize(self) -> None:
+        t = getattr(self, "_finalize_thread", None)
+        if t is not None:
+            t.join()
+            self._finalize_thread = None
+            err = getattr(self, "_finalize_err", None)
+            if err is not None:
+                self._finalize_err = None
+                raise err
 
     def _materialize_bloom(self, bloom, wave: int) -> None:
         """Write the merged blob table and re-read it: executor-side state,
@@ -683,6 +770,9 @@ class CrawlJob:
             # re-read state from the snapshot: flat lineage, O(1) plans;
             # bloom absorbs only the new delta (O(wave), not O(seen))
             if cfg.compact_seen_every and (wave + 1) % cfg.compact_seen_every == 0:
+                # compaction rewrites the scheduled delta dirs the in-flight
+                # finalize thread is reading footers from — settle it first
+                self._join_finalize()
                 self.store.compact_deltas(self.spark, "scheduled", wave)
             frontier = self._frontier_after(wave)
             n_frontier = stats.next_candidates
@@ -706,6 +796,7 @@ class CrawlJob:
                 self._materialize_bloom(bloom, wave)
                 bloom_hydrated_upto = wave
 
+        self._join_finalize()  # last wave's commit lands before we report
         return {
             "job_id": self.job_id,
             "waves": [s.__dict__ for s in waves_run],

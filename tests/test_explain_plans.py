@@ -69,6 +69,40 @@ def test_fetch_semi_join_shuffle_free_at_giant_wave(spark, crawl_fixture):
     assert "BroadcastHashJoin" in p and "LeftSemi" in p
 
 
+def test_fused_fetch_join_single_join_no_exchange(spark, crawl_fixture):
+    """Round-4 fetch shape (normal waves): ONE broadcast inner join carries
+    the numeric wave attributes into the pages probe — no post-UDF attrs
+    join, zero exchanges anywhere in the fetch plan, and the html column
+    never leaves the scan stage."""
+    from bodhium_webscrapper_spark.functions.canonicalize import host_of
+    from bodhium_webscrapper_spark.functions.extract import extract_page_udf
+
+    pages = spark.read.parquet(crawl_fixture["pages"]).select("url_hash", "url", "html")
+    wave = spark.range(1000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+        F.lit(1).alias("depth"),
+        F.lit(0.5).alias("priority"),
+        F.lit(3).alias("wave"),
+    )
+    fetch = (
+        pages.join(F.broadcast(wave), "url_hash")
+        .withColumn("_page", extract_page_udf(F.col("html")))
+        .select(
+            "url_hash",
+            F.col("url").alias("canonical_url"),
+            host_of(F.col("url")).alias("host"),
+            "depth", "priority", "wave",
+            F.col("_page.text").alias("text"),
+        )
+    )
+    p = plan_of(fetch)
+    assert "Exchange hashpartitioning" not in p  # zero shuffles
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    tree = p.split("\n\n")[0]  # the plan tree, before the per-node detail
+    assert tree.count("Join") == 1  # ONE join total: no post-UDF attrs join
+    assert "ArrowEvalPython" in p and "BatchEvalPython" not in p
+
+
 def test_partial_final_aggregation_and_codegen(spark):
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
     agg = li.groupBy("l_returnflag").agg(F.sum(F.col("l_quantity").cast("long")).alias("s"))

@@ -376,3 +376,46 @@ def test_ranked_multiprobe_fewer_probes(spark):
     ranked_ids = {r.neighbor_id for r in ranked.collect()}
     assert 0 not in single_ids, "planted neighbor must cross a hyperplane"
     assert 0 in ranked_ids, "ranked multi-probe must recover it with 3 probes"
+
+
+# ------------------------------------------- 8. fused fetch join (round-4)
+
+def test_giant_fallback_fetch_identical_to_broadcast(spark, crawl_fixture, tmp_path):
+    """broadcast_wave_threshold=0 forces every wave onto the giant-wave
+    fallback (keys-only semi-join + attrs shuffle); the committed artifacts
+    must be row-identical to the default fused broadcast path — the
+    physical cutover is semantics-free."""
+    a = _mk_job(spark, crawl_fixture, tmp_path, "fetch_bcast")
+    b = _mk_job(
+        spark, crawl_fixture, tmp_path, "fetch_giant", broadcast_wave_threshold=0
+    )
+    sa, sb = a.run(), b.run()
+    assert [w["scheduled"] for w in sa["waves"]] == [
+        w["scheduled"] for w in sb["waves"]
+    ]
+    ea = a.extracted().orderBy("url_hash", "wave")
+    eb = b.extracted().orderBy("url_hash", "wave")
+    assert ea.schema == eb.schema
+    assert ea.exceptAll(eb).isEmpty() and eb.exceptAll(ea).isEmpty()
+    # full page_results schema (incl. derived canonical_url/host) matches too
+    ra = a.store.read(spark, 0, "page_results")
+    rb = b.store.read(spark, 0, "page_results")
+    assert ra.columns == rb.columns
+    assert ra.exceptAll(rb).isEmpty()
+
+
+def test_async_finalize_commits_every_wave(spark, crawl_fixture, tmp_path):
+    """The background wave-finalize must leave the same committed state a
+    synchronous loop would: every run wave committed in order with metrics
+    and lineage artifacts present, and the manifest's last wave equal to
+    the summary's."""
+    job = _mk_job(spark, crawl_fixture, tmp_path, "async_fin")
+    summary = job.run()
+    waves = [w["wave"] for w in summary["waves"]]
+    assert summary["committed_wave"] == waves[-1]
+    m = job.store.manifest()
+    for w in waves:
+        assert str(w) in m["waves"]
+        assert job.store.has_artifact(w, "metrics")
+        assert job.store.has_artifact(w, "lineage")
+        assert "commit_async" in m["waves"][str(w)]["timings"]

@@ -131,11 +131,36 @@ def _run_frontier_inproc(master: str, fixture: dict, tag: str) -> dict:
         salt_buckets=16,
         seen_broadcast_threshold=0,
         use_bloom=False,
+        # fused-broadcast fetch up to this wave size. The engine default
+        # (4M rows ≈ 128 MB) is sized for 4-8 GB cluster executors; this
+        # sandbox's single 48 GB JVM comfortably holds a 10^7-row (~320 MB)
+        # attrs broadcast, and the fused path measured ~30% faster at
+        # local[16] than the semi-join + attrs-shuffle fallback for a
+        # 6.9M-row wave (benchmarks/probe_fetch_variants.py).
+        broadcast_wave_threshold=int(
+            os.environ.get("SPARK_GRAFT_BENCH_BCAST", "30000000")
+        ),
+        # SEED_ALL seeds from the engine's own canonical URL dump, so wave
+        # 0 may skip the canonicalization UDF (pure-JVM keying) — the
+        # full-recrawl configuration
+        seeds_canonical=os.environ.get("SPARK_GRAFT_BENCH_SEED_ALL") == "1",
+    )
+    # SEED_ALL: seed the full URL dump instead of the host roots — the
+    # full-recrawl configuration. One wave then schedules+fetches+extracts
+    # ~the whole pages table (10^7 rows here), the direct analogue of a
+    # 10^8-row wave on a 1000-executor cluster: per-wave fixed latency is
+    # amortized into minutes of scalable stage work.
+    seeds = (
+        spark.read.parquet(fixture["pages"]).selectExpr(
+            "url", "cast(1.0 as double) as priority"
+        )
+        if os.environ.get("SPARK_GRAFT_BENCH_SEED_ALL") == "1"
+        else spark.read.parquet(fixture["seeds_full"])
     )
     job = CrawlJob(
         spark,
         fixture["pages"],
-        spark.read.parquet(fixture["seeds_full"]),
+        seeds,
         spark.read.parquet(fixture["robots"]),
         cfg,
         ckpt,
@@ -413,11 +438,12 @@ def main():
         if os.environ.get("SPARK_GRAFT_SKIP_GIANT") != "1":
             genv = {
                 "SPARK_GRAFT_BENCH_BUDGET": os.environ.get(
-                    "SPARK_GRAFT_GIANT_BUDGET", "1000000"
+                    "SPARK_GRAFT_GIANT_BUDGET", "100000"
                 ),
                 "SPARK_GRAFT_BENCH_WAVES": os.environ.get(
-                    "SPARK_GRAFT_GIANT_WAVES", "3"
+                    "SPARK_GRAFT_GIANT_WAVES", "1"
                 ),
+                "SPARK_GRAFT_BENCH_SEED_ALL": "1",
             }
             g_reps = int(os.environ.get("SPARK_GRAFT_GIANT_REPS", "2"))
             glo_runs = [

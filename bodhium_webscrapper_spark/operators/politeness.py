@@ -45,16 +45,47 @@ def per_host_budget(
     salt_buckets: int = 16,
     rank_col: str | None = None,
     budget_col: str | None = None,
+    count_split: bool = False,
 ) -> DataFrame:
     """Keep the top ``budget`` rows per host under a deterministic order.
 
     ``budget_col``: optional per-row column holding a host-specific budget
     (≤ ``budget``, e.g. reduced by crawl-delay); ``budget`` stays the global
     upper bound so the salted phase-1 prefilter remains a superset.
+
+    ``count_split`` (exact): rows of hosts whose TOTAL count is within
+    their budget pass through untouched — no exchange, no sort — and only
+    over-budget hosts enter the window. The per-host counts are one hash
+    aggregation (map-side combine shrinks it to ~|hosts| rows) whose
+    over-budget survivors broadcast back as a semi-join filter. On a Zipf
+    frontier nearly all HOSTS are under budget, and at large budgets nearly
+    all ROWS are too, so the sort — the politeness stage's dominant,
+    hardest-to-scale cost (row_number windows sort every row of the wave) —
+    shrinks to the head of the distribution. Exactness does not depend on
+    the counts being tight: any superset of the truly-over hosts routes
+    extra hosts through the window, where a cap ≥ count is a no-op filter.
+    Ignored when ``rank_col`` is requested (every row then needs its rank,
+    so every row must be sorted anyway). OFF by default because ``df`` is
+    consumed three times (counts, semi, anti): callers at scale — the wave
+    loop above its salt-activation threshold — persist ``df`` first; for
+    small inputs the extra aggregation is pure overhead.
     """
     order = order_by or [F.col("priority").desc(), F.col("url_hash").asc()]
     cap = F.least(F.lit(budget), F.col(budget_col)) if budget_col else F.lit(budget)
     out = df
+    passthrough = None
+    if count_split and rank_col is None:
+        per_host_cap = (
+            F.min(cap).alias("_cap") if budget_col else F.lit(budget).alias("_cap")
+        )
+        over = (
+            df.groupBy(host_col)
+            .agg(F.count(F.lit(1)).alias("_n"), per_host_cap)
+            .filter(F.col("_n") > F.col("_cap"))
+            .select(host_col)
+        )
+        passthrough = out.join(F.broadcast(over), host_col, "left_anti")
+        out = out.join(F.broadcast(over), host_col, "left_semi")
     if salt_buckets > 1:
         salt = F.pmod(F.xxhash64(F.col("url_hash"), F.lit(SALT_SEED)), F.lit(salt_buckets))
         w1 = Window.partitionBy(F.col(host_col), F.col("_salt")).orderBy(*order)
@@ -70,7 +101,12 @@ def per_host_budget(
         out = out.drop(budget_col)
     if rank_col:
         return out.withColumnRenamed("_rn", rank_col)
-    return out.drop("_rn")
+    out = out.drop("_rn")
+    if passthrough is not None:
+        if budget_col:
+            passthrough = passthrough.drop(budget_col)
+        out = out.unionByName(passthrough)
+    return out
 
 
 def host_budget_map(

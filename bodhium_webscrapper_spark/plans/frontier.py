@@ -150,13 +150,21 @@ class CrawlConfig:
     domain_scope: str = "host"
     priority_decay: float = 0.5
     verify_extraction: bool = False  # assert byte-identical text vs golden
+    # seeds are DECLARED already-canonical (e.g. a full recrawl seeded from
+    # this engine's own frontier/seen dump, whose URLs are canonical by
+    # construction). Wave 0 then skips the canonicalization UDF entirely —
+    # keying/host extraction are pure JVM expressions — and skips the seed
+    # cache (nothing expensive to share between the count and the schedule
+    # job). Default OFF: arbitrary seed lists (the reference's discovery
+    # paths) go through the full canonicalizer.
+    seeds_canonical: bool = False
 
 
 def dedup_first_wins_frontier(frontier: DataFrame) -> DataFrame:
     """A1: one row per url_hash — keep highest priority, then lowest depth
     (deterministic; discovery order is encoded in (depth, priority)).
 
-    Physical form, MEASURED not guessed (build/bench_dedup_forms.py, 48M
+    Physical form, MEASURED not guessed (benchmarks/bench_dedup_forms.py, 48M
     rows / 16M keys, local[16]): the row_number window (one exchange + one
     post-shuffle sort) runs ~2x faster than the tempting
     ``groupBy(url_hash).agg(max_by(struct(...), struct(...)))`` rewrite —
@@ -258,6 +266,26 @@ class CrawlJob:
 
     # ---- wave-0 frontier from seeds (reference discovery, app.py:297-396)
     def _seed_frontier(self) -> DataFrame:
+        if self.config.seeds_canonical:
+            # trusted-canonical seeds: pure JVM keying — no python UDF in
+            # wave 0 at all. The null-host filter mirrors the
+            # canonicalizer's drop semantics for malformed rows.
+            from bodhium_webscrapper_spark.functions.canonicalize import (
+                host_of,
+                url_key,
+            )
+
+            return (
+                self.seeds.select(
+                    url_key(F.col("url")).alias("url_hash"),
+                    F.col("url").alias("canonical_url"),
+                    host_of(F.col("url")).alias("host"),
+                    F.lit(0).alias("depth"),
+                    F.col("priority").cast("double").alias("priority"),
+                    F.lit(0).alias("retry_count"),
+                )
+                .filter(F.col("host").isNotNull())
+            )
         return (
             with_canonical_url(self.seeds, "url")
             .select(
@@ -460,7 +488,8 @@ class CrawlJob:
             if self._rules is not None
             else new
         )
-        salt = cfg.salt_buckets if n_candidates > cfg.salt_activation_threshold else 1
+        huge_wave = n_candidates > cfg.salt_activation_threshold
+        salt = cfg.salt_buckets if huge_wave else 1
         budget_col = None
         if self._budgets is not None:
             gated = with_crawl_delay_budget(
@@ -471,12 +500,26 @@ class CrawlJob:
                 budgets=self._budgets,
             )
             budget_col = "_host_budget"
+        # huge waves: count-split the politeness window (only over-budget
+        # hosts — the Zipf head — pay the sort; the tail passes through
+        # sort-free). The split consumes the gated frontier three times
+        # (counts, semi, anti), so it is persisted for the write's duration
+        # — MEMORY_AND_DISK, a 10^8-row wave spills rather than recomputes
+        # the dedup window. Below the threshold the plain two-phase window
+        # is cheaper than a cache + extra aggregation.
+        gate_cache = None
+        if huge_wave:
+            from pyspark import StorageLevel
+
+            gated = gated.persist(StorageLevel.MEMORY_AND_DISK)
+            gate_cache = gated
         capped = per_host_budget(
             gated,
             cfg.max_urls_per_host_per_wave,
             host_col="host",
             salt_buckets=salt,
             budget_col=budget_col,
+            count_split=huge_wave,
         )
         if cfg.global_wave_limit:
             # TakeOrdered merges the whole wave through the driver — only
@@ -487,6 +530,8 @@ class CrawlJob:
         self.store.write(wave, "scheduled", self._assign_order(capped, wave))
         if probe_cache is not None:  # bloom probe cache served its one action
             probe_cache.unpersist()
+        if gate_cache is not None:  # count-split cache served the write
+            gate_cache.unpersist()
         scheduled = self.store.read(self.spark, wave, "scheduled")
         n_scheduled = self.store.row_count(wave, "scheduled")  # footer, no job
         t = mark("schedule", t)
@@ -727,9 +772,24 @@ class CrawlJob:
                 "next_candidates"
             )
             seen = self._seen_upto(committed)
+            seed_cache = None
         else:
             start = 0
+            # persisted across the seeds wave's TWO consumers (the exact
+            # candidates count and the schedule job): without it the seed
+            # canonicalization UDF runs twice — at full-dump seeding
+            # (10^7-10^8 seeds) that is a whole duplicated Arrow pass.
+            # MEMORY_AND_DISK: a giant seed frontier may exceed executor
+            # storage; spilling beats recomputing the python UDF. With
+            # seeds_canonical there is no UDF to amortize — recomputing the
+            # JVM expressions is cheaper than writing the cache.
             frontier = self._seed_frontier()
+            seed_cache = None
+            if not cfg.seeds_canonical:
+                from pyspark import StorageLevel
+
+                frontier = frontier.persist(StorageLevel.MEMORY_AND_DISK)
+                seed_cache = frontier
             seen = self._empty(SEEN_SCHEMA)
 
         total_scheduled = sum(
@@ -743,9 +803,16 @@ class CrawlJob:
         t_tail = time.time()
         for wave in range(start, cfg.max_waves):
             loop_overhead.append(round(time.time() - t_tail, 3))
-            # footer count makes the empty-check free; isEmpty() on the
-            # seeds plan (first wave only) still needs a job
-            if n_frontier == 0 or (n_frontier is None and frontier.isEmpty()):
+            if n_frontier is None:
+                # seeds wave only: ONE count action doubles as the
+                # empty-check and the seed-cache materialization (an
+                # isEmpty() here used to run the canonicalization UDF a
+                # second time just to probe for a row). Must count the
+                # CANONICALIZED frontier — with_canonical_url drops
+                # null/hostless/non-http seeds, so a raw seeds.count()
+                # would overstate candidates and mis-trigger salting.
+                n_frontier = frontier.count()
+            if n_frontier == 0:
                 break
             state = None
             if bloom is not None and self._total_seen > cfg.seen_broadcast_threshold:
@@ -762,6 +829,9 @@ class CrawlJob:
                 bloom_hydrated_upto = wave - 1
                 state = bloom.state()
             stats = self._run_wave(wave, frontier, seen, state, n_candidates=n_frontier)
+            if seed_cache is not None:  # seeds wave committed; cache served
+                seed_cache.unpersist()  # its count + schedule actions
+                seed_cache = None
             t_tail = time.time()
             waves_run.append(stats)
             total_scheduled += stats.scheduled
@@ -796,6 +866,8 @@ class CrawlJob:
                 self._materialize_bloom(bloom, wave)
                 bloom_hydrated_upto = wave
 
+        if seed_cache is not None:  # empty-seeds break before wave 0 ran
+            seed_cache.unpersist()
         self._join_finalize()  # last wave's commit lands before we report
         return {
             "job_id": self.job_id,

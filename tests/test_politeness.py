@@ -178,3 +178,39 @@ def test_robots_gate_duplicate_host_rows_no_fanout(spark):
     )
     out = robots_gate(df, robots).collect()
     assert [r.canonical_url for r in out] == ["https://a.example/public"]
+
+
+def test_count_split_identical_output(spark):
+    """count_split=True (the huge-wave path) must produce exactly the same
+    row set as the plain two-phase window, for both constant and per-host
+    budgets — the split is a physical optimization only."""
+    import pyspark.sql.functions as F
+
+    from bodhium_webscrapper_spark.operators.politeness import per_host_budget
+
+    df = spark.range(20_000).select(
+        F.col("id").alias("url_hash"),
+        # skew: host h0 has half the rows; h1..h40 share the rest
+        F.when(F.col("id") % 2 == 0, F.lit("h0"))
+        .otherwise(F.concat(F.lit("h"), (F.col("id") % 40 + 1).cast("string")))
+        .alias("host"),
+        (F.col("id") % 97).cast("double").alias("priority"),
+    )
+    for budget_col in (None, "_hb"):
+        d = df
+        if budget_col:
+            d = d.withColumn(
+                "_hb",
+                F.when(F.col("host") == "h0", F.lit(120)).otherwise(F.lit(300)),
+            )
+        plain = per_host_budget(
+            d, 300, salt_buckets=8, budget_col=budget_col, count_split=False
+        )
+        split = per_host_budget(
+            d, 300, salt_buckets=8, budget_col=budget_col, count_split=True
+        )
+        assert sorted(plain.columns) == sorted(split.columns)
+        p = plain.select(*sorted(plain.columns))
+        s = split.select(*sorted(plain.columns))
+        assert p.exceptAll(s).isEmpty() and s.exceptAll(p).isEmpty()
+        assert p.count() == s.count()

@@ -419,3 +419,41 @@ def test_async_finalize_commits_every_wave(spark, crawl_fixture, tmp_path):
         assert job.store.has_artifact(w, "metrics")
         assert job.store.has_artifact(w, "lineage")
         assert "commit_async" in m["waves"][str(w)]["timings"]
+
+
+def test_seeds_canonical_identical_crawl(spark, crawl_fixture, tmp_path):
+    """seeds_canonical=True (trusted canonical seed dump, pure-JVM wave 0)
+    must reproduce the default path's crawl exactly when the seeds are in
+    fact canonical."""
+    # the fixture plants non-canonical URL variants (WWW./:443 decoys) among
+    # the pages; seeds_canonical's contract is a TRULY canonical dump, so
+    # keep only fixed-point urls
+    canon_seeds = (
+        spark.read.parquet(crawl_fixture["pages"])
+        .selectExpr("url", "cast(1.0 as double) as priority")
+        .filter(~F.col("url").rlike("WWW|:443"))
+        .limit(200)
+    )
+    jobs = {}
+    for name, flag in (("seeds_raw", False), ("seeds_canon", True)):
+        job = CrawlJob(
+            spark,
+            crawl_fixture["pages"],
+            canon_seeds,
+            spark.read.parquet(crawl_fixture["robots"]),
+            CrawlConfig(
+                max_urls_per_host_per_wave=5,
+                max_waves=3,
+                global_wave_limit=500,
+                seeds_canonical=flag,
+            ),
+            os.path.join(str(tmp_path), name),
+        )
+        jobs[name] = (job, job.run())
+    sa, sb = jobs["seeds_raw"][1], jobs["seeds_canon"][1]
+    assert [w["scheduled"] for w in sa["waves"]] == [
+        w["scheduled"] for w in sb["waves"]
+    ]
+    oa = jobs["seeds_raw"][0].crawl_order()
+    ob = jobs["seeds_canon"][0].crawl_order()
+    assert oa.exceptAll(ob).isEmpty() and ob.exceptAll(oa).isEmpty()

@@ -1,0 +1,89 @@
+"""Bucketed storage-partitioned fetch — the zero-broadcast scale path.
+
+The wave loop's default fetch broadcasts the politeness-capped wave into a
+hash probe of pages (plans/frontier.py). The broadcast build is
+driver-serial — measured ~0.7 s per million keys on this sandbox
+(benchmarks/probe_fetch_serial.py) — which is fine for 10^5-10^7-row waves
+but becomes the bottleneck for 10^8-row waves, where no broadcast of any
+kind is viable. The production answer (and the plain-parquet analogue of
+Iceberg's ``bucket(N, url_hash)`` storage-partitioned join) is BUCKETED
+TABLES: both sides are written hash-clustered by ``url_hash`` into the
+same number of buckets, so the join needs
+
+- NO broadcast (nothing driver-serial, nothing resident per executor),
+- NO exchange on either side (bucket b of the wave joins bucket b of
+  pages, already co-located on disk),
+
+and parallelism equals the bucket count. Reference behavior being
+re-expressed: the fetch of scheduled URLs (app.py:482-589), identical
+semantics to the broadcast path — only the physical strategy differs
+(asserted row-identical and exchange-free in tests/test_bucketed_fetch.py).
+
+Trade-offs, stated honestly:
+- pages must be REWRITTEN once into the bucketed layout (a full-corpus
+  shuffle — amortized across every subsequent wave; on Iceberg this is
+  just the table's partition spec, no separate rewrite).
+- each wave's scheduled set is written ``bucketBy`` too — its write gains
+  a bucket-hash shuffle, but removes the fetch broadcast AND lets the
+  sort-merge join skip both sorts (``sortBy(url_hash)`` at write time).
+- Spark's bucketed joins require session catalogs (``saveAsTable``); the
+  SnapshotStore's plain-directory artifacts stay the default, and this
+  module is the opt-in scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    n_buckets: int,
+    path: str | None = None,
+    key: str = "url_hash",
+) -> None:
+    """Write ``df`` as a bucketed, bucket-sorted table (overwrite).
+
+    The pre-write ``repartition(n_buckets, key)`` uses the same Murmur3
+    hash as the bucket spec, so every bucket lands in exactly ONE file —
+    the condition under which Spark elides the read-side Sort of a
+    bucket-sorted table (multi-file buckets must be merge-sorted at read).
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    w = (
+        df.repartition(n_buckets, key)
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+    )
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
+
+
+def bucketed_fetch_join(
+    spark: SparkSession,
+    pages_table: str,
+    wave_table: str,
+    key: str = "url_hash",
+) -> DataFrame:
+    """Join two same-bucketed tables on ``key`` with zero exchanges and no
+    broadcast, whatever the wave size.
+
+    The MERGE hint pins the sort-merge strategy (a small wave would
+    otherwise be broadcast, which is exactly what the caller is opting out
+    of); with matching bucket specs Spark plans no Exchange on either side
+    and — because both sides are ``sortBy(key)`` bucket-sorted — no Sort
+    either. Parallelism = bucket count; at 10^8-row waves each task
+    streams one wave bucket against one pages bucket.
+    """
+    # exploit the tables' sortBy metadata: off by default since Spark 3.0
+    # because MULTI-file buckets need a merge at read — write_bucketed
+    # guarantees one file per bucket, exactly the case where honoring the
+    # on-disk order elides both join sorts
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    pages = spark.table(pages_table)
+    wave = spark.table(wave_table).hint("merge")
+    return pages.join(wave, key)

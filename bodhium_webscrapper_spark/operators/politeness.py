@@ -82,10 +82,16 @@ def per_host_budget(
             df.groupBy(host_col)
             .agg(F.count(F.lit(1)).alias("_n"), per_host_cap)
             .filter(F.col("_n") > F.col("_cap"))
-            .select(host_col)
+            .select(F.col(host_col).alias("_over_host"))
         )
-        passthrough = out.join(F.broadcast(over), host_col, "left_anti")
-        out = out.join(F.broadcast(over), host_col, "left_semi")
+        # NULL-SAFE key: groupBy keeps a NULL-host group, but a plain
+        # equi-join would match it to nothing — every NULL row would slip
+        # into passthrough uncapped, where the plain-window path caps the
+        # NULL partition at the budget. eqNullSafe routes an over-budget
+        # NULL group through the window exactly like any other host.
+        cond = F.col(host_col).eqNullSafe(F.col("_over_host"))
+        passthrough = out.join(F.broadcast(over), cond, "left_anti")
+        out = out.join(F.broadcast(over), cond, "left_semi")
     if salt_buckets > 1:
         salt = F.pmod(F.xxhash64(F.col("url_hash"), F.lit(SALT_SEED)), F.lit(salt_buckets))
         w1 = Window.partitionBy(F.col(host_col), F.col("_salt")).orderBy(*order)

@@ -35,6 +35,22 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+_ORDERING_CONF = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+
+
+def _enable_bucket_ordering(spark: SparkSession) -> None:
+    """Session setup for this module's bucketed-scan contract: honor the
+    tables' ``sortBy`` metadata at read (off by default since Spark 3.0
+    because MULTI-file buckets need a merge at read — ``write_bucketed``
+    guarantees one file per bucket, exactly the case where the on-disk
+    order elides both join sorts). Set at write/registration time — i.e.
+    when a session opts into bucketed tables — NOT as a side effect of
+    planning a join; other bucketed-table scans in the session see the
+    legacy planner behavior, which is documented here and benign for
+    correctness (Spark still requires single-file buckets to claim order).
+    """
+    spark.conf.set(_ORDERING_CONF, "true")
+
 
 def write_bucketed(
     df: DataFrame,
@@ -51,6 +67,7 @@ def write_bucketed(
     bucket-sorted table (multi-file buckets must be merge-sorted at read).
     """
     spark = df.sparkSession
+    _enable_bucket_ordering(spark)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     w = (
         df.repartition(n_buckets, key)
@@ -61,6 +78,34 @@ def write_bucketed(
     if path:
         w = w.option("path", path)
     w.format("parquet").saveAsTable(table)
+
+
+def register_bucketed(
+    spark: SparkSession,
+    table: str,
+    path: str,
+    n_buckets: int,
+    key: str = "url_hash",
+    schema_ddl: str | None = None,
+) -> None:
+    """Register an EXISTING ``write_bucketed`` layout as an external bucketed
+    table — metadata only, no data rewrite. This is how a new session (the
+    in-memory catalog does not survive restarts) re-attaches an amortized
+    one-time bucketing of the pages corpus; the Iceberg analogue is simply
+    the table existing in the catalog with a ``bucket(N, key)`` spec.
+    ``schema_ddl`` defaults to the parquet footer schema at ``path``."""
+    _enable_bucket_ordering(spark)
+    if schema_ddl is None:
+        schema_ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in spark.read.parquet(path).schema.fields
+        )
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(
+        f"CREATE TABLE {table} ({schema_ddl}) USING parquet "
+        f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n_buckets} BUCKETS "
+        f"LOCATION '{path}'"
+    )
 
 
 def bucketed_fetch_join(
@@ -78,12 +123,17 @@ def bucketed_fetch_join(
     and — because both sides are ``sortBy(key)`` bucket-sorted — no Sort
     either. Parallelism = bucket count; at 10^8-row waves each task
     streams one wave bucket against one pages bucket.
+
+    Requires the session to have opted into bucketed-scan ordering (set by
+    ``write_bucketed``/``register_bucketed``); raises otherwise rather than
+    silently planning two full read-side sorts.
     """
-    # exploit the tables' sortBy metadata: off by default since Spark 3.0
-    # because MULTI-file buckets need a merge at read — write_bucketed
-    # guarantees one file per bucket, exactly the case where honoring the
-    # on-disk order elides both join sorts
-    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    if spark.conf.get(_ORDERING_CONF, "false") != "true":
+        raise ValueError(
+            f"{_ORDERING_CONF} is not set: create the tables in this session "
+            "via write_bucketed()/register_bucketed() (which set it) so the "
+            "join can elide its sorts"
+        )
     pages = spark.table(pages_table)
     wave = spark.table(wave_table).hint("merge")
     return pages.join(wave, key)

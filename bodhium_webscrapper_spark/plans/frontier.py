@@ -19,9 +19,11 @@ parquet footers and the next frontier is DERIVED, not materialized:
   scheduled  = per-host top-budget window, host-hash salted        [W1/W3]
                → global wave cap, ordered (priority desc, url_hash)[W2]
                → WRITE (job 1)
-  fetched    = pages BROADCAST-HASH-JOIN scheduled (normal waves
-               carry the numeric attrs in the broadcast — ONE join;
-               giant waves: keys-only semi-join + attrs shuffle)   [J1/S4]
+  fetched    = pages ⋈ scheduled (default: broadcast-hash — normal
+               waves carry the numeric attrs in the broadcast, ONE
+               join; giant waves keys-only semi-join + attrs shuffle.
+               fetch_strategy="bucketed": zero-broadcast zero-exchange
+               storage-partitioned join of same-bucketed tables)    [J1/S4]
   extracted  = ONE fused pandas-UDF pass: text + canonicalized
                same-host outlinks from a single Arrow transfer     [U1/U2/P4/P7]
                → WRITE page_results (job 2)
@@ -48,6 +50,7 @@ Scale notes (100 TB / 10^10 URLs):
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -158,6 +161,24 @@ class CrawlConfig:
     # job). Default OFF: arbitrary seed lists (the reference's discovery
     # paths) go through the full canonicalizer.
     seeds_canonical: bool = False
+    # fetch physical strategy:
+    #  "broadcast" (default) — the adaptive fused-broadcast / keys-only
+    #    semi-join fetch below; right whenever the wave fits a broadcast.
+    #  "bucketed" — zero-broadcast storage-partitioned fetch
+    #    (plans/bucketed_fetch.py): pages are rewritten ONCE into a
+    #    bucket(url_hash) layout (amortized across every wave; on Iceberg
+    #    it is just the table's partition spec) and each wave's scheduled
+    #    set is written bucketBy the same spec, so the fetch join plans
+    #    with no broadcast, no exchange, and no sort — the 10^8-row-wave
+    #    path, where the broadcast build's driver-serial ~0.7 s/M keys
+    #    (benchmarks/probe_fetch_serial.py) is the loop's residual
+    #    fixed cost. Requires a store with a ``write_bucketed`` seam.
+    fetch_strategy: str = "broadcast"
+    fetch_buckets: int = 64
+    # existing bucketed pages layout to re-attach (register_bucketed);
+    # default: written at job init under <checkpoint_dir>/_bucketed_pages
+    # iff absent — the one-time corpus rewrite
+    bucketed_pages_path: str | None = None
 
 
 def dedup_first_wins_frontier(frontier: DataFrame) -> DataFrame:
@@ -258,6 +279,40 @@ class CrawlJob:
         # lang/warc_ts
         cols = ["url_hash", "url", "html"] + (["text"] if config.verify_extraction else [])
         self.pages = spark.read.parquet(pages_path).select(*cols)
+        # bucketed fetch strategy: attach (or create once) the bucketed pages
+        # layout and name the per-wave scheduled table. The pages rewrite is
+        # one-time init work amortized across every wave of every run that
+        # points at the same layout — the plain-parquet analogue of an
+        # Iceberg pages table whose partition spec is bucket(N, url_hash).
+        self._pages_table: str | None = None
+        if config.fetch_strategy == "bucketed":
+            if not hasattr(self.store, "write_bucketed"):
+                raise ValueError(
+                    "fetch_strategy='bucketed' needs a store with a "
+                    "write_bucketed seam (SnapshotStore has one; implement "
+                    "the clustered write for custom stores)"
+                )
+            from bodhium_webscrapper_spark.plans.bucketed_fetch import (
+                register_bucketed,
+                write_bucketed,
+            )
+
+            self._pages_table = f"pages_bkt_{job_id}"
+            self._wave_table = f"wave_scheduled_{job_id}"
+            bpath = config.bucketed_pages_path or os.path.join(
+                checkpoint_dir, "_bucketed_pages"
+            )
+            if os.path.exists(os.path.join(bpath, "_SUCCESS")):
+                register_bucketed(spark, self._pages_table, bpath, config.fetch_buckets)
+            else:
+                write_bucketed(self.pages, self._pages_table, config.fetch_buckets, path=bpath)
+            missing = set(cols) - set(spark.table(self._pages_table).columns)
+            if missing:
+                raise ValueError(
+                    f"bucketed pages layout at {bpath} lacks columns {missing} "
+                    "this config needs (e.g. written without verify_extraction's "
+                    "text column): rewrite it or point elsewhere"
+                )
         # fused extract+canonicalize UDF: one Arrow pass yields text AND the
         # page's canonicalized, scope-filtered outlinks
         self._extract_udf = make_extract_page_outlinks_udf(
@@ -527,7 +582,16 @@ class CrawlJob:
             capped = capped.orderBy(
                 F.col("priority").desc(), F.col("url_hash").asc()
             ).limit(cfg.global_wave_limit)
-        self.store.write(wave, "scheduled", self._assign_order(capped, wave))
+        if cfg.fetch_strategy == "bucketed":
+            # the scheduled write gains a bucket-hash repartition, and in
+            # exchange the fetch below loses its broadcast AND all sorts
+            # (plans/bucketed_fetch.py lays out the trade)
+            self.store.write_bucketed(
+                wave, "scheduled", self._assign_order(capped, wave),
+                self._wave_table, cfg.fetch_buckets,
+            )
+        else:
+            self.store.write(wave, "scheduled", self._assign_order(capped, wave))
         if probe_cache is not None:  # bloom probe cache served its one action
             probe_cache.unpersist()
         if gate_cache is not None:  # count-split cache served the write
@@ -572,7 +636,36 @@ class CrawlJob:
             extract_cols.append(
                 F.col("_page.text").eqNullSafe(F.col("text")).alias("golden_ok")
             )
-        if n_scheduled <= cfg.broadcast_wave_threshold:
+        if cfg.fetch_strategy == "bucketed":
+            # storage-partitioned: bucket b of the wave table streams
+            # against bucket b of pages — no broadcast (nothing
+            # driver-serial), no exchange, no sort, at ANY wave size.
+            # canonical_url/host ride along from the co-located wave side
+            # (same values the broadcast path re-derives from pages.url:
+            # url_hash equality implies the strings match — the engine
+            # merges 64-bit collisions identically everywhere).
+            from bodhium_webscrapper_spark.plans.bucketed_fetch import (
+                bucketed_fetch_join,
+            )
+
+            joined = bucketed_fetch_join(
+                self.spark, self._pages_table, self._wave_table
+            )
+            fetch_plan = (
+                joined.withColumn(
+                    "_page", self._extract_udf(F.col("html"), F.col("url"))
+                )
+                .select(
+                    F.col("url_hash"),
+                    F.col("canonical_url"),
+                    F.col("host"),
+                    F.col("depth"),
+                    F.col("priority"),
+                    F.col("wave"),
+                    *extract_cols,
+                )
+            )
+        elif n_scheduled <= cfg.broadcast_wave_threshold:
             attrs = F.broadcast(
                 scheduled.select("url_hash", "depth", "priority", "wave")
             )

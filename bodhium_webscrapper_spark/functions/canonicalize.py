@@ -246,6 +246,23 @@ PUBLIC_SUFFIXES_3LABEL: frozenset[str] = frozenset(
     """.split()
 )
 
+# Wildcard and exception rules (publicsuffix.org ICANN section): ``*.ck``
+# makes every <label>.ck a public suffix; ``!www.ck`` cancels it for the
+# Cook Islands' own site. The Japanese city domains are the other live
+# exception family.
+PUBLIC_SUFFIXES_WILDCARD: frozenset[str] = frozenset(
+    """
+    *.ck *.jm *.kawasaki.jp *.kitakyushu.jp *.kobe.jp *.nagoya.jp
+    *.sapporo.jp *.sendai.jp *.yokohama.jp
+    """.split()
+)
+PUBLIC_SUFFIXES_EXCEPTION: frozenset[str] = frozenset(
+    """
+    !www.ck !city.kawasaki.jp !city.kitakyushu.jp !city.kobe.jp
+    !city.nagoya.jp !city.sapporo.jp !city.sendai.jp !city.yokohama.jp
+    """.split()
+)
+
 # PRIVATE-section suffixes (publicsuffix.org "PRIVATE DOMAINS"): hosted-
 # subdomain platforms where each subdomain is a distinct registrant — the
 # sites where eTLD+1 scoping matters most (user1.github.io must NOT be
@@ -261,22 +278,58 @@ PRIVATE_SUFFIXES: frozenset[str] = frozenset(
 
 _IPV4_RE = re.compile(r"^\d{1,3}(\.\d{1,3}){3}$")
 
-# Active rule table: {suffix label count -> suffixes}. Built by
-# ``set_public_suffixes``; module init installs the embedded snapshot.
-_suffix_rules: dict[int, frozenset[str]] = {}
+# Active rule table, built by ``set_public_suffixes``:
+#   {"exact":     {suffix label count -> suffixes},
+#    "wildcard":  {BASE label count   -> bases},      # rule "*.<base>"
+#    "exception": {rule label count   -> rules},      # rule "!<rule>"
+#    "_plan":     [(kind, k), ...]}                   # match order, shared
+#                                                     # by BOTH twins
+# Module init installs the embedded snapshot.
+_suffix_rules: dict = {}
+
+
+def _match_plan(rules: dict) -> list[tuple[str, int]]:
+    """The rule-evaluation order BOTH twins follow (PSL algorithm):
+    exception rules first (they always prevail), then exact and wildcard
+    rules interleaved by the LENGTH OF THE PUBLIC SUFFIX they match — an
+    exact rule with k labels matches a k-label suffix; ``*.base`` with a
+    k-label base matches a (k+1)-label suffix — longest first."""
+    plan: list[tuple[str, int]] = [
+        ("exception", m) for m in sorted(rules["exception"], reverse=True)
+    ]
+    cands = [(k, "exact", k) for k in rules["exact"]] + [
+        (k + 1, "wildcard", k) for k in rules["wildcard"]
+    ]
+    plan += [(kind, k) for (_ps, kind, k) in sorted(cands, reverse=True)]
+    return plan
+
+
+def _as_rule_table(rules: dict) -> dict:
+    """Normalize a rule snapshot: accepts the full table or the pre-round-5
+    plain ``{label count -> suffixes}`` exact-only form (older captured
+    closures keep working)."""
+    if not rules:
+        return {"exact": {}, "wildcard": {}, "exception": {}, "_plan": []}
+    if "exact" in rules:
+        return rules
+    t = {"exact": rules, "wildcard": {}, "exception": {}}
+    t["_plan"] = _match_plan(t)
+    return t
 
 
 def set_public_suffixes(suffixes) -> None:
     """Install the public-suffix rule set both twins (``registrable_domain``
-    and ``registrable_domain_py``) consult. Accepts an iterable of plain
-    suffix strings (``co.uk``, ``k12.ca.us``, ``github.io``); a production
-    deployment passes ``load_public_suffix_list(open(psl_path).read())``.
+    and ``registrable_domain_py``) consult. Accepts an iterable of PSL rule
+    strings — plain (``co.uk``, ``k12.ca.us``, ``github.io``), wildcard
+    (``*.ck``: every ``<label>.ck`` is a public suffix), and exception
+    (``!www.ck``: cancels the wildcard; ``www.ck`` is registrable) — i.e.
+    the full publicsuffix.org semantics; a production deployment passes
+    ``load_public_suffix_list(open(psl_path).read())``.
 
-    Rules are grouped by label count; matching picks the LONGEST suffix (the
-    PSL algorithm), and the registrable domain is the suffix plus one label.
-    Single-label entries are dropped (they are the implicit default rule).
-    Wildcard (``*.``) and exception (``!``) entries are rejected — feed raw
-    PSL text through ``load_public_suffix_list``, which strips them.
+    Matching picks exception rules first, then the longest matched public
+    suffix (exact and wildcard interleaved); the registrable domain is the
+    suffix plus one label. Single-label plain entries are dropped (they are
+    the implicit default rule).
 
     JVM caveat: expressions built by ``registrable_domain`` BEFORE the call
     keep the old rules (the rule set is baked into the Column at build
@@ -284,31 +337,37 @@ def set_public_suffixes(suffixes) -> None:
     rules from the next Arrow batch onward — call this before starting jobs.
     """
     global _suffix_rules
-    rules: dict[int, set[str]] = {}
+    table: dict = {"exact": {}, "wildcard": {}, "exception": {}}
     for s in suffixes:
         s = s.strip().lower().rstrip(".")
         if not s:
             continue
-        if s.startswith(("*", "!")):
-            raise ValueError(
-                f"wildcard/exception rule {s!r} not supported here: parse raw "
-                "PSL text with load_public_suffix_list() first"
-            )
-        k = s.count(".") + 1
-        if k >= 2:
-            rules.setdefault(k, set()).add(s)
-    _suffix_rules = {k: frozenset(v) for k, v in sorted(rules.items())}
+        if s.startswith("!"):
+            r = s[1:]
+            table["exception"].setdefault(r.count(".") + 1, set()).add(r)
+        elif s.startswith("*."):
+            base = s[2:]
+            if base:
+                table["wildcard"].setdefault(base.count(".") + 1, set()).add(base)
+        elif s == "*":
+            continue  # the implicit default rule
+        else:
+            k = s.count(".") + 1
+            if k >= 2:
+                table["exact"].setdefault(k, set()).add(s)
+    for kind in ("exact", "wildcard", "exception"):
+        table[kind] = {k: frozenset(v) for k, v in sorted(table[kind].items())}
+    table["_plan"] = _match_plan(table)
+    _suffix_rules = table
 
 
 def load_public_suffix_list(text: str, include_private: bool = True) -> list[str]:
-    """Parse publicsuffix.org list format → plain suffix strings for
+    """Parse publicsuffix.org list format → rule strings for
     ``set_public_suffixes``. Handles ``//`` comments, blank lines, and the
     ICANN/PRIVATE section split (``include_private=False`` stops at the
     PRIVATE DOMAINS marker). Wildcard (``*.foo``) and exception (``!bar``)
-    rules — a few dozen entries of the ~10k-line list — are SKIPPED: hosts
-    under them fall back to the default last-two-labels rule (documented
-    approximation; exact wildcard semantics need a trie matcher, which would
-    take the JVM twin out of whole-stage codegen)."""
+    rules are kept — ``set_public_suffixes`` implements their exact
+    semantics in both twins."""
     out: list[str] = []
     for line in text.splitlines():
         line = line.strip()
@@ -316,13 +375,11 @@ def load_public_suffix_list(text: str, include_private: bool = True) -> list[str
             break
         if not line or line.startswith("//"):
             continue
-        if line.startswith(("*", "!")):
-            continue
         out.append(line.split()[0].lower())
     return out
 
 
-def current_suffix_rules() -> dict[int, frozenset[str]]:
+def current_suffix_rules() -> dict:
     """Snapshot of the active rule table. UDF builders capture this in
     their closure so the rules travel BY VALUE to executors — a bare
     module-global read inside a UDF would re-import this module on each
@@ -331,24 +388,33 @@ def current_suffix_rules() -> dict[int, frozenset[str]]:
     return _suffix_rules
 
 
-def registrable_domain_with_rules(
-    host: str | None, rules: dict[int, frozenset[str]]
-) -> str | None:
+def registrable_domain_with_rules(host: str | None, rules: dict) -> str | None:
     """eTLD+1 under an explicit rule table (the executor-safe core of
-    ``registrable_domain_py``). Longest-suffix match; IP literals, hosts
-    with <=2 labels, and hosts matching no rule follow the default
-    last-two-labels rule. A host that IS itself a public suffix is returned
-    unchanged (the PSL says "no registrable domain"; for crawl scoping,
-    identity is the useful answer)."""
+    ``registrable_domain_py``). PSL match order (``_match_plan``): exception
+    rules win (registrable = the rule itself), then longest matched public
+    suffix — exact (suffix + 1 label) or wildcard (base + 2 labels; a host
+    that IS ``<label>.base`` is its own public suffix and returns
+    unchanged). IP literals, hosts with <=2 labels, and hosts matching no
+    rule follow the default last-two-labels rule. A host that IS itself a
+    public suffix is returned unchanged (the PSL says "no registrable
+    domain"; for crawl scoping, identity is the useful answer)."""
     if host is None:
         return None
     if _IPV4_RE.match(host):
         return host
+    rules = _as_rule_table(rules)
     parts = host.split(".")
     n = len(parts)
-    for k in sorted(rules, reverse=True):
-        if n > k and ".".join(parts[-k:]) in rules[k]:
-            return ".".join(parts[-(k + 1):])
+    for kind, k in rules["_plan"]:
+        if kind == "exception":
+            if n >= k and ".".join(parts[-k:]) in rules["exception"][k]:
+                return ".".join(parts[-k:])
+        elif kind == "exact":
+            if n > k and ".".join(parts[-k:]) in rules["exact"][k]:
+                return ".".join(parts[-(k + 1):])
+        else:  # wildcard; k = base label count, public suffix = base+1
+            if n >= k + 1 and ".".join(parts[-k:]) in rules["wildcard"][k]:
+                return host if n == k + 1 else ".".join(parts[-(k + 2):])
     if n <= 2:
         return host
     return ".".join(parts[-2:])
@@ -368,8 +434,11 @@ def registrable_domain(col: Column) -> Column:
     """eTLD+1 of a canonical host as a pure JVM expression (split +
     element_at + InSet membership per rule length — whole-stage codegen, no
     Python; a 10k-rule full PSL becomes one hash-set probe per label count,
-    not an expression blow-up). Matches ``registrable_domain_py`` exactly
-    for the rule set active at BUILD time (see ``set_public_suffixes``)."""
+    not an expression blow-up). Walks the SAME ``_match_plan`` as the python
+    twin — exception rules, then exact/wildcard by matched-suffix length —
+    so the twins agree rule-for-rule for the rule set active at BUILD time
+    (see ``set_public_suffixes``)."""
+    rules = _as_rule_table(_suffix_rules)
     parts = F.split(col, r"\.")
     n = F.size(parts)
 
@@ -377,15 +446,30 @@ def registrable_domain(col: Column) -> Column:
         return F.concat_ws(".", *[F.element_at(parts, -i) for i in range(k, 0, -1)])
 
     expr = F.when(col.rlike(r"^\d{1,3}(\.\d{1,3}){3}$"), col)
-    for k in sorted(_suffix_rules, reverse=True):
-        expr = expr.when(
-            (n > k) & last(k).isin(*sorted(_suffix_rules[k])), last(k + 1)
-        )
+    for kind, k in rules["_plan"]:
+        if kind == "exception":
+            expr = expr.when(
+                (n >= k) & last(k).isin(*sorted(rules["exception"][k])), last(k)
+            )
+        elif kind == "exact":
+            expr = expr.when(
+                (n > k) & last(k).isin(*sorted(rules["exact"][k])), last(k + 1)
+            )
+        else:  # wildcard; base has k labels, public suffix = base+1
+            in_base = last(k).isin(*sorted(rules["wildcard"][k]))
+            expr = expr.when(
+                (n >= k + 1) & in_base,
+                F.when(n == k + 1, col).otherwise(last(k + 2)),
+            )
     return expr.when(n <= 2, col).otherwise(last(2))
 
 
 set_public_suffixes(
-    PUBLIC_SUFFIXES_2LABEL | PUBLIC_SUFFIXES_3LABEL | PRIVATE_SUFFIXES
+    PUBLIC_SUFFIXES_2LABEL
+    | PUBLIC_SUFFIXES_3LABEL
+    | PUBLIC_SUFFIXES_WILDCARD
+    | PUBLIC_SUFFIXES_EXCEPTION
+    | PRIVATE_SUFFIXES
 )
 
 

@@ -115,6 +115,100 @@ def per_host_budget(
     return out
 
 
+def global_ordered_cap(
+    df: DataFrame,
+    k: int,
+    takeordered_threshold: int = 1_000_000,
+    priority_col: str = "priority",
+    key_col: str = "url_hash",
+) -> DataFrame:
+    """W2: keep the global top-``k`` rows under the crawl order
+    (priority DESC, url_hash ASC) — the wave's ``global_wave_limit``.
+
+    Small ``k`` (≤ ``takeordered_threshold``): ``orderBy().limit(k)``, which
+    Spark compiles to TakeOrderedAndProject — per-partition top-k map-side,
+    one driver merge of ``partitions × k`` rows; the right plan exactly while
+    k is small. A 10^7 cap on a 10^8-row wave would funnel the whole wave
+    through that single-partition merge, so above the threshold the cap is
+    computed as a THRESHOLD instead and applied as a pure distributed filter
+    — no global sort, no single-partition stage, exact and deterministic:
+
+      1. per-priority-level counts (one hash agg; priorities are decay
+         powers, so the level table is tiny) → boundary level p* and the
+         number r of rows still needed from it;
+      2. a 4096-bin histogram of ``url_hash``'s top bits within level p*
+         (one hash agg; shiftright preserves signed order) → boundary bin
+         b* and the rank r' needed inside it;
+      3. the r'-th smallest url_hash inside bin b* (TakeOrdered over
+         ~|level|/4096 rows — thousands, not the wave) → boundary hash h*;
+      4. keep rows with priority > p*, or priority = p* and url_hash ≤ h*.
+
+    Exactness relies on ``key_col`` being unique per row — true post-dedup
+    in the wave loop (A1 guarantees one row per url_hash); with duplicate
+    keys the boundary tie would overshoot by the tie count. Adds 2-3 small
+    driver actions — only on waves big enough to carry a >10^6 cap, where
+    they are noise against the wave's work. Deterministic: a pure function
+    of the data (same set orderBy().limit(k) selects; artifact row order is
+    irrelevant — the crawl-order contract is the sort key itself, W2).
+    Falls back to TakeOrdered if the level table is degenerate (>100k
+    distinct priorities — not a decay-structured frontier)."""
+    if k <= takeordered_threshold:
+        return df.orderBy(
+            F.col(priority_col).desc(), F.col(key_col).asc()
+        ).limit(k)
+    levels = df.groupBy(priority_col).agg(F.count(F.lit(1)).alias("_n")).collect()
+    if len(levels) > 100_000:
+        return df.orderBy(
+            F.col(priority_col).desc(), F.col(key_col).asc()
+        ).limit(k)
+    # priority DESC with NULLs last (matches desc_nulls_last default)
+    levels.sort(key=lambda r: (r[priority_col] is None, -(r[priority_col] or 0.0)))
+    total = sum(r["_n"] for r in levels)
+    if total <= k:
+        return df
+    cum = 0
+    for row in levels:
+        if cum + row["_n"] >= k:
+            p_star, r = row[priority_col], k - cum
+            break
+        cum += row["_n"]
+    at_level = (
+        F.col(priority_col).isNull()
+        if p_star is None
+        else (F.col(priority_col) == p_star)
+    )
+    above_level = (
+        F.col(priority_col).isNotNull()
+        if p_star is None
+        else (F.col(priority_col) > p_star)
+    )
+    if r == 0:
+        return df.filter(above_level)
+    level_df = df.filter(at_level)
+    if r >= total - cum:  # whole boundary level fits
+        return df.filter(above_level | at_level)
+    bins = (
+        level_df.groupBy(F.shiftright(F.col(key_col), 52).alias("_bin"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    bins.sort(key=lambda x: x["_bin"])
+    bcum = 0
+    for b in bins:
+        if bcum + b["_n"] >= r:
+            b_star, r2 = b["_bin"], r - bcum
+            break
+        bcum += b["_n"]
+    h_star = (
+        level_df.filter(F.shiftright(F.col(key_col), 52) == b_star)
+        .orderBy(F.col(key_col).asc())
+        .limit(r2)
+        .agg(F.max(key_col).alias("_h"))
+        .first()["_h"]
+    )
+    return df.filter(above_level | (at_level & (F.col(key_col) <= h_star)))
+
+
 def host_budget_map(
     robots: DataFrame, default_budget: int, wave_period_ms: int
 ) -> DataFrame:

@@ -140,6 +140,19 @@ def hyperplane_probe_udf(dim: int, n_planes: int = 8, seed: int = 42,
     return probes
 
 
+def hash_sample_candidates(
+    corpus: DataFrame, vec_col: str, cutoff: int | None, seed: int
+) -> DataFrame:
+    """Rows whose deterministic hash falls below ``cutoff`` — the
+    distributed half of codebook sampling: a pure Filter over the scan (no
+    sort, no TakeOrdered, no shuffle), so at 10^10 vectors the sample costs
+    one pruned pass instead of ranking every row. ``cutoff=None`` = no
+    filter (the whole-corpus final widening step)."""
+    h = F.xxhash64(F.col(vec_col).cast("string"), F.lit(seed))
+    out = corpus.select(F.col(vec_col).alias("_v"), h.alias("_h"))
+    return out if cutoff is None else out.filter(F.col("_h") < cutoff)
+
+
 def ivf_centroids(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -150,18 +163,31 @@ def ivf_centroids(
 ) -> "np.ndarray":
     """Deterministic IVF codebook: k-means on a fixed-seed sample.
 
-    The sample is taken by hash order (xxhash64 of the vector id), so the
-    codebook is a pure function of (corpus, seed) — no RDD sampling
-    nondeterminism. Lloyd iterations run driver-side in numpy on the small
-    sample (classic IVF training: train small, assign big).
+    The sample is the n smallest xxhash64(vector) values — a pure function
+    of (corpus, seed), no RDD sampling nondeterminism. It is found WITHOUT
+    sorting the corpus: a hash-threshold Filter collects the candidates
+    whose hash falls under a cutoff (xxhash64 is ~uniform over int64, so a
+    cutoff at fraction f of the range passes ~f·|corpus| rows), and the
+    driver sorts only those few. The cutoff starts optimistic and widens
+    deterministically (×16) until ≥ n rows survive — each widening only
+    happens when the corpus is small enough that the next collect is ~16n
+    rows, so driver memory stays bounded without ever running a count or a
+    full-corpus sort. Lloyd iterations run driver-side in numpy on the
+    small sample (classic IVF training: train small, assign big).
     """
     n = n_centroids * sample_per_centroid
-    sample = (
-        corpus.select(F.col(vec_col).alias("_v"), F.xxhash64(F.col(vec_col).cast("string"), F.lit(seed)).alias("_h"))
-        .orderBy("_h")
-        .limit(n)
-        .collect()
-    )
+    lo, span = -(1 << 63), 1 << 64
+    frac = 1.0 / 1024
+    while True:
+        cutoff = None if frac >= 1.0 else lo + int(span * frac)
+        sample = hash_sample_candidates(corpus, vec_col, cutoff, seed).collect()
+        if len(sample) >= n or frac >= 1.0:
+            break
+        frac *= 16
+    # ties on _h broken by vector bytes: fully deterministic even across
+    # hash collisions (which orderBy("_h").limit(n) left to chance)
+    sample.sort(key=lambda r: (r["_h"], tuple(r["_v"])))
+    sample = sample[:n]
     x = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in sample])
     rng = np.random.RandomState(seed)
     cents = x[rng.choice(len(x), size=n_centroids, replace=False)]

@@ -61,6 +61,7 @@ from pyspark.sql import types as T
 from bodhium_webscrapper_spark.functions.canonicalize import with_canonical_url
 from bodhium_webscrapper_spark.functions.extract import make_extract_page_outlinks_udf
 from bodhium_webscrapper_spark.operators.politeness import (
+    global_ordered_cap,
     per_host_budget,
     with_crawl_delay_budget,
 )
@@ -95,6 +96,10 @@ class CrawlConfig:
     max_urls_per_host_per_wave: int = 10
     max_waves: int = 6
     global_wave_limit: int | None = 5000  # None/0 = politeness-only capping
+    # above this, the global cap switches from TakeOrdered to the exact
+    # distributed threshold-filter form (global_ordered_cap): a 10^7 cap on
+    # a 10^8-row wave must not merge through one partition
+    global_cap_takeordered_threshold: int = 1_000_000
     max_retries: int = 2
     # W3: nominal wave duration used to convert a host's robots
     # crawl_delay_ms into a reduced per-wave budget
@@ -577,11 +582,14 @@ class CrawlJob:
             count_split=huge_wave,
         )
         if cfg.global_wave_limit:
-            # TakeOrdered merges the whole wave through the driver — only
-            # pay for it when a global cap is actually configured
-            capped = capped.orderBy(
-                F.col("priority").desc(), F.col("url_hash").asc()
-            ).limit(cfg.global_wave_limit)
+            # small caps: TakeOrdered (per-partition top-k + driver merge);
+            # giant caps: exact threshold-filter form — no single-partition
+            # stage (operators/politeness.global_ordered_cap)
+            capped = global_ordered_cap(
+                capped,
+                cfg.global_wave_limit,
+                takeordered_threshold=cfg.global_cap_takeordered_threshold,
+            )
         if cfg.fetch_strategy == "bucketed":
             # the scheduled write gains a bucket-hash repartition, and in
             # exchange the fetch below loses its broadcast AND all sorts

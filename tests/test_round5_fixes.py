@@ -108,3 +108,164 @@ def test_count_split_null_host_capped(spark):
     a = plain.select("host", "url_hash")
     b = split.select("host", "url_hash")
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+# ---------------------------------------------------------- global wave cap
+def _cap_fixture(spark, n=2000):
+    return (
+        spark.range(n)
+        .select(
+            F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+            F.pow(F.lit(0.5), (F.col("id") % 7).cast("double")).alias("priority"),
+            F.concat(F.lit("h"), (F.col("id") % 37).cast("string")).alias("host"),
+        )
+    )
+
+
+@pytest.mark.parametrize("k", [1, 137, 500, 1999, 2000, 5000])
+def test_global_cap_threshold_form_exact(spark, k):
+    from bodhium_webscrapper_spark.operators.politeness import global_ordered_cap
+
+    df = _cap_fixture(spark)
+    want = {
+        r["url_hash"]
+        for r in df.orderBy(F.col("priority").desc(), F.col("url_hash").asc())
+        .limit(k)
+        .collect()
+    }
+    got = {
+        r["url_hash"]
+        for r in global_ordered_cap(df, k, takeordered_threshold=0).collect()
+    }
+    assert got == want
+
+
+def test_global_cap_no_single_partition_merge_above_threshold(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    from bodhium_webscrapper_spark.operators.politeness import global_ordered_cap
+
+    df = _cap_fixture(spark)
+    capped = global_ordered_cap(df, 500, takeordered_threshold=0)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        capped.explain("formatted")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" not in plan
+    assert "GlobalLimit" not in plan
+    # and the small-k path still IS TakeOrdered
+    buf2 = io.StringIO()
+    with redirect_stdout(buf2):
+        global_ordered_cap(df, 500, takeordered_threshold=1000).explain("formatted")
+    assert "TakeOrderedAndProject" in buf2.getvalue()
+
+
+# ------------------------------------------------------------- IVF sampling
+def test_ivf_sample_plan_is_filter_not_sort(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    import numpy as np
+
+    from bodhium_webscrapper_spark.operators.similarity import (
+        hash_sample_candidates,
+        ivf_centroids,
+    )
+
+    emb = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("float"),
+            (F.col("id") % 3).cast("float"),
+            F.lit(1.0).cast("float"),
+        ).alias("embedding"),
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        hash_sample_candidates(emb, "embedding", 0, 42).explain("formatted")
+    p = buf.getvalue()
+    assert "Filter" in p
+    assert "Sort" not in p and "TakeOrdered" not in p
+    # codebook is deterministic across calls (the widening loop is a pure
+    # function of the data) and trains fine when n exceeds the corpus
+    c1 = ivf_centroids(emb, n_centroids=4, sample_per_centroid=64, seed=7)
+    c2 = ivf_centroids(emb, n_centroids=4, sample_per_centroid=64, seed=7)
+    assert np.array_equal(c1, c2) and c1.shape == (4, 3)
+
+
+# ----------------------------------------------------- PSL wildcard/exception
+PSL_WILDCARD_CASES = [
+    # *.ck: every <label>.ck is a public suffix...
+    ("user.foo.ck", "user.foo.ck"),
+    ("a.user.foo.ck", "user.foo.ck"),
+    ("foo.ck", "foo.ck"),        # IS a public suffix -> unchanged
+    # ...except !www.ck: www.ck is registrable
+    ("www.ck", "www.ck"),
+    ("sub.www.ck", "www.ck"),
+    ("a.sub.www.ck", "www.ck"),
+    # *.kawasaki.jp + !city.kawasaki.jp
+    ("city.kawasaki.jp", "city.kawasaki.jp"),
+    ("x.city.kawasaki.jp", "city.kawasaki.jp"),
+    ("town.kawasaki.jp", "town.kawasaki.jp"),      # wildcard PS -> unchanged
+    ("y.town.kawasaki.jp", "y.town.kawasaki.jp"),  # base+2 labels
+    ("z.y.town.kawasaki.jp", "y.town.kawasaki.jp"),
+    # exact rules unaffected
+    ("blog.example.co.uk", "example.co.uk"),
+    ("a.b.example.com", "example.com"),
+]
+
+
+def test_psl_wildcard_exception_python_twin():
+    from bodhium_webscrapper_spark.functions.canonicalize import (
+        registrable_domain_py,
+    )
+
+    for host, want in PSL_WILDCARD_CASES:
+        assert registrable_domain_py(host) == want, host
+
+
+def test_psl_wildcard_exception_jvm_parity(spark):
+    from bodhium_webscrapper_spark.functions.canonicalize import (
+        registrable_domain,
+    )
+
+    df = spark.createDataFrame(
+        [(h,) for h, _ in PSL_WILDCARD_CASES], "host string"
+    ).select("host", registrable_domain(F.col("host")).alias("rd"))
+    got = {r["host"]: r["rd"] for r in df.collect()}
+    for host, want in PSL_WILDCARD_CASES:
+        assert got[host] == want, host
+
+
+def test_psl_loader_keeps_wildcards():
+    from bodhium_webscrapper_spark.functions.canonicalize import (
+        load_public_suffix_list,
+        registrable_domain_with_rules,
+        set_public_suffixes,
+        current_suffix_rules,
+    )
+
+    text = "// comment\nck\n*.ck\n!www.ck\nco.uk\n"
+    old = current_suffix_rules()
+    try:
+        set_public_suffixes(load_public_suffix_list(text))
+        rules = current_suffix_rules()
+        assert registrable_domain_with_rules("a.b.ck", rules) == "a.b.ck"
+        assert registrable_domain_with_rules("x.www.ck", rules) == "www.ck"
+        assert registrable_domain_with_rules("s.e.co.uk", rules) == "e.co.uk"
+    finally:
+        # restore the module snapshot for other tests
+        import bodhium_webscrapper_spark.functions.canonicalize as c
+
+        c._suffix_rules = old
+
+
+def test_psl_old_exact_only_table_still_accepted():
+    from bodhium_webscrapper_spark.functions.canonicalize import (
+        registrable_domain_with_rules,
+    )
+
+    legacy = {2: frozenset({"co.uk"})}
+    assert registrable_domain_with_rules("a.b.co.uk", legacy) == "b.co.uk"
+    assert registrable_domain_with_rules("a.b.c", legacy) == "b.c"

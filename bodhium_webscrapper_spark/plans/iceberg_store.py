@@ -126,13 +126,13 @@ class IcebergSnapshotStore:
         return tbl
 
     def write_rows(self, wave: int, name: str, table) -> str:
-        """Small driver-side pyarrow table (metrics/lineage/pending rows);
-        the explicit schema keeps empty tables writable."""
-        from pyspark.sql.pandas.types import from_arrow_schema
-
-        df = self.spark.createDataFrame(
-            table.to_pandas(), schema=from_arrow_schema(table.schema)
-        )
+        """Small driver-side pyarrow table (metrics/lineage/pending rows),
+        ingested as Arrow directly (Spark 4 ``createDataFrame(pa.Table)``)
+        — a pandas round-trip would mangle the lineage ``map`` column
+        (pandas renders maps as tuple lists, which MapType ingestion
+        rejects; caught by the executable-sim e2e in
+        tests/test_iceberg_store.py)."""
+        df = self.spark.createDataFrame(table)
         return self.write(wave, name, df)
 
     def read(self, spark: SparkSession, wave: int, name: str) -> DataFrame:

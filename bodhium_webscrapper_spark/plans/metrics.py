@@ -90,6 +90,58 @@ def footer_metrics(
     return rows
 
 
+def output_counts(spark, path: str, sum_col: str | None = None) -> dict:
+    """Row count (and optional column sum) of a written parquet output,
+    SAFE FOR ANY HADOOP FILESYSTEM.
+
+    Local paths (no scheme, or ``file:``) use the zero-job fast path —
+    driver-side pyarrow footer/column reads, the wave loop's counting
+    discipline. Any other scheme (``hdfs://``, ``s3a://``, ...) falls back
+    to Spark jobs over the just-written files: the parquet count compiles
+    to a footer-metadata scan (LocalTableScan over file statistics, no row
+    decode) and the column sum reads exactly one column — cheap, and
+    correct wherever ``df.write`` could reach, which an ``os.listdir``
+    walk silently is not (it would read an empty local dir and report 0).
+    Returns ``{"rows": n, "sum": s?}``.
+    """
+    import os
+
+    scheme, sep, rest = path.partition("://")
+    local = not sep or scheme == "file"
+    if local:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        d = rest if sep else path
+        files = [
+            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+        ]
+        out = {"rows": sum(pq.ParquetFile(f).metadata.num_rows for f in files)}
+        if sum_col is not None:
+            out["sum"] = int(
+                sum(
+                    pc.sum(pq.read_table(f, columns=[sum_col])[sum_col]).as_py()
+                    or 0
+                    for f in files
+                )
+            )
+        return out
+    return _spark_output_counts(spark, path, sum_col)
+
+
+def _spark_output_counts(spark, path: str, sum_col: str | None) -> dict:
+    """The non-local branch of ``output_counts`` (Spark jobs; works on any
+    filesystem ``spark.read`` can reach). Factored out so tests can drive
+    it on a local path without a cluster."""
+    df = spark.read.parquet(path)
+    if sum_col is None:
+        return {"rows": df.count()}
+    row = df.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum(sum_col).alias("_s")
+    ).first()
+    return {"rows": int(row["_n"]), "sum": int(row["_s"] or 0)}
+
+
 def lineage_rows_table(job_id: str, wave: int, events: list[tuple[str, dict]]):
     """Driver-side pyarrow table of orchestration events for one wave
     (schema = LINEAGE_SCHEMA). The analogue of the reference's DynamoDB

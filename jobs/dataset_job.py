@@ -124,23 +124,15 @@ def main() -> int:
     scored.unpersist()
     deduped.unpersist()
 
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
+    # post-write funnel counts through the Hadoop-FS-safe seam: local
+    # outputs answer from parquet footers (zero Spark jobs, the wave-loop
+    # discipline); hdfs://-s3a:// outputs fall back to two cheap Spark
+    # metadata jobs instead of an os.listdir that would silently miscount
+    from bodhium_webscrapper_spark.plans.metrics import output_counts
 
-    files = sorted(
-        os.path.join(args.output, f)
-        for f in os.listdir(args.output)
-        if f.endswith(".parquet")
-    )
-    funnel["after_near_dedup"] = sum(
-        pq.ParquetFile(f).metadata.num_rows for f in files
-    )
-    funnel["tokens_total"] = int(
-        sum(
-            pc.sum(pq.read_table(f, columns=["n_tokens"])["n_tokens"]).as_py() or 0
-            for f in files
-        )
-    )
+    counted = output_counts(spark, args.output, sum_col="n_tokens")
+    funnel["after_near_dedup"] = counted["rows"]
+    funnel["tokens_total"] = counted["sum"]
     print(json.dumps(funnel))
     spark.stop()
     return 0

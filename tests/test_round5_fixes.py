@@ -269,3 +269,22 @@ def test_psl_old_exact_only_table_still_accepted():
     legacy = {2: frozenset({"co.uk"})}
     assert registrable_domain_with_rules("a.b.co.uk", legacy) == "b.co.uk"
     assert registrable_domain_with_rules("a.b.c", legacy) == "b.c"
+
+
+# ----------------------------------------------- Hadoop-FS-safe output counts
+def test_output_counts_file_uri_and_spark_fallback_agree(spark, tmp_path):
+    from bodhium_webscrapper_spark.plans.metrics import output_counts
+
+    out = os.path.join(str(tmp_path), "counts_out")
+    spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("n_tokens")
+    ).repartition(4).write.parquet(out)
+    from bodhium_webscrapper_spark.plans.metrics import _spark_output_counts
+
+    plain = output_counts(spark, out, sum_col="n_tokens")
+    file_uri = output_counts(spark, "file://" + out, sum_col="n_tokens")
+    # the branch an hdfs://-s3a:// path takes, driven on the same data
+    via_spark = _spark_output_counts(spark, out, sum_col="n_tokens")
+    assert plain == file_uri == via_spark
+    assert plain["rows"] == 1000
+    assert plain["sum"] == sum(i % 7 for i in range(1000))

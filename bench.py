@@ -58,6 +58,16 @@ def _stop(spark):
     spark.stop()
 
 
+FETCH_BUCKETS = 64
+
+
+def _giant_fetch() -> str:
+    """Fetch strategy of the giant-wave configuration: bucketed by default
+    (the measured-faster zero-broadcast path at 10^7-row waves,
+    BENCH/BASELINE.md §2.4); override with SPARK_GRAFT_GIANT_FETCH."""
+    return os.environ.get("SPARK_GRAFT_GIANT_FETCH", "bucketed")
+
+
 def _fixture(n_pages: int):
     from bodhium_webscrapper_spark.session import build_session
     from bodhium_webscrapper_spark.sources.datagen import (
@@ -71,7 +81,28 @@ def _fixture(n_pages: int):
         spark = build_session("local[32]", "bench_prep", 32)
         prepare_pages(spark, paths["pages_raw"], os.path.join(out, "pages"), n_files=64)
         _stop(spark)
-    return {**paths, "pages": os.path.join(out, "pages")}
+    fixture = {**paths, "pages": os.path.join(out, "pages")}
+    # one-time bucketed pages layout (amortized corpus rewrite, built
+    # unpinned at full width — prep, not measurement; every pinned run
+    # re-attaches it metadata-only via register_bucketed)
+    bkt = os.path.join(out, f"pages_bkt{FETCH_BUCKETS}")
+    needs_bkt = (
+        os.environ.get("SPARK_GRAFT_BENCH_FETCH") == "bucketed"
+        or (_giant_fetch() == "bucketed"
+            and os.environ.get("SPARK_GRAFT_SKIP_GIANT") != "1")
+    )
+    if needs_bkt and not os.path.exists(os.path.join(bkt, "_SUCCESS")):
+        from pyspark.sql import functions as F
+
+        from bodhium_webscrapper_spark.plans.bucketed_fetch import write_bucketed
+
+        spark = build_session("local[32]", "bench_bkt_prep", 32)
+        pages = spark.read.parquet(fixture["pages"]).select("url_hash", "url", "html")
+        write_bucketed(pages, "bench_pages_bkt_prep", FETCH_BUCKETS, bkt)
+        spark.sql("DROP TABLE IF EXISTS bench_pages_bkt_prep")
+        _stop(spark)
+    fixture["pages_bkt"] = bkt
+    return fixture
 
 
 def run_frontier(
@@ -144,16 +175,35 @@ def _run_frontier_inproc(master: str, fixture: dict, tag: str) -> dict:
         # 0 may skip the canonicalization UDF (pure-JVM keying) — the
         # full-recrawl configuration
         seeds_canonical=os.environ.get("SPARK_GRAFT_BENCH_SEED_ALL") == "1",
+        # ...and duplicate-free by construction (the variant rows are
+        # filtered below), so the seeds wave skips the A1 dedup window —
+        # the full-recrawl schedule stage's dominant exchange+sort
+        seeds_distinct=os.environ.get("SPARK_GRAFT_BENCH_SEED_ALL") == "1",
+        # bucketed = the zero-broadcast storage-partitioned fetch: the wave
+        # table is written bucketBy(url_hash) and streams bucket-vs-bucket
+        # against the pre-bucketed pages layout — no driver-serial
+        # broadcast build, the giant-wave default (see _giant_fetch)
+        fetch_strategy=os.environ.get("SPARK_GRAFT_BENCH_FETCH", "broadcast"),
+        fetch_buckets=FETCH_BUCKETS,
+        bucketed_pages_path=os.path.join(
+            os.path.dirname(fixture["pages"]), f"pages_bkt{FETCH_BUCKETS}"
+        ),
     )
     # SEED_ALL: seed the full URL dump instead of the host roots — the
     # full-recrawl configuration. One wave then schedules+fetches+extracts
     # ~the whole pages table (10^7 rows here), the direct analogue of a
     # 10^8-row wave on a 1000-executor cluster: per-wave fixed latency is
-    # amortized into minutes of scalable stage work.
+    # amortized into minutes of scalable stage work. The dump's ~3%
+    # deliberately NON-canonical variant rows (https://WWW.host:443/...,
+    # datagen.py:166-167) are filtered out: seeds_canonical declares a
+    # truly-canonical seed list, and keying the variants as distinct URLs
+    # would overstate canonical-equivalent work (r4 advice).
+    from pyspark.sql import functions as _F
+
     seeds = (
-        spark.read.parquet(fixture["pages"]).selectExpr(
-            "url", "cast(1.0 as double) as priority"
-        )
+        spark.read.parquet(fixture["pages"])
+        .selectExpr("url", "cast(1.0 as double) as priority")
+        .filter(~_F.col("url").rlike("WWW|:443"))
         if os.environ.get("SPARK_GRAFT_BENCH_SEED_ALL") == "1"
         else spark.read.parquet(fixture["seeds_full"])
     )
@@ -191,7 +241,12 @@ def _run_frontier_inproc(master: str, fixture: dict, tag: str) -> dict:
     #   the old limit(500) warmup spawned ONE worker, so wave 0 measured
     #   the other N-1 worker forks + imports)
     # - materializes the persisted politeness artifacts (rules/budgets)
-    spark.read.parquet(fixture["pages"]).select("url_hash", "url", "html").filter(
+    pages_src = (
+        spark.table(job._pages_table)  # warm the files the fetch will read
+        if cfg.fetch_strategy == "bucketed"
+        else spark.read.parquet(fixture["pages"]).select("url_hash", "url", "html")
+    )
+    pages_src.filter(
         F.col("url_hash") % 101 == 0
     ).select(job._extract_udf(F.col("html"), F.col("url")).alias("p")).select(
         F.sum(F.length("p.text"))
@@ -444,6 +499,7 @@ def main():
                     "SPARK_GRAFT_GIANT_WAVES", "1"
                 ),
                 "SPARK_GRAFT_BENCH_SEED_ALL": "1",
+                "SPARK_GRAFT_BENCH_FETCH": _giant_fetch(),
             }
             g_reps = int(os.environ.get("SPARK_GRAFT_GIANT_REPS", "2"))
             glo_runs = [
@@ -475,6 +531,7 @@ def main():
             biggest = max(gcurve, key=lambda w: w["scheduled"])
             frontier["giant_wave"] = {
                 "budget": int(genv["SPARK_GRAFT_BENCH_BUDGET"]),
+                "fetch": genv["SPARK_GRAFT_BENCH_FETCH"],
                 f"local[{n_lo}]": glo,
                 f"local[{n_hi}]": ghi,
                 "full_loop_efficiency": round(
@@ -533,6 +590,7 @@ def main():
             g = frontier["giant_wave"]
             compact["frontier"]["giant_wave"] = {
                 "budget": g["budget"],
+                "fetch": g.get("fetch"),
                 lo_k: {k: g[lo_k][k] for k in ("seconds", "urls_per_sec", "waves")},
                 hi_k: {k: g[hi_k][k] for k in ("seconds", "urls_per_sec", "waves")},
                 "full_loop_efficiency": g["full_loop_efficiency"],

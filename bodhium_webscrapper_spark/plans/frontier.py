@@ -166,6 +166,16 @@ class CrawlConfig:
     # job). Default OFF: arbitrary seed lists (the reference's discovery
     # paths) go through the full canonicalizer.
     seeds_canonical: bool = False
+    # seeds are DECLARED duplicate-free per url_hash (e.g. a full recrawl
+    # seeded from this engine's own seen/frontier dump, which is distinct
+    # by construction). The seeds wave then skips the A1 dedup window —
+    # the schedule stage's dominant exchange+sort at 10^8-row seed lists —
+    # entirely; first-wins semantics are vacuous on distinct keys, so the
+    # result is identical (asserted in tests/test_round5_fixes.py).
+    # Discovery waves (frontier from outlinks) ALWAYS dedup regardless.
+    # Default OFF: arbitrary seed lists may contain duplicates, and the
+    # contract is trusted, not checked (checking would re-pay the shuffle).
+    seeds_distinct: bool = False
     # fetch physical strategy:
     #  "broadcast" (default) — the adaptive fused-broadcast / keys-only
     #    semi-join fetch below; right whenever the wave fits a broadcast.
@@ -259,6 +269,7 @@ class CrawlJob:
         self.seeds = seeds
         self.robots = robots
         self._resumed_at = -1  # set by run(resume=True); lineage marker
+        self._seeds_wave = -1  # wave whose frontier IS the seed list (run())
         # wave-invariant politeness artifacts, computed once and persisted:
         # re-aggregating rules/delays from the raw robots table every wave
         # was a repeated serial broadcast-build cost in the schedule stage
@@ -535,7 +546,12 @@ class CrawlJob:
         # - host-hash salting only kicks in above an activation threshold —
         #   below it, per-host partitions are small enough that the second
         #   window pass would be pure overhead.
-        deduped = self._dedup_first_wins(frontier)
+        if wave == self._seeds_wave and cfg.seeds_distinct:
+            # declared-distinct seeds: first-wins dedup is vacuous — skip
+            # the wave's dominant exchange+sort (see CrawlConfig)
+            deduped = frontier
+        else:
+            deduped = self._dedup_first_wins(frontier)
         probe_cache = None
         if self._total_seen <= cfg.seen_broadcast_threshold:
             new = deduped.join(
@@ -853,6 +869,9 @@ class CrawlJob:
         )
         n_frontier: int | None = None  # derived count; None = seeds wave
         self._resumed_at = committed + 1 if (resume and committed >= 0) else -1
+        # seeds-wave marker: wave 0 of a fresh run is the only wave whose
+        # frontier is the raw seed list (seeds_distinct applies there only)
+        self._seeds_wave = -1 if (resume and committed >= 0) else 0
         if resume and committed >= 0:
             # checkpoint-format guard: resuming against a manifest written
             # by an older engine (no ``pending`` artifact, stats without

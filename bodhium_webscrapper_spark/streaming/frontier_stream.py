@@ -71,39 +71,56 @@ _BUDGET_OUT_SCHEMA = T.StructType(
 
 
 def stream_per_host_budget(
-    urls: DataFrame, budget: int, host_col: str = "host"
+    urls: DataFrame,
+    budget: int,
+    host_col: str = "host",
+    budget_col: str | None = None,
 ) -> DataFrame:
     """Politeness budget as a custom stateful streaming operator.
 
     State per host = how many URLs were admitted so far; each micro-batch
-    admits rows until the running count reaches ``budget``. Admission order
-    inside a batch is made deterministic by sorting on (priority-free)
-    url_hash — streaming cannot promise cross-batch global order, which is
-    why the batch wave loop remains authoritative for the crawl-order
-    contract.
+    admits rows until the running count reaches the host's cap. Admission
+    order inside a batch is made deterministic by sorting on
+    (priority-free) url_hash — streaming cannot promise cross-batch global
+    order, which is why the batch wave loop remains authoritative for the
+    crawl-order contract.
+
+    ``budget_col``: optional per-row column carrying a host-specific budget
+    — e.g. the crawl-delay-derived ``_host_budget`` that
+    ``operators.politeness.with_crawl_delay_budget`` attaches (it is a
+    stream-static broadcast join + coalesce, so it works unchanged on a
+    streaming DataFrame). The effective cap is min(budget, per-host value),
+    matching the batch loop's W3 semantics per epoch (parity asserted in
+    tests/test_streaming.py).
     """
 
     def admit(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         taken = state.get[0] if state.exists else 0
-        room = max(0, budget - taken)
-        if room == 0:
-            # budget exhausted: don't materialize/sort the group at all
-            # (a mega-host would otherwise pay O(group log group) per epoch
-            # to admit nothing)
-            state.update((taken,))
-            return
         # a host's micro-batch rows may span several Arrow chunks; sorting
         # each chunk independently would make admission depend on chunk
         # boundaries. Keep a RUNNING top-`room` selection across chunks
         # (stable mergesort keeps ties deterministic): memory stays bounded
         # at room + one chunk, so a mega-host group of millions of rows in
         # one epoch cannot OOM the python worker, while the result is
-        # identical to sorting the whole concatenated group.
+        # identical to sorting the whole concatenated group. The per-host
+        # cap (budget_col, constant within the group) is read off the first
+        # non-empty chunk; an exhausted budget admits nothing without
+        # materializing/sorting the group at all.
         chunks = [pdfs] if isinstance(pdfs, pd.DataFrame) else pdfs
         best = None
+        room = None
         for chunk in chunks:
+            if room is None:
+                if len(chunk) == 0:
+                    continue
+                cap = budget
+                if budget_col is not None:
+                    cap = min(budget, int(chunk[budget_col].iloc[0]))
+                room = max(0, cap - taken)
+                if room == 0:
+                    break
             pool = chunk if best is None else pd.concat([best, chunk])
             best = pool.sort_values("url_hash", kind="mergesort").head(room)
         admitted = best if best is not None else pd.DataFrame()

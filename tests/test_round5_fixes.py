@@ -288,3 +288,20 @@ def test_output_counts_file_uri_and_spark_fallback_agree(spark, tmp_path):
     assert plain == file_uri == via_spark
     assert plain["rows"] == 1000
     assert plain["sum"] == sum(i % 7 for i in range(1000))
+
+
+# ------------------------------------------------------------ seeds_distinct
+def test_seeds_distinct_identical_on_distinct_seeds(spark, crawl_fixture, tmp_path):
+    """With duplicate-free seeds, seeds_distinct=True (skip the wave-0 dedup
+    window) must be a pure physical change: identical crawl order and seen
+    set; discovery waves still dedup (wave>=1 frontiers carry dup outlinks)."""
+    tmp = str(tmp_path)
+    ja, sa = _run_job(spark, crawl_fixture, tmp, "r5_dd_off")
+    jb, sb = _run_job(spark, crawl_fixture, tmp, "r5_dd_on", seeds_distinct=True)
+    assert sa["total_scheduled"] == sb["total_scheduled"] > 0
+    assert [tuple(r) for r in ja.crawl_order().collect()] == [
+        tuple(r) for r in jb.crawl_order().collect()
+    ]
+    assert ja.seen_set().select("url_hash").exceptAll(
+        jb.seen_set().select("url_hash")
+    ).isEmpty()

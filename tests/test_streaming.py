@@ -125,3 +125,59 @@ def test_host_rate_metrics(spark, tmp_path):
     assert out.agg(F.sum("n_pages")).first()[0] == 200
     assert out.select("host").distinct().count() == 5
     q.stop()
+
+
+def test_stream_budget_crawl_delay_parity_with_batch(spark, tmp_path):
+    """Round-5 twin parity: with crawl-delay budgets active, the stream's
+    admitted set equals the batch politeness operator's on the same input —
+    across Arrow chunk boundaries (tiny batches force many chunks/group).
+    The batch side is ordered on bare url_hash (the stream's documented
+    admission order; cross-batch priority order stays batch-loop-only)."""
+    from bodhium_webscrapper_spark.operators.politeness import (
+        per_host_budget,
+        with_crawl_delay_budget,
+    )
+
+    src = os.path.join(str(tmp_path), "pages5")
+    df = _write_pages(spark, src)  # hosts h0..h4, 40 rows each
+    robots = spark.createDataFrame(
+        [("h1.example", 2000), ("h3.example", 10000)],
+        "host string, crawl_delay_ms int",
+    )  # wave 10s: h1 -> budget 5, h3 -> budget 1, others default
+    static = df.withColumn("host", F.parse_url("url", F.lit("HOST"))).select(
+        "host", "url", "url_hash"
+    )
+    batch = per_host_budget(
+        with_crawl_delay_budget(static, robots, 7, 10_000),
+        7,
+        order_by=[F.col("url_hash").asc()],
+        budget_col="_host_budget",
+    )
+    exp = sorted((r.host, r.url) for r in batch.select("host", "url").collect())
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
+    try:
+        urls = stream_pages(spark, src).select(
+            F.parse_url("url", F.lit("HOST")).alias("host"), "url", "url_hash"
+        )
+        gated = with_crawl_delay_budget(urls, robots, 7, 10_000)
+        q = _run_stream(
+            stream_per_host_budget(gated, 7, budget_col="_host_budget"),
+            "budget_delay_sink",
+            os.path.join(str(tmp_path), "ck5"),
+        )
+        got = sorted(
+            (r.host, r.url)
+            for r in spark.sql("select host, url from budget_delay_sink").collect()
+        )
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert got == exp
+    # and the reduced budgets really bound the per-host admissions
+    per_host = {}
+    for h, _u in got:
+        per_host[h] = per_host.get(h, 0) + 1
+    assert per_host["h1.example"] == 5 and per_host["h3.example"] == 1
+    assert per_host["h0.example"] == 7

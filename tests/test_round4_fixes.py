@@ -98,7 +98,7 @@ def test_psl_jvm_twin_matches_python(spark):
 def test_set_public_suffixes_roundtrip(spark):
     from bodhium_webscrapper_spark.functions import canonicalize as c
 
-    orig = dict(c.current_suffix_rules())
+    orig = c.current_suffix_rules()
     try:
         c.set_public_suffixes(["co.uk", "example.zz", "deep.rule.zz"])
         assert c.registrable_domain_py("a.b.example.zz") == "b.example.zz"
@@ -118,10 +118,13 @@ def test_set_public_suffixes_roundtrip(spark):
         assert got["a.b.example.zz"] == "b.example.zz"
         assert got["w.deep.rule.zz"] == "w.deep.rule.zz"
         assert got["user.github.io"] == "github.io"
-        with pytest.raises(ValueError, match="wildcard"):
-            c.set_public_suffixes(["*.ck"])
+        # round 5: wildcard/exception rules are now first-class
+        # (exact semantics in both twins; see test_round5_fixes.py)
+        c.set_public_suffixes(["*.ck", "!www.ck"])
+        assert c.registrable_domain_py("a.foo.ck") == "a.foo.ck"
+        assert c.registrable_domain_py("sub.www.ck") == "www.ck"
     finally:
-        c.set_public_suffixes({s for v in orig.values() for s in v})
+        c._suffix_rules = orig
 
 
 def test_load_public_suffix_list():
@@ -141,7 +144,9 @@ github.io
     full = c.load_public_suffix_list(psl)
     assert "co.uk" in full and "k12.ca.us" in full and "github.io" in full
     assert "com" in full  # 1-label entries parse (setter drops them)
-    assert not any(s.startswith(("*", "!")) for s in full)
+    # round 5: wildcard/exception rules are KEPT (the setter implements
+    # their exact semantics; see test_round5_fixes.py)
+    assert "*.ck" in full and "!www.ck" in full
     icann = c.load_public_suffix_list(psl, include_private=False)
     assert "github.io" not in icann and "co.uk" in icann
 

@@ -303,6 +303,32 @@ _Q_CRAWL_ORDER_SQL = """
 """
 
 
+def q_global_wave_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 scale path (round 5): the exact DISTRIBUTED global wave cap —
+    ``global_ordered_cap`` with the threshold-filter form FORCED
+    (takeordered_threshold=0), so the oracle validates the priority-level /
+    url_hash-histogram walk, not TakeOrdered. Must equal
+    ORDER BY priority DESC, url_hash ASC LIMIT k. doc_id%5 priorities give
+    137 a mid-level boundary (27 full rows of levels 4..1 < 137 < 200),
+    exercising the histogram + boundary-hash steps."""
+    from bodhium_webscrapper_spark.operators.politeness import global_ordered_cap
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("url_hash"),
+        (F.col("doc_id") % 5).cast("double").alias("priority"),
+    )
+    out = global_ordered_cap(docs, 137, takeordered_threshold=0)
+    return out.select("url_hash", "priority").orderBy(
+        F.col("priority").desc(), F.col("url_hash").asc()
+    )
+
+
+_Q_GLOBAL_CAP_SQL = """
+    SELECT doc_id AS url_hash, CAST(doc_id % 5 AS DOUBLE) AS priority
+    FROM documents ORDER BY priority DESC, url_hash ASC LIMIT 137
+"""
+
+
 def q_brand_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P13: brand = initcap(first dns label) (RDS/app.py:700)."""
     docs = _t(spark, sf_dir, "documents").select(
@@ -1288,6 +1314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_priority_union": q_source_priority_union,
         "product_hash_dedup": q_product_hash_dedup,
         "crawl_order": q_crawl_order,
+        "global_wave_cap": q_global_wave_cap,
         "brand_extraction": q_brand_extraction,
         "fetch_join": q_fetch_join,
         "pushdown_agg": q_pushdown_agg,
@@ -1329,6 +1356,7 @@ def oracle_sql() -> dict[str, str]:
         "source_priority_union": _Q_SOURCE_UNION_SQL,
         "product_hash_dedup": _Q_PRODUCT_HASH_SQL,
         "crawl_order": _Q_CRAWL_ORDER_SQL,
+        "global_wave_cap": _Q_GLOBAL_CAP_SQL,
         "brand_extraction": _Q_BRAND_SQL,
         "fetch_join": _Q_FETCH_JOIN_SQL,
         "pushdown_agg": _Q_PUSHDOWN_AGG_SQL,

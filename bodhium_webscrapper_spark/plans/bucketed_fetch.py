@@ -33,9 +33,20 @@ Trade-offs, stated honestly:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 _ORDERING_CONF = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+
+
+def _abs_path(path: str) -> str:
+    """Absolutize scheme-less table locations: Spark resolves a RELATIVE
+    ``path`` option/LOCATION against the session WAREHOUSE dir, while every
+    other consumer of the same artifact (SnapshotStore footer reads,
+    spark.read.parquet) resolves it against the process cwd — a silent
+    split-brain for callers passing relative checkpoint dirs."""
+    return path if "://" in path else os.path.abspath(path)
 
 
 def _enable_bucket_ordering(spark: SparkSession) -> None:
@@ -76,7 +87,7 @@ def write_bucketed(
         .sortBy(key)
     )
     if path:
-        w = w.option("path", path)
+        w = w.option("path", _abs_path(path))
     w.format("parquet").saveAsTable(table)
 
 
@@ -95,6 +106,7 @@ def register_bucketed(
     the table existing in the catalog with a ``bucket(N, key)`` spec.
     ``schema_ddl`` defaults to the parquet footer schema at ``path``."""
     _enable_bucket_ordering(spark)
+    path = _abs_path(path)
     if schema_ddl is None:
         schema_ddl = ", ".join(
             f"{f.name} {f.dataType.simpleString()}"

@@ -39,6 +39,24 @@ def main() -> int:
     p.add_argument("--resume", action="store_true", help="resume from last committed wave")
     p.add_argument("--no-bloom", action="store_true")
     p.add_argument("--verify-extraction", action="store_true")
+    p.add_argument(
+        "--fetch-strategy", choices=["broadcast", "bucketed"], default="broadcast",
+        help="bucketed = zero-broadcast storage-partitioned fetch: pages are "
+        "bucketed once by url_hash (amortized; re-attached on resume) and "
+        "each wave's scheduled set is written bucketBy the same spec — the "
+        "10^8-row-wave path",
+    )
+    p.add_argument("--fetch-buckets", type=int, default=64)
+    p.add_argument(
+        "--seeds-distinct", action="store_true",
+        help="declare the seed list duplicate-free (e.g. a full recrawl from "
+        "this engine's own dump): wave 0 skips the dedup window",
+    )
+    p.add_argument(
+        "--seeds-canonical", action="store_true",
+        help="declare seeds already canonical: wave 0 skips the "
+        "canonicalization UDF (pure-JVM keying)",
+    )
     p.add_argument("--master", default=os.environ.get("SPARK_MASTER", "local[*]"))
     p.add_argument(
         "--iceberg-warehouse",
@@ -110,6 +128,10 @@ def main() -> int:
         global_wave_limit=args.global_wave_limit,
         use_bloom=not args.no_bloom,
         verify_extraction=args.verify_extraction,
+        fetch_strategy=args.fetch_strategy,
+        fetch_buckets=args.fetch_buckets,
+        seeds_distinct=args.seeds_distinct,
+        seeds_canonical=args.seeds_canonical,
     )
     job = CrawlJob(
         spark,

@@ -305,3 +305,18 @@ def test_seeds_distinct_identical_on_distinct_seeds(spark, crawl_fixture, tmp_pa
     assert ja.seen_set().select("url_hash").exceptAll(
         jb.seen_set().select("url_hash")
     ).isEmpty()
+
+
+def test_write_bucketed_relative_path_lands_in_cwd(spark, tmp_path):
+    """A RELATIVE table location must resolve against the process cwd (like
+    every other artifact path), not silently under spark-warehouse/."""
+    from bodhium_webscrapper_spark.plans.bucketed_fetch import write_bucketed
+
+    rel = os.path.relpath(str(tmp_path / "bkt_rel"))
+    df = spark.range(10).selectExpr("id as url_hash")
+    write_bucketed(df, "rel_bkt_t", 2, rel)
+    try:
+        assert os.path.exists(os.path.join(rel, "_SUCCESS"))
+        assert not os.path.exists(os.path.join("spark-warehouse", rel))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS rel_bkt_t")

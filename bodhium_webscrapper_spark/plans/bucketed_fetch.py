@@ -23,9 +23,14 @@ Trade-offs, stated honestly:
 - pages must be REWRITTEN once into the bucketed layout (a full-corpus
   shuffle — amortized across every subsequent wave; on Iceberg this is
   just the table's partition spec, no separate rewrite).
-- each wave's scheduled set is written ``bucketBy`` too — its write gains
-  a bucket-hash shuffle, but removes the fetch broadcast AND lets the
-  sort-merge join skip both sorts (``sortBy(url_hash)`` at write time).
+- each wave gains a second, NARROW write: the loop's durable ``scheduled``
+  artifact stays a plain no-exchange write, and the wave TABLE this join
+  consumes is a numeric-only (url_hash/depth/priority/wave, 32 B/row)
+  ``bucketBy`` twin read back from that artifact's pruned footers. The
+  bucket-hash shuffle + bucket sort therefore move ints, never the
+  canonical_url/host strings (re-derived from pages.url at fetch time),
+  and the fetch loses its broadcast AND both join sorts
+  (``sortBy(url_hash)`` at write time).
 - Spark's bucketed joins require session catalogs (``saveAsTable``); the
   SnapshotStore's plain-directory artifacts stay the default, and this
   module is the opt-in scale path.

@@ -8,8 +8,10 @@ empty-checks (mirroring the reference's source-fallback control flow).
 
 Wave t (every stage a DataFrame; schema of frontier rows:
 url_hash, canonical_url, host, depth, priority, retry_count) runs exactly
-TWO Spark jobs — the two artifact writes; counts/metrics come free from
-parquet footers and the next frontier is DERIVED, not materialized:
+TWO Spark jobs — the two artifact writes (the bucketed fetch strategy adds
+a third, narrow one: the numeric-only wave-table write); counts/metrics
+come free from parquet footers and the next frontier is DERIVED, not
+materialized:
 
   frontier_t = explode(page_results_{t-1}.outlinks) ∪ pending misses
                (lazy plan over committed artifacts; wave 0: seeds)
@@ -519,7 +521,10 @@ class CrawlJob:
         removed count was a full Spark job of fixed driver latency — the
         dominant per-wave cost at small wave sizes and the reason round-1
         scaling efficiency collapsed to 0.39. The wave submits exactly TWO
-        Spark jobs: the scheduled write and the page_results write.
+        Spark jobs — the scheduled write and the page_results write — plus,
+        under the bucketed fetch strategy, one narrow third job: the
+        numeric-only (32 B/row) bucketed wave-table write, read back from
+        the scheduled artifact's footers rather than recomputed.
         """
         cfg = self.config
         t0 = time.time()
@@ -606,20 +611,34 @@ class CrawlJob:
                 cfg.global_wave_limit,
                 takeordered_threshold=cfg.global_cap_takeordered_threshold,
             )
-        if cfg.fetch_strategy == "bucketed":
-            # the scheduled write gains a bucket-hash repartition, and in
-            # exchange the fetch below loses its broadcast AND all sorts
-            # (plans/bucketed_fetch.py lays out the trade)
-            self.store.write_bucketed(
-                wave, "scheduled", self._assign_order(capped, wave),
-                self._wave_table, cfg.fetch_buckets,
-            )
-        else:
-            self.store.write(wave, "scheduled", self._assign_order(capped, wave))
+        self.store.write(wave, "scheduled", self._assign_order(capped, wave))
         if probe_cache is not None:  # bloom probe cache served its one action
             probe_cache.unpersist()
         if gate_cache is not None:  # count-split cache served the write
             gate_cache.unpersist()
+        if cfg.fetch_strategy == "bucketed":
+            # NARROW bucketed twin for the fetch side (r5): the durable
+            # ``scheduled`` artifact above is written plainly — no exchange,
+            # straight from the politeness output partitioning — and the
+            # wave TABLE the storage-partitioned join consumes is derived
+            # from it by a footer-pruned read-back of the numeric columns
+            # only (url_hash/depth/priority/wave, 32 B/row). The bucket-hash
+            # exchange + bucket sort + second write therefore move ints, not
+            # the ~100 B/row of canonical_url+host strings — the narrow-int
+            # shuffle is the shape this host (and a real cluster's network)
+            # scales best, and the strings are re-derived JVM-side from
+            # pages.url at fetch time exactly as the broadcast path does
+            # (url_hash equality implies string equality — the engine merges
+            # 64-bit collisions identically everywhere).
+            self.store.write_bucketed(
+                wave,
+                "scheduled_bkt",
+                self.store.read(self.spark, wave, "scheduled").select(
+                    "url_hash", "depth", "priority", "wave"
+                ),
+                self._wave_table,
+                cfg.fetch_buckets,
+            )
         scheduled = self.store.read(self.spark, wave, "scheduled")
         n_scheduled = self.store.row_count(wave, "scheduled")  # footer, no job
         t = mark("schedule", t)
@@ -661,13 +680,14 @@ class CrawlJob:
                 F.col("_page.text").eqNullSafe(F.col("text")).alias("golden_ok")
             )
         if cfg.fetch_strategy == "bucketed":
-            # storage-partitioned: bucket b of the wave table streams
-            # against bucket b of pages — no broadcast (nothing
-            # driver-serial), no exchange, no sort, at ANY wave size.
-            # canonical_url/host ride along from the co-located wave side
-            # (same values the broadcast path re-derives from pages.url:
-            # url_hash equality implies the strings match — the engine
-            # merges 64-bit collisions identically everywhere).
+            # storage-partitioned: bucket b of the (narrow, numeric-only)
+            # wave table streams against bucket b of pages — no broadcast
+            # (nothing driver-serial), no exchange, no sort, at ANY wave
+            # size. canonical_url/host are re-derived JVM-side from
+            # pages.url, same as the broadcast path (url_hash equality
+            # implies the strings match — the engine merges 64-bit
+            # collisions identically everywhere), so strings never enter
+            # the wave table's bucket shuffle at all.
             from bodhium_webscrapper_spark.plans.bucketed_fetch import (
                 bucketed_fetch_join,
             )
@@ -681,8 +701,7 @@ class CrawlJob:
                 )
                 .select(
                     F.col("url_hash"),
-                    F.col("canonical_url"),
-                    F.col("host"),
+                    *derived_cols,
                     F.col("depth"),
                     F.col("priority"),
                     F.col("wave"),

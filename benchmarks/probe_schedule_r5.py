@@ -22,8 +22,13 @@ usage: probe_schedule_r5.py local[N] [variant ...]
 variants:
   dedup    — window dedup + count-split politeness + plain write (old path)
   nodedup  — seeds_distinct schedule: politeness only + plain write
-  nodedup_bkt — nodedup + bucketBy(url_hash) wave-table write (the
-                bucketed-fetch trade: one scalable exchange bought back)
+  nodedup_bkt — nodedup + FULL-WIDTH bucketBy(url_hash) wave-table write
+                (the round-4 bucketed-fetch trade: strings ride the
+                bucket exchange)
+  nodedup_narrow — nodedup + plain full write + NARROW numeric-only
+                bucketBy twin read back from the artifact's pruned
+                footers (the round-5 loop path: strings never enter the
+                bucket exchange)
 Prints one JSON line per variant with wall seconds.
 """
 import json
@@ -46,7 +51,7 @@ from bodhium_webscrapper_spark.session import build_session  # noqa: E402
 
 FIX = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "build", "bench")
 OUT = os.path.join(FIX, f"probe_sched_r5_{n}")
-variants = sys.argv[2:] or ["dedup", "nodedup", "nodedup_bkt"]
+variants = sys.argv[2:] or ["dedup", "nodedup", "nodedup_bkt", "nodedup_narrow"]
 
 spark = build_session(sys.argv[1], "probe_sched_r5", n)
 seeds = (
@@ -76,6 +81,13 @@ for v in variants:
     if v == "nodedup_bkt":
         write_bucketed(capped, "probe_sched_wave", 64, os.path.join(OUT, v))
         spark.sql("DROP TABLE IF EXISTS probe_sched_wave")
+    elif v == "nodedup_narrow":
+        capped.write.mode("overwrite").parquet(os.path.join(OUT, v))
+        narrow = spark.read.parquet(os.path.join(OUT, v)).select(
+            "url_hash", "depth", "priority", "wave"
+        )
+        write_bucketed(narrow, "probe_sched_wave_n", 64, os.path.join(OUT, v + "_bkt"))
+        spark.sql("DROP TABLE IF EXISTS probe_sched_wave_n")
     else:
         capped.write.mode("overwrite").parquet(os.path.join(OUT, v))
     gated.unpersist()

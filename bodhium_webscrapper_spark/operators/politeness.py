@@ -78,18 +78,27 @@ def per_host_budget(
         per_host_cap = (
             F.min(cap).alias("_cap") if budget_col else F.lit(budget).alias("_cap")
         )
+        # Key the counts agg (and the broadcast probe) on xxhash64(host) —
+        # 8 B/row through the count shuffle instead of the host string.
+        # Exactness is preserved by the same superset argument as the
+        # counts themselves: a 64-bit collision (or the NULL group, which
+        # hashes to the seed constant alongside any host that collides
+        # with it) only MERGES count groups, and a merged count ≥ each
+        # member's count while a merged min-cap ≤ each member's cap — so
+        # collisions can only route EXTRA hosts through the window, where
+        # the exact per-host row_number (keyed on the real host string)
+        # caps each one independently and a cap ≥ count is a no-op.
+        # NULL hosts need no special casing here: xxhash64 is never null,
+        # so an over-budget NULL group matches the semi-join like any
+        # other host (the round-4 eqNullSafe fix, now by construction).
+        hkey = F.xxhash64(F.col(host_col))
         over = (
-            df.groupBy(host_col)
+            df.groupBy(hkey.alias("_hk"))
             .agg(F.count(F.lit(1)).alias("_n"), per_host_cap)
             .filter(F.col("_n") > F.col("_cap"))
-            .select(F.col(host_col).alias("_over_host"))
+            .select("_hk")
         )
-        # NULL-SAFE key: groupBy keeps a NULL-host group, but a plain
-        # equi-join would match it to nothing — every NULL row would slip
-        # into passthrough uncapped, where the plain-window path caps the
-        # NULL partition at the budget. eqNullSafe routes an over-budget
-        # NULL group through the window exactly like any other host.
-        cond = F.col(host_col).eqNullSafe(F.col("_over_host"))
+        cond = hkey == F.col("_hk")
         passthrough = out.join(F.broadcast(over), cond, "left_anti")
         out = out.join(F.broadcast(over), cond, "left_semi")
     if salt_buckets > 1:

@@ -61,6 +61,54 @@ def _stop(spark):
 FETCH_BUCKETS = 64
 
 
+def _steal_ticks() -> int:
+    with open("/proc/stat") as f:
+        return int(f.readline().split()[8])
+
+
+def host_probe(work: int = 20_000_000) -> dict:
+    """Engine-independent host-state calibration for the N-vs-4N numbers:
+    identical register-only busy loops (zero memory traffic, zero JVM, zero
+    Spark) pinned one process per core, run at 4 and at 16 processes.
+    ``parity`` = wall(4)/wall(16); on dedicated hardware it is 1.0 by
+    construction (each process does fixed work on its own core), so any
+    deficit is the HYPERVISOR — vCPU steal or host-level frequency/
+    co-tenant contention — a per-core ceiling that NO engine code can
+    beat and that multiplies directly into every measured 4→16 efficiency.
+    Recorded alongside each bench so the artifact is self-calibrating."""
+    import subprocess
+
+    code = (
+        "import os,sys\n"
+        "os.sched_setaffinity(0, {int(sys.argv[1])})\n"
+        "x = 0\n"
+        f"for i in range({work}):\n"
+        "    x = (x * 1103515245 + 12345) & 0xffffffff\n"
+    )
+
+    def phase(nproc: int) -> tuple[float, float]:
+        s0 = _steal_ticks()
+        t0 = time.time()
+        ps = [
+            subprocess.Popen([sys.executable, "-c", code, str(i)])
+            for i in range(nproc)
+        ]
+        for p in ps:
+            p.wait()
+        wall = time.time() - t0
+        return wall, (_steal_ticks() - s0) / (wall * nproc * 100)
+
+    w4, st4 = phase(4)
+    w16, st16 = phase(16)
+    return {
+        "wall4": round(w4, 2),
+        "wall16": round(w16, 2),
+        "parity": round(w4 / w16, 3),
+        "steal4": round(st4, 3),
+        "steal16": round(st16, 3),
+    }
+
+
 def _giant_fetch() -> str:
     """Fetch strategy of the giant-wave configuration: bucketed by default
     (the measured-faster zero-broadcast path at 10^7-row waves,
@@ -442,8 +490,10 @@ def main():
     queries = run_queries(sf_dir, cpus)
 
     frontier = {}
+    host = {}
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
         fixture = _fixture(n_pages)
+        host["before"] = host_probe()
         # each run is pinned (sched_setaffinity) to exactly N cores — see
         # run_frontier. Best-of-reps per level rejects noisy-neighbor
         # outliers (observed 2-8x wall-clock spikes at idle CPU).
@@ -551,6 +601,17 @@ def main():
                 "scheduled": biggest["scheduled"],
                 "eff": biggest["eff"],
             }
+        host["after"] = host_probe()
+        # the host parity (pure-CPU per-core ceiling, see host_probe) in
+        # the SAME window, averaged across the run's bracketing probes:
+        # raw efficiencies above are the recorded facts; this quotient is
+        # what the engine delivers of the ceiling the hypervisor left.
+        parity = (host["before"]["parity"] + host["after"]["parity"]) / 2
+        host["parity_mean"] = round(parity, 3)
+        if "giant_wave" in frontier and parity > 0:
+            frontier["giant_wave"]["host_normalized_efficiency"] = round(
+                frontier["giant_wave"]["full_loop_efficiency"] / min(1.0, parity), 3
+            )
 
     stage_scaling = {}
     compaction = {}
@@ -560,6 +621,7 @@ def main():
 
     result["value"] = round(time.time() - t_total, 2)
     result["queries"] = queries
+    result["host"] = host
     result["frontier"] = frontier
     result["stage_scaling"] = stage_scaling
     result["compaction"] = compaction
@@ -584,6 +646,8 @@ def main():
         "queries": queries,
         "full": "BENCH/r_full.json",
     }
+    if host:
+        compact["host"] = host
     if frontier:
         n_lo = int(os.environ.get("SPARK_GRAFT_BENCH_N", "4"))
         lo_k, hi_k = f"local[{n_lo}]", f"local[{4 * n_lo}]"
@@ -602,6 +666,7 @@ def main():
                 lo_k: {k: g[lo_k][k] for k in ("seconds", "urls_per_sec", "waves")},
                 hi_k: {k: g[hi_k][k] for k in ("seconds", "urls_per_sec", "waves")},
                 "full_loop_efficiency": g["full_loop_efficiency"],
+                "host_normalized_efficiency": g.get("host_normalized_efficiency"),
                 "per_wave_efficiency": g["per_wave_efficiency"],
             }
         if "biggest_wave_efficiency" in frontier:

@@ -66,31 +66,40 @@ seeds = (
         F.lit(0).alias("retry_count"),
     )
 )
-seeds.select(F.count("url_hash")).first()  # warm the scan
+# warm the FULL-WIDTH scan (a url_hash-only count would leave the url
+# column cold and bill it to whichever variant runs first)
+seeds.agg(F.count("canonical_url"), F.count("host")).first()
 BUDGET = 100_000
+REPS = int(os.environ.get("PROBE_REPS", "2"))
 
 from pyspark import StorageLevel  # noqa: E402
 
 out = {}
 for v in variants:
-    t0 = time.time()
-    fr = seeds if v.startswith("nodedup") else dedup_first_wins_frontier(seeds)
-    gated = fr.persist(StorageLevel.MEMORY_AND_DISK)
-    capped = per_host_budget(gated, BUDGET, salt_buckets=16, count_split=True)
-    capped = capped.withColumn("wave", F.lit(0))
-    if v == "nodedup_bkt":
-        write_bucketed(capped, "probe_sched_wave", 64, os.path.join(OUT, v))
-        spark.sql("DROP TABLE IF EXISTS probe_sched_wave")
-    elif v == "nodedup_narrow":
-        capped.write.mode("overwrite").parquet(os.path.join(OUT, v))
-        narrow = spark.read.parquet(os.path.join(OUT, v)).select(
-            "url_hash", "depth", "priority", "wave"
-        )
-        write_bucketed(narrow, "probe_sched_wave_n", 64, os.path.join(OUT, v + "_bkt"))
-        spark.sql("DROP TABLE IF EXISTS probe_sched_wave_n")
-    else:
-        capped.write.mode("overwrite").parquet(os.path.join(OUT, v))
-    gated.unpersist()
-    out[v] = round(time.time() - t0, 2)
+    best = None
+    for _ in range(REPS):
+        t0 = time.time()
+        fr = seeds if v.startswith("nodedup") else dedup_first_wins_frontier(seeds)
+        gated = fr.persist(StorageLevel.MEMORY_AND_DISK)
+        capped = per_host_budget(gated, BUDGET, salt_buckets=16, count_split=True)
+        capped = capped.withColumn("wave", F.lit(0))
+        if v == "nodedup_bkt":
+            write_bucketed(capped, "probe_sched_wave", 64, os.path.join(OUT, v))
+            spark.sql("DROP TABLE IF EXISTS probe_sched_wave")
+        elif v == "nodedup_narrow":
+            capped.write.mode("overwrite").parquet(os.path.join(OUT, v))
+            narrow = spark.read.parquet(os.path.join(OUT, v)).select(
+                "url_hash", "depth", "priority", "wave"
+            )
+            write_bucketed(
+                narrow, "probe_sched_wave_n", 64, os.path.join(OUT, v + "_bkt")
+            )
+            spark.sql("DROP TABLE IF EXISTS probe_sched_wave_n")
+        else:
+            capped.write.mode("overwrite").parquet(os.path.join(OUT, v))
+        gated.unpersist()
+        took = round(time.time() - t0, 2)
+        best = took if best is None else min(best, took)
+    out[v] = best
 print("PROBEJSON:" + json.dumps({"level": n, **out}))
 spark.stop()

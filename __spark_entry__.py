@@ -831,6 +831,71 @@ _Q_SIMHASH_SQL = f"""
 """
 
 
+
+def q_winnow_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprint near-dup pairs (SIGMOD'03).
+
+    Character 5-gram polynomial hashes (Horner mod 1e9+7 — exactly the
+    weighted dot-product any SQL engine replays), window-8 winnow minima,
+    pairs sharing >= 3 non-hot fingerprints at >= 60% containment of the
+    smaller fingerprint set (100*shared >= 60*least(n_a,n_b) — all-integer,
+    replayed exactly by the oracle). Oracle: the identical
+    computation in windowed DuckDB SQL (no lambdas). Output is all-integer
+    so the value hash is float-free.
+    """
+    from bodhium_webscrapper_spark.operators.dedup import winnow_pairs
+
+    df = _docs_with_near_dups(spark, sf_dir)
+    return winnow_pairs(
+        df, "doc_id", "text", k=5, window=8, min_shared=3, hot_cap=100,
+        min_containment_pct=60,
+    ).orderBy("id_a", "id_b")
+
+
+# Weights are 257^4..257^0; the Spark side computes the same value in Horner
+# form with mod-each-step (identical result: mod distributes, and the dot
+# product peaks at ~2.8e12, well inside BIGINT).
+_Q_WINNOW_SQL = f"""
+    WITH d AS ({_DOCS_WITH_DUPS_SQL}),
+    nd AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM d),
+    pos AS (
+      SELECT doc_id, t, unnest(range(1, length(t) - 5 + 2)) AS i
+      FROM nd WHERE length(t) >= 5),
+    grams AS (
+      SELECT doc_id, i,
+             (unicode(t[i]) * 4362470401
+            + unicode(t[i+1]) * 16974593
+            + unicode(t[i+2]) * 66049
+            + unicode(t[i+3]) * 257
+            + unicode(t[i+4])) % 1000000007 AS h
+      FROM pos),
+    wins AS (
+      SELECT doc_id, i,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp,
+             count(*) OVER (PARTITION BY doc_id) AS ng
+      FROM grams),
+    fps AS (
+      SELECT DISTINCT doc_id, fp FROM wins
+      WHERE i <= ng - 8 + 1 OR (ng < 8 AND i = 1)),
+    keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) BETWEEN 2 AND 100),
+    kf AS (SELECT f.doc_id, f.fp FROM fps f JOIN keep USING (fp)),
+    sizes AS (SELECT doc_id, count(*) AS nfp FROM fps GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+      FROM kf a JOIN kf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 3)
+    SELECT p.id_a, p.id_b, p.shared_fps, sa.nfp AS n_a, sb.nfp AS n_b
+    FROM pairs p
+    JOIN sizes sa ON p.id_a = sa.doc_id
+    JOIN sizes sb ON p.id_b = sb.doc_id
+    WHERE 100 * p.shared_fps >= 60 * least(sa.nfp, sb.nfp)
+    ORDER BY id_a, id_b
+"""
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs at >= 0.99 (duplicate vectors)."""
     from bodhium_webscrapper_spark.operators.dedup import embedding_neardup_pairs
@@ -1333,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "minhash_lsh_dups": q_minhash_lsh_dups,
+        "winnow_fingerprint_dups": q_winnow_fingerprint_dups,
         "simhash_dups": q_simhash_dups,
         "embedding_neardup": q_embedding_neardup,
         "ann_bruteforce_topk": q_ann_bruteforce,
@@ -1378,6 +1444,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce_topk": _Q_ANN_BRUTEFORCE_SQL,
         "media_metadata": _Q_MEDIA_METADATA_SQL,
         "minhash_lsh_dups": _Q_MINHASH_SQL,
+        "winnow_fingerprint_dups": _Q_WINNOW_SQL,
         "ann_ivf_topk": _Q_ANN_PLANTED_SQL,
         "ann_lsh_topk": _Q_ANN_PLANTED_SQL,
         "ann_lsh_multiprobe_topk": _Q_ANN_PLANTED_SQL,

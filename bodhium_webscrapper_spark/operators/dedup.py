@@ -410,3 +410,136 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b", "cosine")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# ---------------------------------------------------------------- winnowing
+
+def _bind_once(col: Column, fn) -> Column:
+    """Evaluate ``col`` exactly once and pass the result into ``fn`` as a
+    bound lambda variable.
+
+    Catalyst's CollapseProject inlines a projected expression into every
+    consumer — inside a higher-order-function lambda that means the full
+    expression is re-evaluated per element (an O(L)-cost gram array rebuilt
+    for each of O(L) winnow windows → O(L²)). Wrapping the value in a
+    1-element array and `transform`-ing over it makes the evaluation a
+    runtime lambda binding the optimizer cannot inline through.
+    """
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    window: int = 8,
+    base: int = 257,
+    prime: int = 1_000_000_007,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03).
+
+    Rolling polynomial hash over character k-grams of the normalized text
+    (Horner form, mod ``prime`` each step — bit-identical to the weighted
+    dot-product-mod-p form any SQL engine can replay), then the winnowing
+    selection: the minimum gram hash of every ``window`` consecutive grams,
+    deduplicated per document. Documents shorter than ``k`` normalized chars
+    yield no fingerprints; documents with fewer than ``window`` grams yield
+    the single global-min fingerprint (the truncated-window rule).
+
+    Entirely JVM-side higher-order functions — no Python in the data plane.
+    Replaces the reference's single md5-of-whole-document fingerprint
+    (``/root/reference/RDS/app.py:459-460``) with a local fingerprint set
+    that survives partial edits.
+
+    Returns one row per (id, fp): ``(id_col, fp: bigint)``.
+    """
+    def gram_hashes(t: Column) -> Column:
+        horner = lambda i: F.aggregate(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, j: (acc * base + F.ascii(F.substring(t, F.lit(0) + i + j, 1))) % prime,
+        )
+        return F.when(F.length(t) < k, F.array().cast("array<bigint>")).otherwise(
+            F.transform(F.sequence(F.lit(1), F.length(t) - (k - 1)), horner)
+        )
+
+    def winnow(g: Column) -> Column:
+        n_windows = F.greatest(F.size(g) - (window - 1), F.lit(1))
+        return F.when(F.size(g) == 0, F.array().cast("array<bigint>")).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n_windows),
+                    lambda i: F.array_min(F.slice(g, i, window)),
+                )
+            )
+        )
+
+    fps = _bind_once(
+        normalized_text(F.col(text_col)),
+        lambda t: _bind_once(gram_hashes(t), winnow),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(fps).alias("fp"))
+        .filter(F.col("fp").isNotNull())
+        .dropDuplicates([id_col, "fp"])
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    window: int = 8,
+    min_shared: int = 3,
+    hot_cap: int = 100,
+    min_containment_pct: int = 0,
+) -> DataFrame:
+    """Near-duplicate candidate pairs by shared winnowing fingerprints.
+
+    Scale shape: explode to (fp, id), count docs per fp, keep only fps seen
+    in 2..``hot_cap`` documents (dropping singletons prunes the join input;
+    dropping hot fps — the stop-shingle analogue — bounds per-key fan-out at
+    C(hot_cap, 2), which is what keeps the self-join safe at 10^10 docs),
+    then a bare-id self-join per fp and a pair-count aggregate. Every
+    shuffle moves (bigint, bigint) rows keyed on fp or on the id pair —
+    never text.
+
+    Returns ``(id_a, id_b, shared_fps, n_a, n_b)`` where n_* are the docs'
+    total distinct fingerprint counts (consumers derive containment /
+    Jaccard from the three integers). ``min_containment_pct`` additionally
+    requires ``100*shared_fps >= pct*least(n_a, n_b)`` — all-integer
+    arithmetic, so any SQL oracle replays it bit-for-bit (no float
+    threshold ambiguity). Note the containment denominator uses the full
+    per-doc fingerprint counts, not the hot-capped ones.
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, window=window)
+    sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nfp"))
+    keep = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_ndocs"))
+        .filter((F.col("_ndocs") >= 2) & (F.col("_ndocs") <= hot_cap))
+        .select("fp")
+    )
+    kf = fps.join(keep, "fp", "left_semi")
+    left = kf.select(F.col(id_col).alias("id_a"), "fp")
+    right = kf.select(F.col(id_col).alias("id_b"), "fp")
+    pairs = (
+        left.join(right, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+    out = (
+        pairs.join(sizes.select(F.col(id_col).alias("id_a"), F.col("_nfp").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("_nfp").alias("n_b")), "id_b")
+        .select("id_a", "id_b", "shared_fps", "n_a", "n_b")
+    )
+    if min_containment_pct > 0:
+        out = out.filter(
+            100 * F.col("shared_fps")
+            >= min_containment_pct * F.least(F.col("n_a"), F.col("n_b"))
+        )
+    return out

@@ -78,3 +78,80 @@ def test_embedding_neardup(spark):
     }
     assert (1, 4) in got and (1, 2) in got
     assert not any(3 in p for p in got)
+
+
+# ---------------------------------------------------------------- winnowing
+
+def _py_winnow(text, k=5, w=8, base=257, p=1_000_000_007):
+    """Reference winnowing (Schleimer et al. SIGMOD'03), straight-line."""
+    import re as _re
+
+    t = _re.sub(r"\s+", " ", text.lower()).strip()
+    if len(t) < k:
+        return set()
+    grams = []
+    for i in range(len(t) - k + 1):
+        acc = 0
+        for j in range(k):
+            acc = (acc * base + ord(t[i + j])) % p
+        grams.append(acc)
+    n_windows = max(len(grams) - w + 1, 1)
+    return {min(grams[i : i + w]) for i in range(n_windows)}
+
+
+def test_winnow_fingerprints_twin_parity(spark):
+    """Spark HOF winnowing == pure-Python reference, incl. edge docs."""
+    from bodhium_webscrapper_spark.operators.dedup import winnow_fingerprints
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "THE  quick   brown fox jumps over the lazy dog!"),
+        (2, "ab"),  # shorter than k: no fingerprints
+        (3, "abcdef"),  # fewer than `window` grams: single global min
+        (4, None),  # NULL text: no rows, no NULL fingerprints
+        (5, "spark shuffles, catalyst plans, tungsten codegen"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {i: set() for i, _ in rows}
+    for r in winnow_fingerprints(df, "doc_id", "text").collect():
+        assert r["fp"] is not None
+        got[r["doc_id"]].add(r["fp"])
+    for i, t in rows:
+        expected = _py_winnow(t) if t is not None else set()
+        assert got[i] == expected, f"doc {i}"
+
+
+def test_winnow_pairs_planted_and_containment(spark):
+    """Edited near-dup is found; unrelated docs are not; containment gate
+    (100*shared >= pct*least(n_a, n_b)) prunes weak overlaps."""
+    from bodhium_webscrapper_spark.operators.dedup import winnow_pairs
+
+    base = ("spark executes the logical plan with catalyst and tungsten "
+            "whole stage codegen over columnar parquet batches while the "
+            "shuffle service moves sorted partitions between executors")
+    rows = [
+        (1, base),
+        (2, base + " plus a short appended edit"),  # near-dup of 1
+        (3, "completely different text about breadth first crawl ordering "
+            "politeness budgets robots gating and url canonicalization"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = winnow_pairs(df, "doc_id", "text", min_shared=3, hot_cap=100)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+    strict = winnow_pairs(
+        df, "doc_id", "text", min_shared=3, hot_cap=100,
+        min_containment_pct=101,  # impossible: shared <= least(n_a, n_b)
+    )
+    assert strict.count() == 0
+
+
+def test_winnow_plan_is_jvm_only(spark):
+    """The fingerprint data plane is pure JVM (no Python eval nodes), and the
+    bound-lambda staging keeps the gram array out of inlined projections."""
+    from bodhium_webscrapper_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "some text for the plan")], "doc_id long, text string")
+    plan = winnow_fingerprints(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -832,6 +832,199 @@ _Q_SIMHASH_SQL = f"""
 
 
 
+
+def _docs_with_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents re-chunked into 8-word lines; every 3rd doc gets its first
+    line appended again (a planted duplicate line for the Gopher signals)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    n_lines = F.ceil(F.size(toks) / F.lit(8)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * 8 + 1, 8)),
+    )
+    joined = F.array_join(lines, "\n")
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(joined, F.lit("\n"), F.element_at(lines, 1)),
+        ).otherwise(joined).alias("text"),
+    )
+
+
+_DOCS_LINES_SQL = r"""
+    SELECT doc_id,
+      CASE WHEN doc_id % 3 = 0
+           THEN array_to_string(lines, chr(10)) || chr(10) || lines[1]
+           ELSE array_to_string(lines, chr(10)) END AS text
+    FROM (
+      SELECT doc_id,
+        list_transform(range(0, CAST(ceil(len(toks) / 8.0) AS INT)),
+                       i -> array_to_string(toks[i*8+1:i*8+8], ' ')) AS lines
+      FROM (SELECT doc_id,
+              string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+            FROM documents))
+"""
+
+
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText repetition signals (Rae et al. 2021 A1.1) over
+    line-chunked documents with planted duplicate lines. All-integer output
+    (numerators/denominators of the published fractions)."""
+    from bodhium_webscrapper_spark.operators.quality import gopher_repetition_signals
+
+    return gopher_repetition_signals(
+        _docs_with_lines(spark, sf_dir), "doc_id", "text"
+    ).orderBy("doc_id")
+
+
+_Q_GOPHER_SQL = f"""
+    WITH fx AS ({_DOCS_LINES_SQL}),
+    ln AS (
+      SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM fx),
+    pl AS (
+      SELECT doc_id, line, count(*) AS c, length(line) AS l
+      FROM ln GROUP BY doc_id, line),
+    line_stats AS (
+      SELECT doc_id,
+        CAST(sum(c * l) AS BIGINT) AS total_chars,
+        CAST(sum(c) AS BIGINT) AS n_lines,
+        CAST(sum(c - 1) AS BIGINT) AS dup_lines,
+        CAST(sum((c - 1) * l) AS BIGINT) AS dup_line_chars
+      FROM pl GROUP BY doc_id),
+    toks AS (
+      SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+      FROM fx),
+    g2 AS (
+      SELECT doc_id, array_to_string(t[i+1:i+2], ' ') AS g
+      FROM (SELECT doc_id, t, unnest(range(0, len(t) - 1)) AS i FROM toks WHERE len(t) >= 2)),
+    top2 AS (
+      SELECT doc_id, CAST(max(c) AS BIGINT) AS top2_count,
+             CAST(max(c * length(g)) AS BIGINT) AS top2_cover
+      FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g)
+      GROUP BY doc_id),
+    g3 AS (
+      SELECT doc_id, array_to_string(t[i+1:i+3], ' ') AS g
+      FROM (SELECT doc_id, t, unnest(range(0, len(t) - 2)) AS i FROM toks WHERE len(t) >= 3)),
+    top3 AS (
+      SELECT doc_id, CAST(max(c) AS BIGINT) AS top3_count,
+             CAST(max(c * length(g)) AS BIGINT) AS top3_cover
+      FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g)
+      GROUP BY doc_id)
+    SELECT s.doc_id, s.total_chars, s.n_lines, s.dup_lines, s.dup_line_chars,
+           coalesce(top2_count, 0) AS top2_count, coalesce(top2_cover, 0) AS top2_cover,
+           coalesce(top3_count, 0) AS top3_count, coalesce(top3_cover, 0) AS top3_cover
+    FROM line_stats s
+    LEFT JOIN top2 USING (doc_id) LEFT JOIN top3 USING (doc_id)
+    ORDER BY s.doc_id
+"""
+
+
+def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style heuristics (Raffel et al. 2020) over line-chunked docs with
+    planted terminal punctuation (every 2nd doc) and a lorem-ipsum/curly
+    line (every 5th doc); integer + boolean signals and the combined keep
+    rule."""
+    from bodhium_webscrapper_spark.operators.quality import c4_signals
+
+    docs = _docs_with_lines(spark, sf_dir)
+    fixed = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.array_join(
+                F.transform(F.split(F.col("text"), "\n"), lambda l: F.concat(l, F.lit("."))),
+                "\n",
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit("\nsee { Lorem Ipsum } now")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    sig = c4_signals(F.col("text"), min_words=5)
+    return fixed.select(
+        "doc_id", *[c.alias(name) for name, c in sig.items()]
+    ).orderBy("doc_id")
+
+
+_Q_C4_SQL = f"""
+    WITH base AS ({_DOCS_LINES_SQL}),
+    p1 AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0
+             THEN array_to_string(list_transform(string_split(text, chr(10)), l -> l || '.'), chr(10))
+             ELSE text END AS text
+      FROM base),
+    fx AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 5 = 0
+             THEN text || chr(10) || 'see {{ Lorem Ipsum }} now'
+             ELSE text END AS text
+      FROM p1)
+    SELECT doc_id,
+      CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_words,
+      CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+      CAST(len(list_filter(string_split(text, chr(10)),
+                           l -> regexp_matches(l, '[.!?]$'))) AS BIGINT) AS n_terminal_lines,
+      CAST(len(list_filter(regexp_split_to_array(text, '[.!?]'),
+                           s -> length(trim(s)) > 0)) AS BIGINT) AS n_sentences,
+      contains(lower(text), 'lorem ipsum') AS has_lorem,
+      contains(text, '{{') AS has_curly,
+      (len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) >= 5
+       AND len(list_filter(regexp_split_to_array(text, '[.!?]'), s -> length(trim(s)) > 0)) >= 1
+       AND NOT contains(lower(text), 'lorem ipsum')
+       AND NOT contains(text, '{{')) AS c4_keep
+    FROM fx ORDER BY doc_id
+"""
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-document duplicated substring spans (Lee et al. 2022):
+    word-5-gram index, grams in >= 2 docs, per-doc maximal merged spans.
+    Linear plan — gram-hash shuffle + per-doc window, never a pair join."""
+    from bodhium_webscrapper_spark.operators.quality import duplicate_spans
+
+    df = _docs_with_near_dups(spark, sf_dir)
+    return duplicate_spans(df, "doc_id", "text", k=5, min_docs=2).orderBy("doc_id")
+
+
+_Q_DUP_SPANS_SQL = f"""
+    WITH d AS ({_DOCS_WITH_DUPS_SQL}),
+    nd AS (
+      SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      FROM d),
+    og AS (
+      SELECT doc_id, n_words, i, array_to_string(toks[i:i+4], ' ') AS g
+      FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words, toks,
+                   unnest(range(1, len(toks) - 5 + 2)) AS i
+            FROM nd WHERE len(toks) >= 5)),
+    dupg AS (
+      SELECT g FROM (SELECT DISTINCT g, doc_id FROM og)
+      GROUP BY g HAVING count(*) >= 2),
+    hits AS (SELECT o.doc_id, o.n_words, o.i FROM og o JOIN dupg USING (g)),
+    m AS (
+      SELECT doc_id, n_words, i,
+        CASE WHEN lag(i) OVER w IS NULL OR i - lag(i) OVER w > 5 THEN 1 ELSE 0 END AS nw
+      FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+    sp AS (
+      SELECT doc_id, n_words, i,
+        sum(nw) OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS span
+      FROM m),
+    spans AS (
+      SELECT doc_id, min(n_words) AS n_words, min(i) AS s, max(i) + 5 AS e
+      FROM sp GROUP BY doc_id, span)
+    SELECT doc_id, min(n_words) AS n_words, count(*) AS n_spans,
+           CAST(sum(e - s) AS BIGINT) AS dup_words
+    FROM spans GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_winnow_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash fingerprint near-dup pairs (SIGMOD'03).
 
@@ -1399,6 +1592,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "winnow_fingerprint_dups": q_winnow_fingerprint_dups,
+        "gopher_repetition": q_gopher_repetition,
+        "c4_filters": q_c4_filters,
+        "duplicate_spans": q_duplicate_spans,
         "simhash_dups": q_simhash_dups,
         "embedding_neardup": q_embedding_neardup,
         "ann_bruteforce_topk": q_ann_bruteforce,
@@ -1445,6 +1641,9 @@ def oracle_sql() -> dict[str, str]:
         "media_metadata": _Q_MEDIA_METADATA_SQL,
         "minhash_lsh_dups": _Q_MINHASH_SQL,
         "winnow_fingerprint_dups": _Q_WINNOW_SQL,
+        "gopher_repetition": _Q_GOPHER_SQL,
+        "c4_filters": _Q_C4_SQL,
+        "duplicate_spans": _Q_DUP_SPANS_SQL,
         "ann_ivf_topk": _Q_ANN_PLANTED_SQL,
         "ann_lsh_topk": _Q_ANN_PLANTED_SQL,
         "ann_lsh_multiprobe_topk": _Q_ANN_PLANTED_SQL,

@@ -1,0 +1,228 @@
+"""Webtext quality-filter suite for 100 TB corpus curation.
+
+The reference keeps only two quality gates — a blank-content guard and a
+10-word extraction threshold (``/root/reference/app.py:498-516``, crawl4ai
+``word_count_threshold``). A production training-data pipeline layers the
+published filter families on top; this module implements them Spark-first:
+
+- Gopher/MassiveText repetition signals (Rae et al. 2021, appendix A1.1):
+  duplicate-line fraction, duplicate-line character fraction, and
+  top-n-gram character coverage.
+- C4-style heuristics (Raffel et al. 2020): terminal-punctuation line
+  fraction, sentence count, lorem-ipsum / curly-brace flags, word count.
+- Exact substring duplicate spans (Lee et al. 2022, "Deduplicating
+  Training Data Makes Language Models Better"): maximal cross-document
+  duplicated word-k-gram spans per document, via a gram-hash index and a
+  gaps-and-islands interval merge — never a pair join, so the plan is
+  linear in corpus size.
+
+Scale notes: every aggregation shuffles on (doc, 8-byte hash) or (hash)
+alone — line/gram text never crosses the wire. All outputs are integers or
+booleans (fractions are left as numerator/denominator pairs) so SQL oracles
+replay them with zero float ambiguity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from bodhium_webscrapper_spark.operators.dedup import normalized_text
+
+
+# ---------------------------------------------------------------- gopher
+
+def gopher_repetition_signals(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    line_sep: str = "\n",
+    ngram_ns: tuple[int, ...] = (2, 3),
+) -> DataFrame:
+    """Per-document repetition signals (Gopher appendix A1.1), all-integer.
+
+    Output columns per document:
+      - ``total_chars``   — characters across all lines (sum of line lengths)
+      - ``n_lines``       — line count
+      - ``dup_lines``     — occurrences beyond the first of each repeated line
+      - ``dup_line_chars``— characters in those beyond-first occurrences
+      - ``top{n}_count``  — occurrences of the most frequent word n-gram
+      - ``top{n}_cover``  — max over n-grams of occurrences x gram length
+                            (chars covered by the busiest single n-gram)
+
+    The two top-gram maxima are taken independently — no tie-break on the
+    gram identity is needed, which keeps the aggregate deterministic while
+    shuffling only ``(doc, xxhash64(gram))`` pairs. Consumers derive the
+    published fractions (dup_line_chars/total_chars, top2_cover/total_chars)
+    and threshold them; the thresholds from the paper are policy, the
+    signals here are the engine surface.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), line_sep)).alias("_line"),
+    ).select(
+        id_col,
+        F.xxhash64(F.col("_line")).alias("_lh"),
+        F.length(F.col("_line")).alias("_llen"),
+    )
+    per_line = lines.groupBy(id_col, "_lh").agg(
+        F.count(F.lit(1)).alias("_c"), F.first("_llen").alias("_len")
+    )
+    line_stats = per_line.groupBy(id_col).agg(
+        F.sum(F.col("_c") * F.col("_len")).alias("total_chars"),
+        F.sum("_c").alias("n_lines"),
+        F.sum(F.col("_c") - 1).alias("dup_lines"),
+        F.sum((F.col("_c") - 1) * F.col("_len")).alias("dup_line_chars"),
+    )
+
+    out = line_stats
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    for n in ngram_ns:
+        grams_col = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        grams = df.select(
+            F.col(id_col), F.explode(grams_col).alias("_g")
+        ).select(
+            id_col,
+            F.xxhash64(F.col("_g")).alias("_gh"),
+            F.length(F.col("_g")).alias("_glen"),
+        )
+        top = (
+            grams.groupBy(id_col, "_gh")
+            .agg(F.count(F.lit(1)).alias("_c"), F.first("_glen").alias("_len"))
+            .groupBy(id_col)
+            .agg(
+                F.max("_c").alias(f"top{n}_count"),
+                F.max(F.col("_c") * F.col("_len")).alias(f"top{n}_cover"),
+            )
+        )
+        out = out.join(top, id_col, "left")
+    fill = {f"top{n}_count": 0 for n in ngram_ns} | {f"top{n}_cover": 0 for n in ngram_ns}
+    return out.fillna(fill)
+
+
+# ---------------------------------------------------------------- c4
+
+def c4_signals(
+    text: Column,
+    min_words: int = 5,
+    line_sep: str = "\n",
+) -> dict[str, Column]:
+    """C4-style per-document heuristics as pure JVM column expressions.
+
+    Returns named columns: ``n_words``, ``n_lines``, ``n_terminal_lines``
+    (lines ending in . ! or ?), ``n_sentences`` (non-blank [.!?] splits),
+    ``has_lorem`` / ``has_curly`` flags, and a combined ``c4_keep`` rule
+    (>= min_words, >= 1 sentence, no lorem ipsum, no curly braces) — the
+    classic C4 policy, expressed over the signals so callers can rethreshold.
+    """
+    lines = F.split(text, line_sep)
+    n_terminal = F.size(F.filter(lines, lambda l: l.rlike(r"[.!?]$")))
+    n_sentences = F.size(
+        F.filter(F.split(text, r"[.!?]"), lambda s: F.length(F.trim(s)) > 0)
+    )
+    n_words = F.size(F.split(normalized_text(text), " "))
+    has_lorem = F.lower(text).contains("lorem ipsum")
+    has_curly = text.contains("{")
+    return {
+        "n_words": n_words.cast("long"),
+        "n_lines": F.size(lines).cast("long"),
+        "n_terminal_lines": n_terminal.cast("long"),
+        "n_sentences": n_sentences.cast("long"),
+        "has_lorem": has_lorem,
+        "has_curly": has_curly,
+        "c4_keep": (
+            (n_words >= min_words)
+            & (n_sentences >= 1)
+            & ~has_lorem
+            & ~has_curly
+        ),
+    }
+
+
+# ---------------------------------------------------------------- spans
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Maximal cross-document duplicated word-k-gram spans per document.
+
+    The exact-substring-dedup primitive (Lee et al. 2022) re-expressed
+    relationally: index every word k-gram start, keep grams occurring in
+    >= ``min_docs`` distinct documents, and merge each document's surviving
+    [i, i+k) start intervals into maximal spans with a gaps-and-islands
+    window (two spans merge iff the next start is <= previous start + k,
+    i.e. their coverage is contiguous). Word-unit arithmetic keeps every
+    quantity an exact integer.
+
+    Plan shape — linear, no pair join anywhere: one shuffle keyed on
+    (gram-hash, doc) for the distinct-doc count, one left-semi back onto the
+    occurrence list, one per-document window. At 10^10 documents the gram
+    index is the same shuffle a MinHash band pass pays, and the span merge
+    is partition-local after the doc repartition.
+
+    Returns ``(id, n_words, n_spans, dup_words)`` for documents with at
+    least one duplicated span; ``dup_words`` counts word positions covered
+    by any duplicated gram.
+    """
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    grams_col = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.struct(
+                (i + 1).alias("i"),
+                F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))).alias("gh"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<i:int,gh:bigint>>"))
+    occ = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_words"),
+        F.explode(grams_col).alias("_g"),
+    ).select(id_col, "n_words", F.col("_g.i").alias("i"), F.col("_g.gh").alias("gh"))
+
+    dup_grams = (
+        occ.select("gh", id_col)
+        .dropDuplicates(["gh", id_col])
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("gh")
+    )
+    hits = occ.join(dup_grams, "gh", "left_semi")
+
+    w = Window.partitionBy(id_col).orderBy("i")
+    spans = (
+        hits.withColumn("_prev", F.lag("i").over(w))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull() | (F.col("i") - F.col("_prev") > k), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "_span",
+            F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(id_col, "_span")
+        .agg(
+            F.first("n_words").alias("n_words"),
+            F.min("i").alias("_start"),
+            (F.max("i") + k).alias("_end"),
+        )
+    )
+    return spans.groupBy(id_col).agg(
+        F.first("n_words").alias("n_words"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("_end") - F.col("_start")).cast("long").alias("dup_words"),
+    )

@@ -1,0 +1,88 @@
+"""Webtext quality-filter suite: Gopher repetition, C4 heuristics,
+exact duplicate spans (operators/quality.py)."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bodhium_webscrapper_spark.operators.quality import (
+    c4_signals,
+    duplicate_spans,
+    gopher_repetition_signals,
+)
+
+
+def test_gopher_repetition_hand_computed(spark):
+    # doc 1: 3 lines, line "a b" repeated twice -> 1 dup line of 3 chars;
+    # top 2-gram "a b" occurs 3 times (2 dup lines + once inside line 3).
+    rows = [
+        (1, "a b\nc d e\na b"),
+        (2, "x y z"),  # no dups anywhere
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in
+           gopher_repetition_signals(df, "doc_id", "text").collect()}
+    d1 = out[1]
+    assert d1["n_lines"] == 3
+    assert d1["dup_lines"] == 1
+    assert d1["dup_line_chars"] == 3          # one extra "a b"
+    assert d1["total_chars"] == 3 + 5 + 3
+    # normalized tokens: a b c d e a b -> 2-grams: ab bc cd de ea ab -> "a b" x2
+    assert d1["top2_count"] == 2
+    assert d1["top2_cover"] == 2 * len("a b")
+    d2 = out[2]
+    assert d2["dup_lines"] == 0 and d2["dup_line_chars"] == 0
+    assert d2["top2_count"] == 1
+
+
+def test_c4_signals_flags(spark):
+    rows = [
+        (1, "one two three four five. six seven eight nine ten."),
+        (2, "short {curly}"),
+        (3, "lorem ipsum dolor sit amet consectetur adipiscing"),
+        (4, "no terminal punctuation here at all six words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = c4_signals(F.col("text"), min_words=5)
+    out = {r["doc_id"]: r.asDict() for r in
+           df.select("doc_id", *[c.alias(n) for n, c in sig.items()]).collect()}
+    assert out[1]["n_sentences"] == 2 and out[1]["c4_keep"]
+    assert out[2]["has_curly"] and not out[2]["c4_keep"]
+    assert out[3]["has_lorem"] and not out[3]["c4_keep"]
+    # a no-punctuation doc is one unterminated segment: counted as a single
+    # sentence (split semantics), but zero terminal lines
+    assert out[4]["n_sentences"] == 1 and out[4]["n_terminal_lines"] == 0
+    assert out[1]["n_terminal_lines"] == 1
+
+
+def test_duplicate_spans_merge_and_counts(spark):
+    # Shared 6-word run "p q r s t u" in docs 1 and 2 -> two overlapping
+    # 5-gram starts that must merge into ONE maximal span of 6 words.
+    shared = "p q r s t u"
+    rows = [
+        (1, f"alpha beta {shared} gamma delta epsilon zeta"),
+        (2, f"one two three {shared} four five six seven"),
+        (3, "nothing in common with anybody else at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in
+           duplicate_spans(df, "doc_id", "text", k=5, min_docs=2).collect()}
+    assert set(out) == {1, 2}  # doc 3 has no cross-doc 5-gram
+    for i in (1, 2):
+        assert out[i]["n_spans"] == 1
+        assert out[i]["dup_words"] == 6  # merged maximal span, word-exact
+    assert out[1]["n_words"] == 12
+
+
+def test_duplicate_spans_plan_is_linear_jvm(spark):
+    """No Python eval nodes and no cartesian/broadcast-nested-loop pair
+    join — the span plan must stay linear in the corpus."""
+    df = spark.createDataFrame(
+        [(i, f"w{i} x y z a b c") for i in range(20)], "doc_id long, text string"
+    )
+    plan = (
+        duplicate_spans(df, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -868,6 +868,75 @@ _DOCS_LINES_SQL = r"""
 """
 
 
+
+def q_pagerank_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank (3 iterations) over a deterministic
+    synthetic link graph on documents: doc i links to (3i+1) mod N and
+    (5i+2) mod N, every 4th doc also links to doc 0 (a hub with in-degree
+    skew). Integer arithmetic end-to-end, so ranks are bit-identical under
+    any shuffle order AND in the DuckDB twin (see operators/pagerank.py on
+    why float PageRank breaks deterministic crawl replay)."""
+    from bodhium_webscrapper_spark.operators.pagerank import pagerank_fixed_point
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg((F.max("doc_id") + 1).alias("_n"))
+    base = docs.crossJoin(F.broadcast(n))
+    edges = base.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.array(
+                    (F.col("doc_id") * 3 + 1) % F.col("_n"),
+                    (F.col("doc_id") * 5 + 2) % F.col("_n"),
+                    F.lit(0).cast("long"),
+                ),
+            ).otherwise(
+                F.array(
+                    (F.col("doc_id") * 3 + 1) % F.col("_n"),
+                    (F.col("doc_id") * 5 + 2) % F.col("_n"),
+                )
+            )
+        ).alias("dst"),
+    )
+    return (
+        pagerank_fixed_point(edges, "src", "dst", iterations=3)
+        .select(F.col("id").alias("doc_id"), "rank")
+        .orderBy("doc_id")
+    )
+
+
+_Q_PAGERANK_SQL = """
+    WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+    edges AS (
+      SELECT doc_id AS src, (doc_id * 3 + 1) % n AS dst FROM documents, nn
+      UNION ALL
+      SELECT doc_id AS src, (doc_id * 5 + 2) % n AS dst FROM documents, nn
+      UNION ALL
+      SELECT doc_id AS src, 0 AS dst FROM documents WHERE doc_id % 4 = 0),
+    nodes AS (SELECT DISTINCT id FROM
+              (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+    outdeg AS (SELECT src AS id, count(*) AS outd FROM edges GROUP BY src),
+    r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+    c1 AS (SELECT e.dst AS id, CAST(sum(r0.r // o.outd) AS BIGINT) AS s
+           FROM edges e JOIN r0 ON e.src = r0.id JOIN outdeg o ON e.src = o.id
+           GROUP BY e.dst),
+    r1 AS (SELECT n.id, CAST(150000 + (85 * coalesce(c1.s, 0)) // 100 AS BIGINT) AS r
+           FROM nodes n LEFT JOIN c1 USING (id)),
+    c2 AS (SELECT e.dst AS id, CAST(sum(r1.r // o.outd) AS BIGINT) AS s
+           FROM edges e JOIN r1 ON e.src = r1.id JOIN outdeg o ON e.src = o.id
+           GROUP BY e.dst),
+    r2 AS (SELECT n.id, CAST(150000 + (85 * coalesce(c2.s, 0)) // 100 AS BIGINT) AS r
+           FROM nodes n LEFT JOIN c2 USING (id)),
+    c3 AS (SELECT e.dst AS id, CAST(sum(r2.r // o.outd) AS BIGINT) AS s
+           FROM edges e JOIN r2 ON e.src = r2.id JOIN outdeg o ON e.src = o.id
+           GROUP BY e.dst),
+    r3 AS (SELECT n.id, CAST(150000 + (85 * coalesce(c3.s, 0)) // 100 AS BIGINT) AS r
+           FROM nodes n LEFT JOIN c3 USING (id))
+    SELECT id AS doc_id, r AS rank FROM r3 ORDER BY doc_id
+"""
+
+
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/MassiveText repetition signals (Rae et al. 2021 A1.1) over
     line-chunked documents with planted duplicate lines. All-integer output
@@ -1592,6 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "winnow_fingerprint_dups": q_winnow_fingerprint_dups,
+        "pagerank_priority": q_pagerank_priority,
         "gopher_repetition": q_gopher_repetition,
         "c4_filters": q_c4_filters,
         "duplicate_spans": q_duplicate_spans,
@@ -1641,6 +1711,7 @@ def oracle_sql() -> dict[str, str]:
         "media_metadata": _Q_MEDIA_METADATA_SQL,
         "minhash_lsh_dups": _Q_MINHASH_SQL,
         "winnow_fingerprint_dups": _Q_WINNOW_SQL,
+        "pagerank_priority": _Q_PAGERANK_SQL,
         "gopher_repetition": _Q_GOPHER_SQL,
         "c4_filters": _Q_C4_SQL,
         "duplicate_spans": _Q_DUP_SPANS_SQL,

@@ -1,0 +1,59 @@
+"""Fixed-point integer PageRank (operators/pagerank.py)."""
+from __future__ import annotations
+
+from bodhium_webscrapper_spark.operators.pagerank import (
+    pagerank_fixed_point,
+    priority_from_rank,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_pagerank_hand_computed_two_iterations(spark):
+    # A=0 -> B=1, B -> A, C=2 -> A; scale=1e6, d=85/100, base=150000.
+    # iter1: rA = 150000 + 85*(1e6 + 1e6)//100 = 1850000
+    #        rB = 150000 + 85*1e6//100       = 1000000
+    #        rC = 150000
+    # iter2: rA = 150000 + 85*(1000000 + 150000)//100 = 1127500
+    #        rB = 150000 + 85*1850000//100            = 1722500
+    e = _edges(spark, [(0, 1), (1, 0), (2, 0)])
+    got = {r["id"]: r["rank"] for r in
+           pagerank_fixed_point(e, iterations=2).collect()}
+    assert got == {0: 1127500, 1: 1722500, 2: 150000}
+
+
+def test_pagerank_multigraph_and_determinism(spark):
+    # Parallel edges each contribute; rerun under different shuffle
+    # partitioning must be bit-identical (the whole point of fixed-point).
+    pairs = [(i, (i * 7 + 3) % 50) for i in range(50)] * 2 + [(i, 0) for i in range(0, 50, 5)]
+    e = _edges(spark, pairs)
+    a = {r["id"]: r["rank"] for r in pagerank_fixed_point(e, iterations=4).collect()}
+    b = {r["id"]: r["rank"] for r in
+         pagerank_fixed_point(e.repartition(7, "dst"), iterations=4).collect()}
+    assert a == b
+    assert a[0] == max(a.values())  # the planted hub dominates
+
+
+def test_priority_from_rank_levels(spark):
+    e = _edges(spark, [(i, 0) for i in range(1, 40)] + [(0, 1), (1, 2)])
+    ranks = pagerank_fixed_point(e, iterations=2)
+    out = {r["id"]: r["priority_level"] for r in
+           priority_from_rank(ranks, n_levels=4).collect()}
+    assert out[0] == 1  # hub gets the top level
+    assert set(out.values()) <= {1, 2, 3, 4}
+    plan = (
+        priority_from_rank(ranks, n_levels=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # no single-partition global window for the bucketing
+    assert "Window" not in plan or "partitionBy" in plan.lower()
+
+
+def test_pagerank_checkpoint_every_same_result(spark):
+    e = _edges(spark, [(i, (i * 3 + 1) % 20) for i in range(20)])
+    a = {r["id"]: r["rank"] for r in pagerank_fixed_point(e, iterations=6).collect()}
+    b = {r["id"]: r["rank"] for r in
+         pagerank_fixed_point(e, iterations=6, checkpoint_every=2).collect()}
+    assert a == b

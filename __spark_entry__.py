@@ -1097,8 +1097,10 @@ _Q_DUP_SPANS_SQL = f"""
 def q_winnow_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash fingerprint near-dup pairs (SIGMOD'03).
 
-    Character 5-gram polynomial hashes (Horner mod 1e9+7 — exactly the
-    weighted dot-product any SQL engine replays), window-8 winnow minima,
+    Character 20-gram polynomial hashes (Horner mod 1e9+7 — exactly the
+    dot product over mod-reduced weights any SQL engine replays; 20-char
+    grams are MOSS-scale, long enough to be rare outside true near-dups so
+    the hot-fingerprint cap keeps its recall), window-16 winnow minima,
     pairs sharing >= 3 non-hot fingerprints at >= 60% containment of the
     smaller fingerprint set (100*shared >= 60*least(n_a,n_b) — all-integer,
     replayed exactly by the oracle). Oracle: the identical
@@ -1109,39 +1111,56 @@ def q_winnow_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = _docs_with_near_dups(spark, sf_dir)
     return winnow_pairs(
-        df, "doc_id", "text", k=5, window=8, min_shared=3, hot_cap=100,
+        df, "doc_id", "text", k=20, window=16, min_shared=3, hot_cap=100,
         min_containment_pct=60,
+        parallelism=spark.sparkContext.defaultParallelism,
     ).orderBy("id_a", "id_b")
 
 
-# Weights are 257^4..257^0; the Spark side computes the same value in Horner
-# form with mod-each-step (identical result: mod distributes, and the dot
-# product peaks at ~2.8e12, well inside BIGINT).
+# Weights are 257^19..257^0 mod 1e9+7 (pre-reduced so each term stays under
+# ~1.3e11 and the 20-term dot product under ~2.6e12, inside BIGINT); the
+# Spark side computes the same value in Horner form with mod-each-step
+# (identical result: mod distributes).
 _Q_WINNOW_SQL = f"""
     WITH d AS ({_DOCS_WITH_DUPS_SQL}),
     nd AS (
       SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
       FROM d),
     pos AS (
-      SELECT doc_id, t, unnest(range(1, length(t) - 5 + 2)) AS i
-      FROM nd WHERE length(t) >= 5),
+      SELECT doc_id, t, unnest(range(1, length(t) - 20 + 2)) AS i
+      FROM nd WHERE length(t) >= 20),
     grams AS (
       SELECT doc_id, i,
-             (unicode(t[i]) * 4362470401
-            + unicode(t[i+1]) * 16974593
-            + unicode(t[i+2]) * 66049
-            + unicode(t[i+3]) * 257
-            + unicode(t[i+4])) % 1000000007 AS h
+             (unicode(t[i]) * 321693641::BIGINT
+            + unicode(t[i+1]) * 133547447::BIGINT
+            + unicode(t[i+2]) * 689235598::BIGINT
+            + unicode(t[i+3]) * 368440608::BIGINT
+            + unicode(t[i+4]) * 771861642::BIGINT
+            + unicode(t[i+5]) * 469929426::BIGINT
+            + unicode(t[i+6]) * 13501671::BIGINT
+            + unicode(t[i+7]) * 326900787::BIGINT
+            + unicode(t[i+8]) * 966252539::BIGINT
+            + unicode(t[i+9]) * 108818104::BIGINT
+            + unicode(t[i+10]) * 447894237::BIGINT
+            + unicode(t[i+11]) * 383065739::BIGINT
+            + unicode(t[i+12]) * 13163680::BIGINT
+            + unicode(t[i+13]) * 805498697::BIGINT
+            + unicode(t[i+14]) * 154885210::BIGINT
+            + unicode(t[i+15]) * 362470373::BIGINT
+            + unicode(t[i+16]) * 16974593::BIGINT
+            + unicode(t[i+17]) * 66049::BIGINT
+            + unicode(t[i+18]) * 257::BIGINT
+            + unicode(t[i+19]) * 1::BIGINT) % 1000000007 AS h
       FROM pos),
     wins AS (
       SELECT doc_id, i,
              min(h) OVER (PARTITION BY doc_id ORDER BY i
-                          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp,
+                          ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp,
              count(*) OVER (PARTITION BY doc_id) AS ng
       FROM grams),
     fps AS (
       SELECT DISTINCT doc_id, fp FROM wins
-      WHERE i <= ng - 8 + 1 OR (ng < 8 AND i = 1)),
+      WHERE i <= ng - 16 + 1 OR (ng < 16 AND i = 1)),
     keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) BETWEEN 2 AND 100),
     kf AS (SELECT f.doc_id, f.fp FROM fps f JOIN keep USING (fp)),
     sizes AS (SELECT doc_id, count(*) AS nfp FROM fps GROUP BY doc_id),

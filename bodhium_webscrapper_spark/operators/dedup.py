@@ -432,10 +432,11 @@ def winnow_fingerprints(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    k: int = 5,
-    window: int = 8,
+    k: int = 20,
+    window: int = 16,
     base: int = 257,
     prime: int = 1_000_000_007,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03).
 
@@ -446,6 +447,13 @@ def winnow_fingerprints(
     deduplicated per document. Documents shorter than ``k`` normalized chars
     yield no fingerprints; documents with fewer than ``window`` grams yield
     the single global-min fingerprint (the truncated-window rule).
+
+    ``k`` defaults to 20 chars (MOSS-scale): short grams (e.g. 5 chars) are
+    shared by nearly every document of a large corpus, so every selected
+    fingerprint trips the hot-fingerprint cap and recall collapses —
+    fingerprints must be long enough to be rare outside true near-dups.
+    The winnowing guarantee then detects any shared run of at least
+    k + window - 1 = 35 normalized characters.
 
     Entirely JVM-side higher-order functions — no Python in the data plane.
     Replaces the reference's single md5-of-whole-document fingerprint
@@ -479,6 +487,12 @@ def winnow_fingerprints(
         normalized_text(F.col(text_col)),
         lambda t: _bind_once(gram_hashes(t), winnow),
     )
+    # Fingerprinting is compute-bound (interpreted HOF eval, ~O(L*(k+window))
+    # per doc); a small parquet input may arrive in 1-2 partitions and strand
+    # the cores. `parallelism` round-robins rows first — at real corpus scale
+    # the scan already has thousands of partitions and callers leave it None.
+    if parallelism:
+        df = df.repartition(parallelism)
     return (
         df.select(F.col(id_col), F.explode(fps).alias("fp"))
         .filter(F.col("fp").isNotNull())
@@ -490,11 +504,12 @@ def winnow_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    k: int = 5,
-    window: int = 8,
+    k: int = 20,
+    window: int = 16,
     min_shared: int = 3,
     hot_cap: int = 100,
     min_containment_pct: int = 0,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs by shared winnowing fingerprints.
 
@@ -514,7 +529,9 @@ def winnow_pairs(
     threshold ambiguity). Note the containment denominator uses the full
     per-doc fingerprint counts, not the hot-capped ones.
     """
-    fps = winnow_fingerprints(df, id_col, text_col, k=k, window=window)
+    fps = winnow_fingerprints(
+        df, id_col, text_col, k=k, window=window, parallelism=parallelism
+    )
     sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nfp"))
     keep = (
         fps.groupBy("fp")

@@ -4,9 +4,14 @@ Runs the documents table through the standard web-text curation stages a
 100 TB training-data pipeline needs (all engine operators):
 
   boilerplate strip (optional) → PII scrub (optional) →
-  quality filter (C4/Gopher-style score) → language filter →
-  exact dedup (md5 of normalized text) → near-dup removal (MinHash-LSH,
-  exact-Jaccard-verified, keep-min-id survivor) → token accounting
+  quality filter (heuristic score) → language filter →
+  C4 keep-rule gate (optional: terminal punctuation / lorem-ipsum /
+  curly-brace / min-words, Raffel et al. 2020) →
+  Gopher duplicate-line gate (optional: repetition signals,
+  Rae et al. 2021 A1.1) →
+  exact dedup (md5 of normalized text) → near-dup removal (MinHash-LSH
+  exact-Jaccard-verified, or winnowing fingerprint containment —
+  --neardedup) → token accounting
 
 Usage:
     spark-submit --py-files build/engine.zip jobs/dataset_job.py \
@@ -36,6 +41,16 @@ def main() -> int:
     p.add_argument("--min-quality", type=float, default=0.2)
     p.add_argument("--langs", default="", help="comma list; empty = keep all")
     p.add_argument("--jaccard", type=float, default=0.8)
+    p.add_argument("--c4", action="store_true",
+                   help="apply the C4 keep rule (sentences/lorem/curly/words)")
+    p.add_argument("--max-dup-line-pct", type=int, default=0,
+                   help="Gopher gate: drop docs whose duplicate-line chars "
+                        "exceed PCT%% of total chars (0 = off)")
+    p.add_argument("--neardedup", choices=["minhash", "winnow"],
+                   default="minhash",
+                   help="near-dup candidate generator: MinHash-LSH with "
+                        "exact-Jaccard verify, or winnowing fingerprint "
+                        "containment (>=60%% of the smaller set)")
     p.add_argument("--pii-scrub", action="store_true",
                    help="redact emails/SSNs/phones/IPv4s before scoring")
     p.add_argument("--strip-boilerplate", action="store_true",
@@ -56,6 +71,11 @@ def main() -> int:
     from bodhium_webscrapper_spark.operators.dedup import (
         exact_text_dedup,
         minhash_lsh_pairs,
+        winnow_pairs,
+    )
+    from bodhium_webscrapper_spark.operators.quality import (
+        c4_signals,
+        gopher_repetition_signals,
     )
     from bodhium_webscrapper_spark.session import build_session
 
@@ -86,33 +106,69 @@ def main() -> int:
     if args.langs:
         langs = [x.strip() for x in args.langs.split(",") if x.strip()]
         l_cond = l_cond & F.col("lang_pred").isin(langs)
+    # Optional published-filter gates. Both stay LAZY — a column expression
+    # and a doc-keyed join fold into the same two Spark actions below.
+    gate_cond = l_cond
+    c_cond = g_cond = None
+    if args.c4:
+        c_cond = gate_cond & c4_signals(F.col(args.text_col))["c4_keep"]
+        gate_cond = c_cond
+    if args.max_dup_line_pct > 0:
+        # relational signal (per-doc line aggregate) -> one doc_id-keyed
+        # equi-join; at corpus scale this is the same shuffle class as the
+        # exact-dedup groupBy and shares the funnel aggregate's scan
+        rep = gopher_repetition_signals(
+            docs.select(args.id_col, args.text_col), args.id_col, args.text_col
+        ).select(args.id_col, "dup_line_chars", "total_chars")
+        # re-persist ABOVE the join: the funnel aggregate and the dedup
+        # filter both consume the joined frame, and without this cache the
+        # rep aggregate would execute once per consumer (the
+        # stages-execute-once discipline, tests/test_round3_fixes.py)
+        base_scored, scored = scored, scored.join(rep, args.id_col, "left").persist()
+        base_scored.unpersist()
+        g_cond = gate_cond & (
+            100 * F.coalesce(F.col("dup_line_chars"), F.lit(0))
+            <= args.max_dup_line_pct * F.coalesce(F.col("total_chars"), F.lit(1))
+        )
+        gate_cond = g_cond
     # after_exact_dedup = distinct fingerprints among surviving rows: the
     # same md5(normalized text) key exact_text_dedup first-wins on
-    agg = scored.agg(
+    agg_cols = [
         F.count(F.lit(1)).alias("input"),
         F.sum(q_cond.cast("long")).alias("after_quality"),
         F.sum(l_cond.cast("long")).alias("after_lang"),
+    ]
+    if c_cond is not None:
+        agg_cols.append(F.sum(c_cond.cast("long")).alias("after_c4"))
+    if g_cond is not None:
+        agg_cols.append(F.sum(g_cond.cast("long")).alias("after_gopher"))
+    agg_cols.append(
         F.count_distinct(
-            F.when(l_cond, doc_fingerprint(F.col(args.text_col)))
-        ).alias("after_exact_dedup"),
-    ).first()  # Spark action 1 of 2
-    funnel = {k: int(agg[k]) for k in ("input", "after_quality", "after_lang",
-                                       "after_exact_dedup")}
+            F.when(gate_cond, doc_fingerprint(F.col(args.text_col)))
+        ).alias("after_exact_dedup")
+    )
+    agg = scored.agg(*agg_cols).first()  # Spark action 1 of 2
+    funnel = {k: int(agg[k]) for k in agg.asDict()}
 
     # persisted because the write plan consumes it TWICE (LSH candidate
     # generation + the survivor anti-join): block-level get-or-compute makes
     # the second subtree reuse partitions the first already materialized,
     # without spending a separate count action on it
     deduped = exact_text_dedup(
-        scored.filter(l_cond), args.text_col, args.id_col
+        scored.filter(gate_cond), args.text_col, args.id_col
     ).persist()
 
     # near-dup removal: survivor = min id of each near-dup pair component.
     # Pair→drop-list (greedy: drop the larger id of every verified pair) —
     # standard near-dedup policy, deterministic.
-    pairs = minhash_lsh_pairs(
-        deduped, args.id_col, args.text_col, jaccard_threshold=args.jaccard
-    )
+    if args.neardedup == "winnow":
+        pairs = winnow_pairs(
+            deduped, args.id_col, args.text_col, min_containment_pct=60
+        )
+    else:
+        pairs = minhash_lsh_pairs(
+            deduped, args.id_col, args.text_col, jaccard_threshold=args.jaccard
+        )
     drops = pairs.select(F.col("id_b").alias(args.id_col)).distinct()
     kept = deduped.join(drops, args.id_col, "left_anti")
 

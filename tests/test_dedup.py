@@ -82,7 +82,7 @@ def test_embedding_neardup(spark):
 
 # ---------------------------------------------------------------- winnowing
 
-def _py_winnow(text, k=5, w=8, base=257, p=1_000_000_007):
+def _py_winnow(text, k=20, w=16, base=257, p=1_000_000_007):
     """Reference winnowing (Schleimer et al. SIGMOD'03), straight-line."""
     import re as _re
 
@@ -106,8 +106,8 @@ def test_winnow_fingerprints_twin_parity(spark):
     rows = [
         (0, "the quick brown fox jumps over the lazy dog"),
         (1, "THE  quick   brown fox jumps over the lazy dog!"),
-        (2, "ab"),  # shorter than k: no fingerprints
-        (3, "abcdef"),  # fewer than `window` grams: single global min
+        (2, "a tiny short doc"),  # shorter than k: no fingerprints
+        (3, "just over twenty chars!"),  # fewer than `window` grams: single min
         (4, None),  # NULL text: no rows, no NULL fingerprints
         (5, "spark shuffles, catalyst plans, tungsten codegen"),
     ]

@@ -86,3 +86,50 @@ def test_duplicate_spans_plan_is_linear_jvm(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dataset_job_gates_and_winnow(spark, tmp_path, monkeypatch):
+    """The C4 and Gopher gates drop exactly the planted docs, counted in
+    the funnel; winnow near-dedup drops the planted near-copy."""
+    import json
+    import sys
+
+    from jobs.dataset_job import main
+
+    base = ("the quick brown fox jumps over the lazy dog and then the dog "
+            "chases the fox around the old barn for a while longer today")
+    rows = [
+        (1, base + "."),
+        (2, base + ". with a tiny appended edit"),        # near-dup of 1
+        (3, "lorem ipsum dolor sit amet " + base),        # C4: lorem
+        (4, base + " { curly }"),                          # C4: curly brace
+        (5, "dup line here\ndup line here\ndup line here\nx"),  # Gopher
+        (6, "an entirely different sentence about parquet shuffles "
+            "and broadcast joins that survives every single gate."),
+    ]
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "cleaned")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    argv = ["dataset_job", "--input", src, "--output", out,
+            "--min-quality", "-1", "--c4", "--max-dup-line-pct", "20",
+            "--neardedup", "winnow", "--master", "local[4]"]
+    monkeypatch.setattr(sys, "argv", argv)
+    # main() ends with spark.stop(); build_session getOrCreate hands it the
+    # suite's shared session, so neuter stop for the in-process call
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main() == 0
+    funnel = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert funnel["input"] == 6
+    assert funnel["after_c4"] == 4          # 3 (lorem) and 4 (curly) dropped
+    assert funnel["after_gopher"] == 3      # 5 (dup lines) dropped
+    assert funnel["after_near_dedup"] == 2  # 2 dropped as near-dup of 1
+    rows_out = spark.read.parquet(out).select("doc_id").collect()
+    assert sorted(r["doc_id"] for r in rows_out) == [1, 6]

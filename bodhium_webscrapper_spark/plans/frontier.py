@@ -192,6 +192,18 @@ class CrawlConfig:
     #    fixed cost. Requires a store with a ``write_bucketed`` seam.
     fetch_strategy: str = "broadcast"
     fetch_buckets: int = 64
+    # link-authority prioritization: every N committed waves, recompute
+    # fixed-point integer PageRank over the FULL committed link graph and
+    # add rank_priority_weight * rank/10^6 to each frontier row's priority
+    # (operators/pagerank.py; the Brin/Page crawl-ordering application).
+    # Deterministic by construction — ranks are exact integers, the blend
+    # is per-row IEEE arithmetic, and the hook lives in _frontier_after so
+    # a resume replays the identical blended frontier. Cost: one O(edges)
+    # pass folded lazily into the next wave's schedule job, amortized
+    # across N waves. 0 = off (the reference's decay-only ordering).
+    rank_priority_every: int = 0
+    rank_priority_weight: float = 1.0
+    rank_iterations: int = 2
     # existing bucketed pages layout to re-attach (register_bucketed);
     # default: written at job init under <checkpoint_dir>/_bucketed_pages
     # iff absent — the one-time corpus rewrite
@@ -498,7 +510,35 @@ class CrawlJob:
             (F.col("parent_priority") * F.lit(self.config.priority_decay)).alias("priority"),
             F.lit(0).alias("retry_count"),
         )
-        return outl.unionByName(self._pending_misses(wave, incremented=True))
+        out = outl.unionByName(self._pending_misses(wave, incremented=True))
+        cfg = self.config
+        if cfg.rank_priority_every and (wave + 1) % cfg.rank_priority_every == 0:
+            from bodhium_webscrapper_spark.operators.pagerank import (
+                pagerank_fixed_point,
+            )
+
+            # edges over EVERY committed wave: src = fetched page's key,
+            # dst = outlink key (already-canonical strings -> pure JVM keying)
+            results_all = self.store.read_deltas(self.spark, "page_results", wave)
+            edges = results_all.select(
+                F.col("url_hash").alias("src"),
+                F.explode(F.col("outlinks")).alias("_u"),
+            ).select("src", url_key(F.col("_u")).alias("dst"))
+            ranks = pagerank_fixed_point(
+                edges, iterations=cfg.rank_iterations
+            ).withColumnRenamed("id", "url_hash")
+            out = (
+                out.join(ranks, "url_hash", "left")
+                .withColumn(
+                    "priority",
+                    F.col("priority")
+                    + F.lit(cfg.rank_priority_weight)
+                    * F.coalesce(F.col("rank"), F.lit(0)).cast("double")
+                    / F.lit(1e6),
+                )
+                .drop("rank")
+            )
+        return out
 
     # ---- one wave = one pure dataflow, materialized once into the snapshot
     def _run_wave(

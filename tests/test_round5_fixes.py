@@ -408,3 +408,62 @@ def test_best_clean_window_record_filters_dirty_probes(tmp_path, monkeypatch):
         _bench.os.path, "abspath", lambda p: str(tmp_path / "nowhere" / "bench.py")
     )
     assert _bench.best_clean_window_record() == {}
+
+
+# ---------------------------------------------------------------- pagerank priority
+
+def test_rank_priority_deterministic_and_changes_order(spark, crawl_fixture, tmp_path):
+    """rank_priority_every blends fixed-point PageRank into frontier
+    priorities: two identical runs agree exactly (incl. across a resume),
+    and the blended ordering differs from decay-only ordering."""
+    tmp = str(tmp_path)
+    cfg = dict(max_urls_per_host_per_wave=3, global_wave_limit=60)
+
+    _, s_plain = _run_job(spark, crawl_fixture, tmp, "pr_off", **cfg)
+    ja, sa = _run_job(spark, crawl_fixture, tmp, "pr_a",
+                      rank_priority_every=1, **cfg)
+    jb, sb = _run_job(spark, crawl_fixture, tmp, "pr_b",
+                      rank_priority_every=1, **cfg)
+
+    # bit-determinism: identical runs, identical order
+    oa, ob = ja.crawl_order(), jb.crawl_order()
+    assert [w["scheduled"] for w in sa["waves"]] == [w["scheduled"] for w in sb["waves"]]
+    assert oa.exceptAll(ob).isEmpty() and ob.exceptAll(oa).isEmpty()
+
+    # the authority blend must actually change the schedule relative to
+    # decay-only ordering in at least one post-seed wave
+    j_off = CrawlJob(
+        spark, crawl_fixture["pages"],
+        spark.read.parquet(crawl_fixture["seeds_full"]),
+        spark.read.parquet(crawl_fixture["robots"]),
+        CrawlConfig(max_waves=3, **cfg),
+        os.path.join(tmp, "pr_off"), job_id="pr_off",
+    )
+    o_off = j_off.crawl_order().filter(F.col("wave") > 0)
+    o_on = oa.filter(F.col("wave") > 0)
+    assert not (o_off.exceptAll(o_on).isEmpty() and o_on.exceptAll(o_off).isEmpty())
+
+
+def test_rank_priority_resume_replays_blend(spark, crawl_fixture, tmp_path):
+    """A killed-and-resumed rank-priority run must schedule the same set as
+    the uninterrupted one — the blend lives in _frontier_after, a pure
+    function of committed artifacts."""
+    tmp = str(tmp_path)
+    cfg = dict(max_urls_per_host_per_wave=3, global_wave_limit=60,
+               rank_priority_every=1)
+    _, s_full = _run_job(spark, crawl_fixture, tmp, "pr_full", **cfg)
+
+    seeds = spark.read.parquet(crawl_fixture["seeds_full"])
+    robots = spark.read.parquet(crawl_fixture["robots"])
+    ck = os.path.join(tmp, "pr_resume")
+    CrawlJob(spark, crawl_fixture["pages"], seeds, robots,
+             CrawlConfig(max_waves=2, **cfg), ck, job_id="pr_resume").run()
+    jr = CrawlJob(spark, crawl_fixture["pages"], seeds, robots,
+                  CrawlConfig(max_waves=3, **cfg), ck, job_id="pr_resume")
+    sr = jr.run(resume=True)
+    assert sr["committed_wave"] == 2
+    j_full = CrawlJob(spark, crawl_fixture["pages"], seeds, robots,
+                      CrawlConfig(max_waves=3, **cfg),
+                      os.path.join(tmp, "pr_full"), job_id="pr_full")
+    of, orr = j_full.crawl_order(), jr.crawl_order()
+    assert of.exceptAll(orr).isEmpty() and orr.exceptAll(of).isEmpty()

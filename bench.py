@@ -46,6 +46,12 @@ HEADLINE = [
     "lang_id",
     "exact_dedup",
     "media_features",
+    # round-5 additions: rolling-hash fingerprint pairs, exact duplicate
+    # spans, Gopher repetition signals, fixed-point PageRank
+    "winnow_fingerprint_dups",
+    "duplicate_spans",
+    "gopher_repetition",
+    "pagerank_priority",
 ]
 
 

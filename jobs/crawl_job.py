@@ -38,6 +38,10 @@ def main() -> int:
     p.add_argument("--global-wave-limit", type=int, default=5000)
     p.add_argument("--resume", action="store_true", help="resume from last committed wave")
     p.add_argument("--no-bloom", action="store_true")
+    p.add_argument("--rank-priority-every", type=int, default=0,
+                   help="blend fixed-point PageRank authority into frontier "
+                        "priorities every N waves (0 = off, decay-only)")
+    p.add_argument("--rank-weight", type=float, default=1.0)
     p.add_argument("--verify-extraction", action="store_true")
     p.add_argument(
         "--fetch-strategy", choices=["broadcast", "bucketed"], default="broadcast",
@@ -132,6 +136,8 @@ def main() -> int:
         fetch_buckets=args.fetch_buckets,
         seeds_distinct=args.seeds_distinct,
         seeds_canonical=args.seeds_canonical,
+        rank_priority_every=args.rank_priority_every,
+        rank_priority_weight=args.rank_weight,
     )
     job = CrawlJob(
         spark,

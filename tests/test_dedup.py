@@ -147,11 +147,33 @@ def test_winnow_pairs_planted_and_containment(spark):
     assert strict.count() == 0
 
 
-def test_winnow_plan_is_jvm_only(spark):
-    """The fingerprint data plane is pure JVM (no Python eval nodes), and the
-    bound-lambda staging keeps the gram array out of inlined projections."""
+def test_winnow_plan_shapes(spark):
+    """impl="hof" is pure JVM (no Python eval nodes; the bound-lambda
+    staging keeps the gram array out of inlined projections); the default
+    fast impl is Arrow-batched, never row-at-a-time."""
     from bodhium_webscrapper_spark.operators.dedup import winnow_fingerprints
 
     df = spark.createDataFrame([(1, "some text for the plan")], "doc_id long, text string")
-    plan = winnow_fingerprints(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    hof = winnow_fingerprints(df, "doc_id", "text", impl="hof")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in hof and "ArrowEvalPython" not in hof
+    fast = winnow_fingerprints(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in fast and "BatchEvalPython" not in fast
+
+
+def test_winnow_fast_twin_equals_hof(spark):
+    """The numpy/Arrow winnowing pass must produce the identical
+    fingerprint set as the pure-JVM HOF expression (same integers, same
+    docs) — the strip_boilerplate_re twin-discipline applied here."""
+    from bodhium_webscrapper_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} the quick brown fox jumps over dog number {i % 7} "
+              f"and then runs around the barn {i % 3} more times") for i in range(60)]
+        + [(100, "a tiny short doc"), (101, None)],
+        "doc_id long, text string",
+    )
+    a = {(r["doc_id"], r["fp"]) for r in
+         winnow_fingerprints(docs, "doc_id", "text", impl="hof").collect()}
+    b = {(r["doc_id"], r["fp"]) for r in
+         winnow_fingerprints(docs, "doc_id", "text", impl="fast").collect()}
+    assert a == b and len(a) > 0

@@ -54,7 +54,10 @@ def amplified_docs(spark):
 def main() -> int:
     master = sys.argv[1] if len(sys.argv) > 1 else "local[16]"
     ops = sys.argv[2:] or ["winnow", "spans", "gopher", "pagerank"]
-    cores = int(master[len("local["):-1])
+    try:
+        cores = int(master[len("local["):-1])
+    except ValueError:  # local[*] / bare local — mirror session.py's guard
+        cores = os.cpu_count() or 8
     spark = build_session(master, "probe_quality_scaling", shuffle_partitions=cores)
     docs = amplified_docs(spark)
     docs.persist().count()  # isolate the operator from fixture generation

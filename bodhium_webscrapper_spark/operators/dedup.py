@@ -461,11 +461,8 @@ def winnow_fingerprints(
     "fast" (default) is the numpy/Arrow vectorized pass (``_winnow_np_udf``)
     that computes the identical integers ~10x faster (winnowing touches
     every char k times and every gram ``window`` times, which interpreted
-    Catalyst expression trees pay per-op). NOTE the fast path hashes UTF-8
-    BYTES while the HOF path hashes codepoints via ``ascii()`` — identical
-    on ASCII corpora (the normalized-text contract of this engine's
-    fixtures); byte-level hashing is also what keeps the numpy pass
-    allocation-free. Replaces the reference's single md5-of-whole-document
+    Catalyst expression trees pay per-op); both hash codepoints, so the
+    twins agree on any text. Replaces the reference's single md5-of-whole-document
     fingerprint (``/root/reference/RDS/app.py:459-460``) with a local
     fingerprint set that survives partial edits.
 
@@ -538,10 +535,10 @@ def _winnow_np_udf(k: int, window: int, base: int, prime: int):
             if t is None or len(t) < k:
                 out.append(np.empty(0, dtype=np.int64))
                 continue
-            cp = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.int64)
-            if len(cp) < k:  # multi-byte chars can shrink below k? no — grow;
-                out.append(np.empty(0, dtype=np.int64))
-                continue
+            # utf-32-le decode = vectorized codepoints, so the fast twin
+            # hashes the SAME integers as the HOF ascii()/oracle unicode()
+            # path on any text, not just ASCII
+            cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
             grams = sliding_window_view(cp, k) @ weights % prime
             if len(grams) <= window:
                 sel = np.array([grams.min()], dtype=np.int64)

@@ -98,9 +98,19 @@ def priority_from_rank(
     the driver (a control-plane array of a few doubles, same class as the
     IVF codebook sample), and each row buckets locally against the
     broadcast-literal thresholds — fully distributed, no shuffle at all
-    beyond the rank computation itself. Ties across a threshold share the
-    level, so the assignment is deterministic in the rank VALUE (which is
-    exact-integer, see ``pagerank_fixed_point``).
+    beyond the rank computation itself.
+
+    Precision contract, honestly: the THRESHOLDS are approximate
+    (Greenwald-Khanna at relativeError 0.001) and partition-layout
+    dependent, so level boundaries may shift by up to ~0.1% of the rank
+    distribution between runs with different partitioning — the level
+    assignment is deterministic GIVEN the thresholds, not across layouts.
+    approxQuantile also round-trips through doubles, so ranks above 2^53
+    (hub mass near scale*N at ~10^10 nodes) can alias at the boundary.
+    Callers needing layout-exact levels should derive thresholds from the
+    exact rank histogram (the global_ordered_cap technique) — crawl
+    ordering itself never consumes these levels, it orders on the exact
+    integer rank.
     """
     qs = [i / n_levels for i in range(1, n_levels)]
     thresholds = ranks.approxQuantile(rank_col, qs, 0.001)

@@ -284,6 +284,7 @@ class CrawlJob:
         self.robots = robots
         self._resumed_at = -1  # set by run(resume=True); lineage marker
         self._seeds_wave = -1  # wave whose frontier IS the seed list (run())
+        self._rank_edges = None  # live edge cache of the latest rank blend
         # wave-invariant politeness artifacts, computed once and persisted:
         # re-aggregating rules/delays from the raw robots table every wave
         # was a repeated serial broadcast-build cost in the schedule stage
@@ -510,7 +511,6 @@ class CrawlJob:
             (F.col("parent_priority") * F.lit(self.config.priority_decay)).alias("priority"),
             F.lit(0).alias("retry_count"),
         )
-        out = outl.unionByName(self._pending_misses(wave, incremented=True))
         cfg = self.config
         if cfg.rank_priority_every and (wave + 1) % cfg.rank_priority_every == 0:
             from bodhium_webscrapper_spark.operators.pagerank import (
@@ -518,17 +518,35 @@ class CrawlJob:
             )
 
             # edges over EVERY committed wave: src = fetched page's key,
-            # dst = outlink key (already-canonical strings -> pure JVM keying)
+            # dst = outlink key (already-canonical strings -> pure JVM
+            # keying). PERSISTED: the unrolled rank plan references edges
+            # ~(3*iterations+2) times (contribs per iteration, nodes via
+            # union+distinct, outdeg) inside the single schedule action —
+            # block-level get-or-compute makes every reference after the
+            # first read the cache instead of re-scanning the committed
+            # page_results history. The previous blend's cache is released
+            # here (and at run() end) so at most one edge cache is live.
             results_all = self.store.read_deltas(self.spark, "page_results", wave)
             edges = results_all.select(
                 F.col("url_hash").alias("src"),
                 F.explode(F.col("outlinks")).alias("_u"),
             ).select("src", url_key(F.col("_u")).alias("dst"))
+            from pyspark import StorageLevel
+
+            if self._rank_edges is not None:
+                self._rank_edges.unpersist()
+            self._rank_edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
             ranks = pagerank_fixed_point(
-                edges, iterations=cfg.rank_iterations
+                self._rank_edges, iterations=cfg.rank_iterations
             ).withColumnRenamed("id", "url_hash")
-            out = (
-                out.join(ranks, "url_hash", "left")
+            # blend ONLY the freshly-derived outlinks: pending retries
+            # re-enter with the priority they were scheduled at (already
+            # blended on their discovery wave) — blending the union would
+            # add the bonus again on every retry, letting a repeatedly
+            # missed URL outrank equally-authoritative fresh links purely
+            # by retry count
+            outl = (
+                outl.join(ranks, "url_hash", "left")
                 .withColumn(
                     "priority",
                     F.col("priority")
@@ -538,7 +556,7 @@ class CrawlJob:
                 )
                 .drop("rank")
             )
-        return out
+        return outl.unionByName(self._pending_misses(wave, incremented=True))
 
     # ---- one wave = one pure dataflow, materialized once into the snapshot
     def _run_wave(
@@ -1048,6 +1066,9 @@ class CrawlJob:
         if seed_cache is not None:  # empty-seeds break before wave 0 ran
             seed_cache.unpersist()
         self._join_finalize()  # last wave's commit lands before we report
+        if self._rank_edges is not None:
+            self._rank_edges.unpersist()
+            self._rank_edges = None
         return {
             "job_id": self.job_id,
             "waves": [s.__dict__ for s in waves_run],

@@ -148,7 +148,9 @@ def main() -> int:
         ).alias("after_exact_dedup")
     )
     agg = scored.agg(*agg_cols).first()  # Spark action 1 of 2
-    funnel = {k: int(agg[k]) for k in agg.asDict()}
+    # SUM over zero rows is null (unlike COUNT): an empty/fully-filtered
+    # corpus must print an all-zero funnel, not die on int(None)
+    funnel = {k: int(agg[k] or 0) for k in agg.asDict()}
 
     # persisted because the write plan consumes it TWICE (LSH candidate
     # generation + the survivor anti-join): block-level get-or-compute makes
@@ -175,7 +177,13 @@ def main() -> int:
     # final stage is WRITTEN (it is the job's output anyway); its row count
     # and token total come from the written files' parquet footers + one
     # driver-side single-column read — zero extra Spark jobs
-    out = kept.withColumn("n_tokens", token_count(F.col(args.text_col)))
+    # the gopher gate's join columns are funnel internals — never part of
+    # the output contract (a gated and an ungated run must write the same
+    # schema); drop() is a no-op when the gate is off
+    out = (
+        kept.drop("dup_line_chars", "total_chars")
+        .withColumn("n_tokens", token_count(F.col(args.text_col)))
+    )
     out.write.mode("overwrite").parquet(args.output)  # Spark action 2 of 2
     scored.unpersist()
     deduped.unpersist()

@@ -169,7 +169,12 @@ def test_winnow_fast_twin_equals_hof(spark):
     docs = spark.createDataFrame(
         [(i, f"w{i} the quick brown fox jumps over dog number {i % 7} "
               f"and then runs around the barn {i % 3} more times") for i in range(60)]
-        + [(100, "a tiny short doc"), (101, None)],
+        + [(100, "a tiny short doc"), (101, None),
+           # non-ASCII: the fast twin's utf-32 codepoints must equal the
+           # HOF ascii()-per-char definition beyond the ASCII plane too
+           (102, "café naïve résumé — über "
+                 "straße élève garçon à côté "
+                 "du château pâté crème brûlée")],
         "doc_id long, text string",
     )
     a = {(r["doc_id"], r["fp"]) for r in

@@ -467,3 +467,29 @@ def test_rank_priority_resume_replays_blend(spark, crawl_fixture, tmp_path):
                       os.path.join(tmp, "pr_full"), job_id="pr_full")
     of, orr = j_full.crawl_order(), jr.crawl_order()
     assert of.exceptAll(orr).isEmpty() and orr.exceptAll(of).isEmpty()
+
+
+def test_rank_bonus_not_accumulated_on_retries(spark, crawl_fixture, tmp_path):
+    """Pending retries re-enter with their stored priority: the authority
+    blend applies only to freshly derived outlinks, so a repeatedly missed
+    URL must NOT outgrow fresh links by retry count. Structural check: the
+    pending branch of the derived frontier carries priorities that exist in
+    the committed scheduled artifact (no new bonus added)."""
+    tmp = str(tmp_path)
+    job, summary = _run_job(
+        spark, crawl_fixture, tmp, "pr_retry",
+        max_urls_per_host_per_wave=3, global_wave_limit=60,
+        rank_priority_every=1,
+    )
+    last = job.store.committed_wave()
+    misses_exist = any(w["misses"] > 0 for w in summary["waves"])
+    pending = job._pending_misses(last, incremented=True)
+    if misses_exist and pending.count() > 0:
+        sched = job.store.read_deltas(spark, "scheduled", last).select(
+            "url_hash", F.col("priority").alias("_sched_p")
+        )
+        joined = pending.join(sched, "url_hash", "inner")
+        diverged = joined.filter(
+            F.abs(F.col("priority") - F.col("_sched_p")) > 1e-12
+        ).count()
+        assert diverged == 0

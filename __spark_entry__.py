@@ -1618,6 +1618,134 @@ _Q_CURATION_SQL = """
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
+# graph / corpus-curation queries added in round 5
+# --------------------------------------------------------------------------
+
+_CC_G = 97  # residue classes of the synthetic component graph
+
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (large-star/small-star) over a deterministic
+    synthetic link graph: doc i chains to i+97, and every 3rd doc also
+    shortcuts to its class minimum (i % 97) — 97 components of mixed
+    chain/star topology. Component label = min doc_id of the class, which
+    the oracle states in closed form (min over the residue class) while
+    Spark runs the generic O(log²n)-round algorithm. Reference analogue:
+    one scrape job per seed's own domain = one component per site
+    (/root/reference/app.py:893-1006)."""
+    from bodhium_webscrapper_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    mx = docs.agg(F.max("doc_id").alias("_mx"))
+    base = docs.crossJoin(F.broadcast(mx))
+    chain = base.where(F.col("doc_id") + _CC_G <= F.col("_mx")).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + _CC_G).alias("dst")
+    )
+    shortcut = base.where(
+        (F.col("doc_id") % 3 == 0) & (F.col("doc_id") >= _CC_G)
+    ).select(F.col("doc_id").alias("src"), (F.col("doc_id") % _CC_G).alias("dst"))
+    comps = connected_components(chain.union(shortcut))
+    return (
+        docs.join(comps, docs["doc_id"] == comps["id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q_CC_SQL = f"""
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY doc_id % {_CC_G}) AS component
+    FROM documents ORDER BY doc_id
+"""
+
+
+def q_tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 salient terms per document — the inverted-index shape: explode
+    tokens, per-(doc,term) tf, corpus-wide df, big-to-big shuffle join on
+    term, per-doc top-k window. Scoring is INTEGER tf-idf ((tf*N) div df):
+    float idf (ln) is last-ulp unstable across engines and would break the
+    hash gate; the integer surrogate preserves the ranking semantics.
+    Scale: df is a map-side-combined count over the term key (stopword
+    heavy-hitters partial-aggregate before the shuffle; AQE splits any
+    residual skew), and the top-k window partitions by doc_id — never a
+    global sort."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(
+                    F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "),
+                    " ",
+                ),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = docs.agg(F.countDistinct("doc_id").alias("_n"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn("score", F.expr("(tf * _n) div df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("doc_id", "term", "tf", "df", "score", "rn")
+        .orderBy("doc_id", "rn")
+    )
+
+
+_Q_TFIDF_SQL = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '
+             )) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM toks WHERE term != '' GROUP BY 1, 2),
+    dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS _n FROM documents),
+    s AS (SELECT doc_id, tf.term, tf, df, (tf * _n) // df AS score
+          FROM tf JOIN dfr ON tf.term = dfr.term, n),
+    r AS (SELECT *, row_number() OVER
+            (PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM s)
+    SELECT doc_id, term, tf, df, score, rn
+    FROM r WHERE rn <= 5 ORDER BY doc_id, rn
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for dataset mixing: per-source
+    md5-prefix threshold (even sources keep ≈75%, odd ≈25%). The keep
+    decision is a pure function of doc_id — reproducible across runs,
+    engines, and partitionings (the property TABLESAMPLE/rand() lack), so
+    a 100 TB mixing job can be re-run incrementally and audited. Hex-string
+    comparison against the cutoff avoids casting through floats."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    src_num = F.substring(F.col("source"), 4, 10).cast("int")
+    cutoff = F.when(src_num % 2 == 0, F.lit("c0000000")).otherwise(F.lit("40000000"))
+    keep = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) < cutoff
+    return docs.where(keep).select("doc_id", "source").orderBy("doc_id")
+
+
+_Q_STRATIFIED_SQL = """
+    SELECT doc_id, source FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+          CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+               THEN 'c0000000' ELSE '40000000' END
+    ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: wave-0 frontier scheduling over URLs synthesized from the
@@ -1681,6 +1809,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "winnow_fingerprint_dups": q_winnow_fingerprint_dups,
         "pagerank_priority": q_pagerank_priority,
+        "connected_components": q_connected_components,
+        "tfidf_topk_terms": q_tfidf_topk_terms,
+        "stratified_sample": q_stratified_sample,
         "gopher_repetition": q_gopher_repetition,
         "c4_filters": q_c4_filters,
         "duplicate_spans": q_duplicate_spans,
@@ -1731,6 +1862,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_dups": _Q_MINHASH_SQL,
         "winnow_fingerprint_dups": _Q_WINNOW_SQL,
         "pagerank_priority": _Q_PAGERANK_SQL,
+        "connected_components": _Q_CC_SQL,
+        "tfidf_topk_terms": _Q_TFIDF_SQL,
+        "stratified_sample": _Q_STRATIFIED_SQL,
         "gopher_repetition": _Q_GOPHER_SQL,
         "c4_filters": _Q_C4_SQL,
         "duplicate_spans": _Q_DUP_SPANS_SQL,

@@ -1745,6 +1745,81 @@ _Q_STRATIFIED_SQL = """
 """
 
 
+def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation per link target — the classic webgraph
+    feature build (a page is described by the text of the links that point
+    AT it; reference analogue: the outlink loop at
+    /root/reference/app.py:957-1006 keeps link text alongside each URL).
+    Links are synthesized deterministically from ``documents``: doc i
+    anchors to docs (7i+13) mod N and (3i+5) mod N, with anchor text = the
+    source doc's first two normalized tokens.
+
+    Scale shape: TWO-PHASE aggregation. Phase 1 groups by (target, anchor)
+    — map-side partial combine collapses the heavy-hitter anchors
+    ("click here") BEFORE the shuffle, so reducer state per target is
+    bounded by the number of DISTINCT anchors, not in-degree (a 10^8-in-link
+    homepage arrives as a few thousand rows, not 10^8). Phase 2 groups by
+    target and sorts the collected set — a driver-safe per-key array whose
+    size phase 1 already capped. A single-phase collect_set(anchor) over raw
+    links would buffer every duplicate string through the shuffle."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.agg(F.countDistinct("doc_id").alias("_n"))
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")), " "
+    )
+    anchor = F.array_join(F.slice(toks, 1, 2), " ")
+    src = docs.crossJoin(F.broadcast(n)).select(
+        F.col("doc_id").alias("src"), anchor.alias("anchor"), F.col("_n")
+    )
+    links = src.select(
+        "src", "anchor", ((F.col("src") * 7 + 13) % F.col("_n")).alias("dst")
+    ).union(
+        src.select(
+            "src", "anchor", ((F.col("src") * 3 + 5) % F.col("_n")).alias("dst")
+        )
+    )
+    per_anchor = links.groupBy("dst", "anchor").agg(
+        F.count(F.lit(1)).alias("hits"), F.countDistinct("src").alias("srcs")
+    )
+    return (
+        per_anchor.groupBy("dst")
+        .agg(
+            F.sum("hits").alias("in_degree"),
+            F.sum("srcs").alias("distinct_sources"),
+            F.array_join(F.array_sort(F.collect_set("anchor")), "|").alias(
+                "anchors"
+            ),
+        )
+        .orderBy("dst")
+    )
+
+
+_Q_ANCHOR_SQL = """
+    WITH src AS (
+      SELECT doc_id AS src,
+             array_to_string(
+               string_split_regex(
+                 trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                 ' ')[1:2], ' ') AS anchor,
+             (SELECT count(DISTINCT doc_id) FROM documents) AS _n
+      FROM documents
+    ),
+    links AS (
+      SELECT src, anchor, (src * 7 + 13) % _n AS dst FROM src
+      UNION ALL
+      SELECT src, anchor, (src * 3 + 5) % _n AS dst FROM src
+    ),
+    per_anchor AS (
+      SELECT dst, anchor, count(*) AS hits, count(DISTINCT src) AS srcs
+      FROM links GROUP BY 1, 2
+    )
+    SELECT dst, CAST(sum(hits) AS BIGINT) AS in_degree,
+           CAST(sum(srcs) AS BIGINT) AS distinct_sources,
+           string_agg(anchor, '|' ORDER BY anchor) AS anchors
+    FROM per_anchor GROUP BY dst ORDER BY dst
+"""
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1812,6 +1887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "tfidf_topk_terms": q_tfidf_topk_terms,
         "stratified_sample": q_stratified_sample,
+        "anchor_text": q_anchor_text,
         "gopher_repetition": q_gopher_repetition,
         "c4_filters": q_c4_filters,
         "duplicate_spans": q_duplicate_spans,
@@ -1865,6 +1941,7 @@ def oracle_sql() -> dict[str, str]:
         "connected_components": _Q_CC_SQL,
         "tfidf_topk_terms": _Q_TFIDF_SQL,
         "stratified_sample": _Q_STRATIFIED_SQL,
+        "anchor_text": _Q_ANCHOR_SQL,
         "gopher_repetition": _Q_GOPHER_SQL,
         "c4_filters": _Q_C4_SQL,
         "duplicate_spans": _Q_DUP_SPANS_SQL,

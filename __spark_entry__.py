@@ -1745,6 +1745,99 @@ _Q_STRATIFIED_SQL = """
 """
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER canonicalization — the step after pair detection:
+    MinHash-LSH pairs (exact-verified at jaccard>=0.7, the same edge set
+    q_minhash_lsh_dups emits) → connected components → keep the
+    component-min doc per cluster. This is the actual curation decision a
+    dedup pipeline ships (Lee et al. 2022 §3.2: cluster, then keep one),
+    composed from operators/dedup.py + operators/graph.py. Oracle rebuilds
+    the exact-Jaccard pair graph and resolves components with a recursive
+    min-reachability walk — tractable because dup clusters are tiny even
+    when the corpus is not."""
+    from bodhium_webscrapper_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_pairs,
+    )
+
+    df = _docs_with_near_dups(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        df, "doc_id", "text", n_hashes=32, bands=8, jaccard_threshold=0.7
+    )
+    return dedup_clusters(df, pairs, id_col="doc_id").orderBy("doc_id")
+
+
+_Q_NEARDUP_CLUSTERS_SQL = f"""
+    WITH RECURSIVE d AS ({_DOCS_WITH_DUPS_SQL}),
+    sh AS (
+      SELECT doc_id, list_distinct(
+        CASE WHEN len(toks) >= 3 THEN
+          list_transform(range(1, len(toks) - 1),
+                         i -> array_to_string(toks[i:i+2], ' '))
+        ELSE [array_to_string(toks, ' ')] END) AS shingles
+      FROM (SELECT doc_id,
+              string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+            FROM d)),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_filter(a.shingles, x -> list_contains(b.shingles, x))) AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))) >= 0.7),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    walk(id, r) AS (
+      SELECT doc_id, doc_id FROM d
+      UNION
+      SELECT e.dst, w.r FROM walk w JOIN edges e ON e.src = w.id)
+    SELECT id AS doc_id, min(r) AS cluster, (min(r) = id) AS is_canonical
+    FROM walk GROUP BY id ORDER BY doc_id
+"""
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl snapshot diff: two deterministic snapshots carved
+    from ``documents`` (old = doc_id%5!=0, new = doc_id%7!=0 with every
+    3rd doc's content mutated) FULL-OUTER-joined on the key and classified
+    added/removed/changed/unchanged (operators/diff.py). At 100 TB both
+    snapshots live bucketed on the key (write_bucketed), so this join is
+    storage-partitioned and zero-exchange — the classification itself
+    never shuffles."""
+    from bodhium_webscrapper_spark.operators.diff import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.where(F.col("doc_id") % 5 != 0).select(
+        "doc_id", F.md5(F.col("text")).alias("content_hash")
+    )
+    new = docs.where(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit("!"))
+            ).otherwise(F.col("text"))
+        ).alias("content_hash"),
+    )
+    return snapshot_diff(old, new, key="doc_id").orderBy("doc_id")
+
+
+_Q_SNAPSHOT_DIFF_SQL = """
+    WITH o AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 != 0),
+    n AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 3 = 0 THEN text || '!' ELSE text END) AS h
+      FROM documents WHERE doc_id % 7 != 0)
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.h IS NULL THEN 'added'
+                WHEN n.h IS NULL THEN 'removed'
+                WHEN o.h != n.h THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    ORDER BY doc_id
+"""
+
+
 def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text aggregation per link target — the classic webgraph
     feature build (a page is described by the text of the links that point
@@ -1888,6 +1981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk_terms": q_tfidf_topk_terms,
         "stratified_sample": q_stratified_sample,
         "anchor_text": q_anchor_text,
+        "neardup_clusters": q_neardup_clusters,
+        "snapshot_diff": q_snapshot_diff,
         "gopher_repetition": q_gopher_repetition,
         "c4_filters": q_c4_filters,
         "duplicate_spans": q_duplicate_spans,
@@ -1942,6 +2037,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk_terms": _Q_TFIDF_SQL,
         "stratified_sample": _Q_STRATIFIED_SQL,
         "anchor_text": _Q_ANCHOR_SQL,
+        "neardup_clusters": _Q_NEARDUP_CLUSTERS_SQL,
+        "snapshot_diff": _Q_SNAPSHOT_DIFF_SQL,
         "gopher_repetition": _Q_GOPHER_SQL,
         "c4_filters": _Q_C4_SQL,
         "duplicate_spans": _Q_DUP_SPANS_SQL,

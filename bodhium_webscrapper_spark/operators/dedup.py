@@ -625,3 +625,43 @@ def winnow_pairs(
             >= min_containment_pct * F.least(F.col("n_a"), F.col("n_b"))
         )
     return out
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Collapse near-dup PAIRS into CLUSTERS and elect one canonical doc.
+
+    Pair emitters (minhash_lsh_pairs, simhash_pairs, winnowing) produce an
+    edge list; a cluster of k mirrored copies appears as up to C(k,2)
+    edges. Keeping "the doc not in any pair" is wrong (every member of a
+    cluster is in a pair); the correct curation step — what MinHash-dedup
+    pipelines (e.g. Lee et al. 2022 §3.2) do — is connected components
+    over the pair graph, then keep exactly one representative per
+    component. Label = component-min id, so the choice is deterministic
+    and independent of partitioning/round count (operators/graph.py).
+
+    Returns one row per doc in ``docs``: (id_col, cluster, is_canonical).
+    Docs in no pair form their own singleton cluster and are canonical.
+
+    Scale: the pair graph is tiny relative to the corpus (only near-dup
+    members appear), so the CC rounds run on edge data orders of magnitude
+    smaller than ``docs``; the final label attach is one left join on the
+    id, broadcastable whenever the dup set fits the broadcast threshold.
+    """
+    from bodhium_webscrapper_spark.operators.graph import connected_components
+
+    comps = connected_components(pairs.select(id_a, id_b), src=id_a, dst=id_b)
+    out = docs.select(id_col).join(
+        comps.withColumnRenamed("id", id_col), id_col, "left"
+    )
+    cluster = F.coalesce(F.col("component"), F.col(id_col))
+    return out.select(
+        F.col(id_col),
+        cluster.alias("cluster"),
+        (cluster == F.col(id_col)).alias("is_canonical"),
+    )

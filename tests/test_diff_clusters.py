@@ -1,0 +1,86 @@
+"""snapshot_diff classification + dedup_clusters canonical election."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bodhium_webscrapper_spark.operators.dedup import dedup_clusters
+from bodhium_webscrapper_spark.operators.diff import diff_counts, snapshot_diff
+
+
+def test_snapshot_diff_classifies_all_four_states(spark):
+    old = spark.createDataFrame(
+        [("a", "h1"), ("b", "h2"), ("c", "h3")], "url string, content_hash string"
+    )
+    new = spark.createDataFrame(
+        [("b", "h2"), ("c", "h3x"), ("d", "h4")], "url string, content_hash string"
+    )
+    got = {r["url"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {"a": "removed", "b": "unchanged", "c": "changed", "d": "added"}
+
+
+def test_diff_counts_rollup(spark):
+    old = spark.createDataFrame(
+        [("a", "h1"), ("b", "h2")], "url string, content_hash string"
+    )
+    new = spark.createDataFrame(
+        [("b", "h2"), ("c", "h3")], "url string, content_hash string"
+    )
+    counts = {
+        r["status"]: r["n_urls"]
+        for r in diff_counts(snapshot_diff(old, new)).collect()
+    }
+    assert counts == {"added": 1, "removed": 1, "unchanged": 1}
+
+
+def test_snapshot_diff_output_cardinality_is_key_union(spark):
+    old = spark.range(0, 80).select(
+        F.col("id").alias("url"), F.md5(F.col("id").cast("string")).alias("content_hash")
+    )
+    new = spark.range(40, 120).select(
+        F.col("id").alias("url"), F.md5(F.col("id").cast("string")).alias("content_hash")
+    )
+    assert snapshot_diff(old, new).count() == 120
+
+
+def test_dedup_clusters_elects_component_min(spark):
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    # two clusters {1,2,3} (via chained pairs) and {5,6}; 0,4,7 singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    rows = {
+        r["doc_id"]: (r["cluster"], r["is_canonical"])
+        for r in dedup_clusters(docs, pairs).collect()
+    }
+    assert rows == {
+        0: (0, True),
+        1: (1, True),
+        2: (1, False),
+        3: (1, False),
+        4: (4, True),
+        5: (5, True),
+        6: (5, False),
+        7: (7, True),
+    }
+
+
+def test_dedup_clusters_exactly_one_canonical_per_cluster(spark):
+    docs = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 10) for i in range(10)] + [(0, 5), (5, 9)],
+        "id_a long, id_b long",
+    )
+    out = dedup_clusters(docs, pairs)
+    per_cluster = (
+        out.groupBy("cluster")
+        .agg(
+            F.sum(F.col("is_canonical").cast("int")).alias("n_canon"),
+            F.min("doc_id").alias("mn"),
+        )
+        .collect()
+    )
+    for r in per_cluster:
+        assert r["n_canon"] == 1
+        assert r["cluster"] == r["mn"]
+    assert out.count() == 20

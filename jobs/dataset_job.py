@@ -51,6 +51,14 @@ def main() -> int:
                    help="near-dup candidate generator: MinHash-LSH with "
                         "exact-Jaccard verify, or winnowing fingerprint "
                         "containment (>=60%% of the smaller set)")
+    p.add_argument("--neardedup-policy", choices=["pairs", "clusters"],
+                   default="pairs",
+                   help="pairs: drop the larger id of every verified pair "
+                        "(keeps every doc not verified against a smaller "
+                        "survivor; 2 Spark actions total). clusters: "
+                        "transitive closure over the pair graph, keep the "
+                        "component-min doc (Lee et al. 2022 §3.2; adds "
+                        "O(log n) control-plane actions for the CC rounds)")
     p.add_argument("--pii-scrub", action="store_true",
                    help="redact emails/SSNs/phones/IPv4s before scoring")
     p.add_argument("--strip-boilerplate", action="store_true",
@@ -160,9 +168,8 @@ def main() -> int:
         scored.filter(gate_cond), args.text_col, args.id_col
     ).persist()
 
-    # near-dup removal: survivor = min id of each near-dup pair component.
-    # Pair→drop-list (greedy: drop the larger id of every verified pair) —
-    # standard near-dedup policy, deterministic.
+    # near-dup removal: verified pairs feed the policy chosen by
+    # --neardedup-policy (greedy pair-drop, or transitive cluster collapse)
     if args.neardedup == "winnow":
         pairs = winnow_pairs(
             deduped, args.id_col, args.text_col, min_containment_pct=60
@@ -171,8 +178,23 @@ def main() -> int:
         pairs = minhash_lsh_pairs(
             deduped, args.id_col, args.text_col, jaccard_threshold=args.jaccard
         )
-    drops = pairs.select(F.col("id_b").alias(args.id_col)).distinct()
-    kept = deduped.join(drops, args.id_col, "left_anti")
+    if args.neardedup_policy == "clusters":
+        # transitive-closure policy: a chain a~b~c collapses to ONE survivor
+        # even when the (a,c) pair itself was never verified. The CC rounds
+        # run on the pair edge set only (tiny vs the corpus) but cost
+        # O(log n) extra driver-side convergence actions — documented
+        # deviation from the default path's two-action contract.
+        from bodhium_webscrapper_spark.operators.dedup import dedup_clusters
+
+        labels = dedup_clusters(deduped, pairs, id_col=args.id_col)
+        kept = deduped.join(
+            labels.filter(F.col("is_canonical")).select(args.id_col),
+            args.id_col,
+            "left_semi",
+        )
+    else:
+        drops = pairs.select(F.col("id_b").alias(args.id_col)).distinct()
+        kept = deduped.join(drops, args.id_col, "left_anti")
 
     # final stage is WRITTEN (it is the job's output anyway); its row count
     # and token total come from the written files' parquet footers + one

@@ -84,3 +84,47 @@ def test_dedup_clusters_exactly_one_canonical_per_cluster(spark):
         assert r["n_canon"] == 1
         assert r["cluster"] == r["mn"]
     assert out.count() == 20
+
+
+def test_dataset_job_cluster_policy_collapses_via_common_superset(
+    spark, tmp_path, monkeypatch
+):
+    """pairs policy keeps both local minima {2,3} (verified only against the
+    common superset doc 10); clusters policy collapses the component to its
+    min {2}. The divergence case the transitive policy exists for."""
+    import io
+    import json
+    import sys
+    from contextlib import redirect_stdout
+
+    from jobs.dataset_job import main
+    from pyspark.sql import SparkSession
+
+    a_txt = " ".join(f"alpha{i:02d} token{i:02d}" for i in range(12))
+    b_txt = " ".join(f"omega{i:02d} gram{i:02d}" for i in range(12))
+    rows = [
+        (2, a_txt),
+        (3, b_txt),
+        (10, a_txt + " " + b_txt),
+        (6, "an entirely different sentence about parquet shuffles "
+            "and broadcast joins that survives every single gate."),
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+
+    def run(policy: str, out: str) -> list[int]:
+        argv = ["dataset_job", "--input", src, "--output", out,
+                "--min-quality", "-1", "--neardedup", "winnow",
+                "--neardedup-policy", policy, "--master", "local[4]"]
+        monkeypatch.setattr(sys, "argv", argv)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            assert main() == 0
+        json.loads(buf.getvalue().strip().splitlines()[-1])  # funnel parses
+        return sorted(
+            r["doc_id"] for r in spark.read.parquet(out).collect()
+        )
+
+    assert run("pairs", str(tmp_path / "o1")) == [2, 3, 6]
+    assert run("clusters", str(tmp_path / "o2")) == [2, 6]

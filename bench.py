@@ -320,6 +320,18 @@ def _run_frontier_inproc(master: str, fixture: dict, tag: str) -> dict:
     secs = time.time() - t0
     _stop(spark)
     processed = summary["total_candidates"] + summary["total_scheduled"]
+    # per-stage walls (schedule / fetch_extract / ...) live in the committed
+    # manifest, not the run summary — attach them so every recorded scaling
+    # pair directly evidences per-STAGE N→4N efficiency, not just per-wave
+    stage_t: dict[int, dict] = {}
+    try:
+        with open(os.path.join(ckpt, "manifest.json")) as f:
+            stage_t = {
+                int(k): v.get("timings", {})
+                for k, v in json.load(f).get("waves", {}).items()
+            }
+    except (OSError, ValueError):
+        pass
     return {
         "seconds": round(secs, 2),
         "urls_scheduled": summary["total_scheduled"],
@@ -327,7 +339,9 @@ def _run_frontier_inproc(master: str, fixture: dict, tag: str) -> dict:
         "urls_per_sec": round(processed / secs, 1),
         "waves": len(summary["waves"]),
         "per_wave": [
-            {"wave": w["wave"], "scheduled": w["scheduled"], "seconds": w["seconds"]}
+            {"wave": w["wave"], "scheduled": w["scheduled"],
+             "seconds": w["seconds"],
+             **({"timings": stage_t[w["wave"]]} if w["wave"] in stage_t else {})}
             for w in summary["waves"]
         ],
     }

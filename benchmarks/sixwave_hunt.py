@@ -46,7 +46,9 @@ def main() -> None:
         rec["control"] = {"local[4]": lo, "local[16]": hi,
                           "eff": round((lo / hi) / 4, 3)}
         print(f"attempt {attempt} control:", rec["control"], flush=True)
-        if rec["control"]["eff"] >= args.gate:
+        # super-linear control (eff >> 1) means the local[4] leg itself was
+        # disturbed — that window would INFLATE the pair, not just add noise
+        if args.gate <= rec["control"]["eff"] <= 1.08:
             fixture = bench._fixture(args.n_pages)
             slo = bench.run_frontier("local[4]", fixture, "sw_hunt4",
                                      args.n_pages)

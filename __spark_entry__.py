@@ -1838,6 +1838,91 @@ _Q_SNAPSHOT_DIFF_SQL = """
 """
 
 
+def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-site detection — the host-graph use connected components
+    exists for (operators/graph.py module doc): hosts sharing ≥3 identical
+    page fingerprints are mirror candidates; components of the
+    shared-content host graph are mirror GROUPS, detected once per host
+    pair instead of near-dupping every page pair (10^6× cheaper on a
+    mirrored 10^6-page site). Fixture: 24 synthetic hosts (doc_id % 24);
+    every second page of hosts 0-7 is mirrored onto host+100.
+
+    Scale shape: fp→hosts is a map-side-combined distinct; a hot-fp cap
+    (fps on >16 hosts are boilerplate, not mirrors — dropped BEFORE the
+    self-join) bounds the pair blowup exactly like the winnow hot-fp cap;
+    the host-pair edge list is tiny (hosts, not pages), so the CC rounds
+    are control-plane-sized."""
+    from bodhium_webscrapper_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(
+        (F.col("doc_id") % 24).alias("host"), F.md5(F.col("text")).alias("fp")
+    )
+    # mirror every second PAGE OF EACH HOST (div-parity, decoupled from the
+    # host assignment's own modulus — doc_id % 2 would couple with % 24 and
+    # silently mirror only the even hosts)
+    mirrored = docs.where(
+        ((F.col("doc_id") % 24) < 8)
+        & ((F.col("doc_id") / 24).cast("long") % 2 == 0)
+    ).select(
+        ((F.col("doc_id") % 24) + 100).alias("host"),
+        F.md5(F.col("text")).alias("fp"),
+    )
+    host_fp = base.unionByName(mirrored).distinct()
+    hot = host_fp.groupBy("fp").agg(F.count(F.lit(1)).alias("_nh")).where(
+        F.col("_nh") > 16
+    )
+    cool = host_fp.join(hot, "fp", "left_anti")
+    edges = (
+        cool.alias("a")
+        .join(cool.alias("b"), "fp")
+        .where(F.col("a.host") < F.col("b.host"))
+        .groupBy(F.col("a.host").alias("src"), F.col("b.host").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= 3)
+        .select("src", "dst")
+    )
+    hosts = host_fp.select("host").distinct()
+    comps = connected_components(edges)
+    return (
+        hosts.join(comps.withColumnRenamed("id", "host"), "host", "left")
+        .select(
+            "host",
+            F.coalesce(F.col("component"), F.col("host")).alias("mirror_group"),
+        )
+        .orderBy("host")
+    )
+
+
+_Q_MIRROR_HOSTS_SQL = """
+    WITH RECURSIVE hf AS (
+      SELECT DISTINCT doc_id % 24 AS host, md5(text) AS fp FROM documents
+      UNION
+      SELECT DISTINCT (doc_id % 24) + 100 AS host, md5(text) AS fp
+      FROM documents WHERE doc_id % 24 < 8 AND (doc_id // 24) % 2 = 0
+    ),
+    cool AS (
+      SELECT host, fp FROM hf
+      WHERE fp NOT IN (SELECT fp FROM hf GROUP BY fp HAVING count(*) > 16)
+    ),
+    e AS (
+      SELECT a.host AS src, b.host AS dst
+      FROM cool a JOIN cool b ON a.fp = b.fp AND a.host < b.host
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    ),
+    edges AS (
+      SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
+    ),
+    walk(id, r) AS (
+      SELECT DISTINCT host, host FROM hf
+      UNION
+      SELECT e.dst, w.r FROM walk w JOIN edges e ON e.src = w.id
+    )
+    SELECT id AS host, min(r) AS mirror_group
+    FROM walk GROUP BY id ORDER BY host
+"""
+
+
 def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text aggregation per link target — the classic webgraph
     feature build (a page is described by the text of the links that point
@@ -1983,6 +2068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text": q_anchor_text,
         "neardup_clusters": q_neardup_clusters,
         "snapshot_diff": q_snapshot_diff,
+        "mirror_hosts": q_mirror_hosts,
         "gopher_repetition": q_gopher_repetition,
         "c4_filters": q_c4_filters,
         "duplicate_spans": q_duplicate_spans,
@@ -2039,6 +2125,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_text": _Q_ANCHOR_SQL,
         "neardup_clusters": _Q_NEARDUP_CLUSTERS_SQL,
         "snapshot_diff": _Q_SNAPSHOT_DIFF_SQL,
+        "mirror_hosts": _Q_MIRROR_HOSTS_SQL,
         "gopher_repetition": _Q_GOPHER_SQL,
         "c4_filters": _Q_C4_SQL,
         "duplicate_spans": _Q_DUP_SPANS_SQL,

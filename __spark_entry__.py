@@ -1949,12 +1949,18 @@ def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = docs.crossJoin(F.broadcast(n)).select(
         F.col("doc_id").alias("src"), anchor.alias("anchor"), F.col("_n")
     )
+    # explode, not union: a union of two selects over `src` would duplicate
+    # the whole upstream lineage (two corpus scans + two scalar-count
+    # subplans); explode emits both link targets from ONE pass
     links = src.select(
-        "src", "anchor", ((F.col("src") * 7 + 13) % F.col("_n")).alias("dst")
-    ).union(
-        src.select(
-            "src", "anchor", ((F.col("src") * 3 + 5) % F.col("_n")).alias("dst")
-        )
+        "src",
+        "anchor",
+        F.explode(
+            F.array(
+                (F.col("src") * 7 + 13) % F.col("_n"),
+                (F.col("src") * 3 + 5) % F.col("_n"),
+            )
+        ).alias("dst"),
     )
     per_anchor = links.groupBy("dst", "anchor").agg(
         F.count(F.lit(1)).alias("hits"), F.countDistinct("src").alias("srcs")

@@ -165,3 +165,55 @@ def test_event_time_pruning_reaches_scan(spark, crawl_fixture):
     assert "PushedFilters" in p and "warc_ts" in p.split("PushedFilters")[1][:200]
     read_schema = p.split("ReadSchema: ")[1].splitlines()[0]
     assert "warc_ts" in read_schema and "html" not in read_schema  # pruned
+
+
+def test_anchor_text_single_scan_single_scalar_join(spark):
+    """anchor_text: ONE corpus scan and ONE broadcast scalar join — the
+    explode-based link emission must not duplicate the upstream lineage
+    (a union of two selects would scan documents twice and compute the
+    countDistinct scalar twice)."""
+    import __spark_entry__ as e
+
+    p = plan_of(e.q_anchor_text(spark, SF))
+    assert "HashAggregate" in p
+    assert "CartesianProduct" not in p
+    # formatted mode prints each node twice (tree + detail): 1 BNLJ node
+    # (the broadcast(n) scalar), 2 scan nodes (docs for links + the count)
+    assert p.count("BroadcastNestedLoopJoin") == 2
+    assert p.count("Scan parquet") == 4
+
+
+def test_tfidf_topk_windows_by_doc_never_global_sort(spark):
+    """tfidf: per-doc top-k must be a partitioned window, not a global
+    TakeOrdered/Sort over the whole (doc,term) space (the final orderBy is
+    presentation-only — driver collects it; the WINDOW sort must be
+    partitioned on doc_id)."""
+    import __spark_entry__ as e
+
+    p = plan_of(e.q_tfidf_topk_terms(spark, SF))
+    assert "Window" in p
+    # the Window detail's Arguments list the partition spec: row_number()
+    # ... windowspecdefinition(doc_id#..., score#... DESC
+    win_detail = p.split(") Window", 1)[1]
+    assert "windowspecdefinition(doc_id#" in win_detail
+
+
+def test_mirror_hosts_no_python_in_data_plane(spark):
+    """mirror_hosts: fingerprint/self-join/CC pipeline stays JVM-side."""
+    import __spark_entry__ as e
+
+    p = plan_of(e.q_mirror_hosts(spark, SF))
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_snapshot_diff_single_join_no_python(spark):
+    """snapshot_diff: exactly one SortMergeJoin/ShuffledHashJoin (the
+    full-outer), classification is a projection."""
+    import __spark_entry__ as e
+
+    p = plan_of(e.q_snapshot_diff(spark, SF))
+    joins = p.count("SortMergeJoin") + p.count("ShuffledHashJoin")
+    assert joins == 2  # ONE node; formatted mode prints tree + detail
+    assert "FullOuter" in p
+    assert "BatchEvalPython" not in p

@@ -509,12 +509,34 @@ def best_clean_window_record() -> dict:
         os.path.dirname(os.path.abspath(__file__)), "BENCH", "window_hunt.jsonl"
     )
     best = {}
+    best_sw = {}
     try:
         with open(path) as f:
             for line in f:
                 try:
                     rec = json.loads(line)
                 except ValueError:
+                    continue
+                # six-wave hunt records (benchmarks/sixwave_hunt.py): gated
+                # by a SAME-WINDOW control pair before AND after — clean iff
+                # the before-control was in-family and the after-control
+                # still >= 0.9 (the pair wasn't invaded mid-run)
+                sw = rec.get("sixwave")
+                if rec.get("kind") == "sixwave_hunt" and sw:
+                    c0 = (rec.get("control") or {}).get("eff", 0.0)
+                    c1 = (rec.get("control_after") or {}).get("eff", 0.0)
+                    if 0.93 <= c0 <= 1.08 and c1 >= 0.9:
+                        if (
+                            not best_sw
+                            or sw["steady_state_eff"] > best_sw["steady_state_eff"]
+                        ):
+                            best_sw = {
+                                "ts": rec.get("ts"),
+                                "eff": sw["eff"],
+                                "steady_state_eff": sw["steady_state_eff"],
+                                "control_before": c0,
+                                "control_after": c1,
+                            }
                     continue
                 giant = rec.get("giant")
                 if not giant:
@@ -538,6 +560,8 @@ def best_clean_window_record() -> dict:
                     }
     except OSError:
         pass
+    if best_sw:
+        best["sixwave_hunt_best"] = best_sw
     return best
 
 

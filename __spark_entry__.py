@@ -743,10 +743,11 @@ def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b").orderBy("id_a", "id_b")
 
 
-def _ngram_jaccard_sql(threshold: float) -> str:
-    """Exact 3-gram Jaccard pair oracle at the given threshold."""
-    return f"""
-    WITH d AS ({_DOCS_WITH_DUPS_SQL}),
+def _jaccard_pair_ctes(threshold: float) -> str:
+    """Shared CTE text (d → sh → pairs) for every exact 3-gram-Jaccard
+    oracle — the single source of the shingle definition, so the pair
+    oracle and the cluster oracle cannot silently desynchronize."""
+    return f"""d AS ({_DOCS_WITH_DUPS_SQL}),
     sh AS (
       SELECT doc_id, list_distinct(
         CASE WHEN len(toks) >= 3 THEN
@@ -757,12 +758,18 @@ def _ngram_jaccard_sql(threshold: float) -> str:
               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
             FROM d)),
     pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             CAST(len(list_filter(a.shingles, x -> list_contains(b.shingles, x))) AS DOUBLE)
-             / (len(a.shingles) + len(b.shingles)
-                - len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))) AS jac
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-    SELECT id_a, id_b FROM pairs WHERE jac >= {threshold} ORDER BY id_a, id_b
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_filter(a.shingles, x -> list_contains(b.shingles, x))) AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))) >= {threshold})"""
+
+
+def _ngram_jaccard_sql(threshold: float) -> str:
+    """Exact 3-gram Jaccard pair oracle at the given threshold."""
+    return f"""
+    WITH {_jaccard_pair_ctes(threshold)}
+    SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b
 """
 
 
@@ -1768,22 +1775,7 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q_NEARDUP_CLUSTERS_SQL = f"""
-    WITH RECURSIVE d AS ({_DOCS_WITH_DUPS_SQL}),
-    sh AS (
-      SELECT doc_id, list_distinct(
-        CASE WHEN len(toks) >= 3 THEN
-          list_transform(range(1, len(toks) - 1),
-                         i -> array_to_string(toks[i:i+2], ' '))
-        ELSE [array_to_string(toks, ' ')] END) AS shingles
-      FROM (SELECT doc_id,
-              string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
-            FROM d)),
-    pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE CAST(len(list_filter(a.shingles, x -> list_contains(b.shingles, x))) AS DOUBLE)
-            / (len(a.shingles) + len(b.shingles)
-               - len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))) >= 0.7),
+    WITH RECURSIVE {_jaccard_pair_ctes(0.7)},
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION ALL SELECT id_b, id_a FROM pairs),

@@ -525,7 +525,9 @@ def best_clean_window_record() -> dict:
                 if rec.get("kind") == "sixwave_hunt" and sw:
                     c0 = (rec.get("control") or {}).get("eff", 0.0)
                     c1 = (rec.get("control_after") or {}).get("eff", 0.0)
-                    if 0.93 <= c0 <= 1.08 and c1 >= 0.9:
+                    # both controls two-sided: a super-linear reading on
+                    # EITHER side means a leg was invaded (inflated pair)
+                    if 0.93 <= c0 <= 1.08 and 0.9 <= c1 <= 1.08:
                         if (
                             not best_sw
                             or sw["steady_state_eff"] > best_sw["steady_state_eff"]

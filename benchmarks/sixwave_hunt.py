@@ -34,6 +34,7 @@ def main() -> None:
     import bench
     from window_hunt import control_level
 
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
     t_end = time.time() + args.deadline_min * 60
     attempt = 0
     while time.time() < t_end:
@@ -61,7 +62,6 @@ def main() -> None:
                 "eff": round((slo["seconds"] / shi["seconds"]) / 4, 3),
                 "steady_state_eff": round((ss_lo / ss_hi) / 4, 3),
             }
-            rec["control_after"] = {}
             alo = control_level(4)
             ahi = control_level(16)
             rec["control_after"] = {"local[4]": alo, "local[16]": ahi,
@@ -75,8 +75,14 @@ def main() -> None:
             print("window dirty; sleeping", flush=True)
         with open(OUT, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        # stop only on a capture the bench artifact will actually surface:
+        # before-control in [0.93, 1.08] (the methodology's fixed cleanliness
+        # floor — NOT --gate, which only tunes how eagerly we try) and
+        # after-control in [0.9, 1.08] (super-linear after = invaded pair)
         got = rec.get("sixwave", {}).get("steady_state_eff", 0)
-        if got >= args.stop_at and rec.get("control_after", {}).get("eff", 0) >= 0.9:
+        c0 = rec.get("control", {}).get("eff", 0)
+        c1 = rec.get("control_after", {}).get("eff", 0)
+        if got >= args.stop_at and 0.93 <= c0 <= 1.08 and 0.9 <= c1 <= 1.08:
             print("clean capture landed; stopping", flush=True)
             break
         time.sleep(args.sleep_min * 60)

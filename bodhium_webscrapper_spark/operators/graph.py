@@ -123,16 +123,14 @@ def connected_components(
         nxt = _small_star(_large_star(_symmetrize(cur)))
         if (i + 1) % checkpoint_every == 0:
             nxt = nxt.localCheckpoint(eager=True)
-        prev = cur
+        # round i's checkpoint blocks become unreachable once round i+1 is
+        # materialized and this (sole) python reference is dropped; Spark's
+        # ContextCleaner reclaims them at the next JVM GC. There is no
+        # deterministic free from the public API — DataFrame.unpersist()
+        # only touches CacheManager entries, not localCheckpoint blocks —
+        # so storage high-water mark is ~2 rounds of edges, GC permitting.
         cur = nxt
         sig = _edge_checksum(cur)
-        # round i's checkpoint blocks are no longer reachable once round
-        # i+1 is materialized; drop them so a long run is O(1) in storage
-        if checkpoint_every == 1:
-            try:  # pragma: no cover - best-effort storage hygiene
-                prev.unpersist()
-            except Exception:
-                pass
         if sig == prev_sig:
             break
         prev_sig = sig

@@ -1996,6 +1996,216 @@ _Q_ANCHOR_SQL = """
 """
 
 
+def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 front-end: RFC 9309 robots.txt TEXT → gate-ready rules table
+    (operators/robots.py parse_robots_txt — posexplode + windows + aggs,
+    all JVM). Corpus synthesized per host from `documents`, covering:
+    specific-agent-beats-star, star fallback, merged same-agent groups,
+    stacked/case-insensitive User-agent lines, comments, CRLF, empty
+    Disallow, non-numeric Crawl-delay, rules before any group, and hosts
+    with no matching group (absent from output). The oracle re-implements
+    the ENTIRE parse independently in windowed DuckDB SQL."""
+    from bodhium_webscrapper_spark.operators.robots import parse_robots_txt
+
+    docs = _t(spark, sf_dir, "documents")
+    hosts = docs.select((F.col("doc_id") % 20).cast("int").alias("i")).distinct()
+    i = F.col("i")
+    s = i.cast("string")
+    txt = (
+        F.when(
+            i % 4 == 0,
+            F.concat(
+                F.lit("User-agent: bodhium\nDisallow: /priv"), s,
+                F.lit("\nCrawl-delay: 1.5\n\nUser-agent: *\nDisallow: /star\n"),
+            ),
+        )
+        .when(
+            i % 4 == 1,
+            F.concat(
+                F.lit("# c\r\nUser-agent: *\r\nDisallow: /tmp"), s,
+                F.lit("\r\nCrawl-delay: "), (i + 1).cast("string"), F.lit("\r\n"),
+            ),
+        )
+        .when(i % 4 == 2, F.lit("User-agent: other\nDisallow: /all\n"))
+        .otherwise(
+            F.concat(
+                F.lit(
+                    "Disallow: /orphan\nUser-agent: googlebot\n"
+                    "User-agent: BODHIUM\nDisallow: /a\nDisallow:\n"
+                    "User-agent: bodhium\nDisallow: /b"
+                ),
+                s,
+                F.lit("\nCrawl-delay: xx\n"),
+            )
+        )
+    )
+    raw = hosts.select(
+        F.concat(F.lit("h"), s, F.lit(".example")).alias("host"),
+        txt.alias("robots_txt"),
+    )
+    out = parse_robots_txt(raw, agent="bodhium")
+    return out.select(
+        "host",
+        F.array_join("disallow_prefixes", "|").alias("disallow"),
+        "crawl_delay_ms",
+    ).orderBy("host")
+
+
+_Q_ROBOTS_PARSE_SQL = r"""
+    WITH hosts AS (
+      SELECT DISTINCT CAST(doc_id % 20 AS INTEGER) AS i FROM documents
+    ),
+    raw AS (
+      SELECT 'h' || i || '.example' AS host,
+        CASE CAST(i % 4 AS INTEGER)
+          WHEN 0 THEN e'User-agent: bodhium\nDisallow: /priv' || i ||
+            e'\nCrawl-delay: 1.5\n\nUser-agent: *\nDisallow: /star\n'
+          WHEN 1 THEN e'# c\r\nUser-agent: *\r\nDisallow: /tmp' || i ||
+            e'\r\nCrawl-delay: ' || (i + 1) || e'\r\n'
+          WHEN 2 THEN e'User-agent: other\nDisallow: /all\n'
+          ELSE e'Disallow: /orphan\nUser-agent: googlebot\n' ||
+            e'User-agent: BODHIUM\nDisallow: /a\nDisallow:\n' ||
+            e'User-agent: bodhium\nDisallow: /b' || i || e'\nCrawl-delay: xx\n'
+        END AS robots_txt
+      FROM hosts
+    ),
+    lines AS (
+      SELECT host,
+        unnest(generate_series(1, len(string_split_regex(robots_txt, '\r?\n')))) AS pos,
+        unnest(string_split_regex(robots_txt, '\r?\n')) AS line
+      FROM raw
+    ),
+    kv AS (
+      SELECT host, pos,
+        lower(trim(regexp_extract(cl, '^([^:]+):', 1))) AS key,
+        trim(regexp_extract(cl, '^[^:]*:(.*)$', 1)) AS val
+      FROM (SELECT host, pos, trim(regexp_replace(line, '#.*$', '')) AS cl
+            FROM lines)
+    ),
+    flagged AS (
+      SELECT host, pos, key, val, (key = 'user-agent') AS is_ua,
+        coalesce(lag(key = 'user-agent')
+          OVER (PARTITION BY host ORDER BY pos), FALSE) AS prev_ua
+      FROM kv
+    ),
+    grp AS (
+      SELECT *, sum(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+        OVER (PARTITION BY host ORDER BY pos) AS g
+      FROM flagged
+    ),
+    groups AS (
+      SELECT host, g,
+        list(lower(val)) FILTER (WHERE is_ua) AS agents,
+        coalesce(list(val) FILTER (WHERE key = 'disallow' AND val <> ''),
+                 []) AS disallows,
+        min(TRY_CAST(val AS DOUBLE)) FILTER (WHERE key = 'crawl-delay')
+          AS delay_s
+      FROM grp WHERE g > 0 GROUP BY host, g
+    ),
+    ranked AS (
+      SELECT host, disallows, delay_s,
+        CASE WHEN list_contains(agents, 'bodhium') THEN 1
+             WHEN list_contains(agents, '*') THEN 2 END AS rnk
+      FROM groups
+    ),
+    sel AS (
+      SELECT *, min(rnk) OVER (PARTITION BY host) AS minr
+      FROM ranked WHERE rnk IS NOT NULL
+    )
+    SELECT host,
+      array_to_string(list_sort(list_distinct(flatten(list(disallows)))),
+                      '|') AS disallow,
+      CAST(floor(min(delay_s) * 1000) AS BIGINT) AS crawl_delay_ms
+    FROM sel WHERE rnk = minr
+    GROUP BY host ORDER BY host
+"""
+
+
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 front-end: sitemap XML bodies → (kind, entry_pos, loc, lastmod)
+    rows (sources/sitemap.py parse_sitemap — regexp_extract_all +
+    posexplode, zero shuffle). Corpus covers urlset + sitemapindex,
+    whitespace-padded <loc>, entity escapes, missing <lastmod>, and
+    loc-less entries (dropped but position-preserving)."""
+    from bodhium_webscrapper_spark.sources.sitemap import parse_sitemap
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = docs.select((F.col("doc_id") % 12).cast("int").alias("i")).distinct()
+    i = F.col("i")
+    s = i.cast("string")
+    xml = F.when(
+        i % 3 == 0,
+        F.concat(
+            F.lit("<sitemapindex><sitemap><loc>https://s"), s,
+            F.lit(".example/a.xml</loc><lastmod>2026-0"),
+            ((i % 9) + 1).cast("string"),
+            F.lit("-01</lastmod></sitemap><sitemap><loc> https://s"), s,
+            F.lit(".example/b.xml </loc></sitemap></sitemapindex>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("<urlset>\n<url>\n<loc>https://s"), s,
+            F.lit(".example/p?a=1&amp;b="), s,
+            F.lit("</loc>\n</url>\n<url><lastmod>x</lastmod></url>\n"
+                  "<url><loc>https://s"),
+            s,
+            F.lit(".example/q</loc></url>\n</urlset>"),
+        )
+    )
+    raw = idx.select(
+        F.concat(F.lit("https://s"), s, F.lit(".example/sitemap.xml")).alias(
+            "sitemap_url"
+        ),
+        xml.alias("sitemap_xml"),
+    )
+    out = parse_sitemap(raw)
+    return out.select(
+        "sitemap_url", "kind",
+        F.col("entry_pos").cast("long").alias("entry_pos"),
+        "loc", "lastmod",
+    ).orderBy("sitemap_url", "entry_pos")
+
+
+_Q_SITEMAP_PARSE_SQL = r"""
+    WITH idx AS (
+      SELECT DISTINCT CAST(doc_id % 12 AS INTEGER) AS i FROM documents
+    ),
+    raw AS (
+      SELECT 'https://s' || i || '.example/sitemap.xml' AS sitemap_url,
+        CASE WHEN i % 3 = 0 THEN
+          '<sitemapindex><sitemap><loc>https://s' || i ||
+          '.example/a.xml</loc><lastmod>2026-0' || ((i % 9) + 1) ||
+          '-01</lastmod></sitemap><sitemap><loc> https://s' || i ||
+          '.example/b.xml </loc></sitemap></sitemapindex>'
+        ELSE
+          e'<urlset>\n<url>\n<loc>https://s' || i ||
+          e'.example/p?a=1&amp;b=' || i ||
+          e'</loc>\n</url>\n<url><lastmod>x</lastmod></url>\n' ||
+          e'<url><loc>https://s' || i || e'.example/q</loc></url>\n</urlset>'
+        END AS xml
+      FROM idx
+    ),
+    entries AS (
+      SELECT sitemap_url,
+        CASE WHEN xml LIKE '%<sitemapindex%' THEN 'index'
+             ELSE 'urlset' END AS kind,
+        unnest(generate_series(1, len(regexp_extract_all(xml,
+          '(?s)<(?:url|sitemap)\b[^>]*>(.*?)</(?:url|sitemap)>', 1)))) AS p1,
+        unnest(regexp_extract_all(xml,
+          '(?s)<(?:url|sitemap)\b[^>]*>(.*?)</(?:url|sitemap)>', 1)) AS entry
+      FROM raw
+    )
+    SELECT sitemap_url, kind, CAST(p1 - 1 AS BIGINT) AS entry_pos,
+      replace(regexp_extract(entry, '(?s)<loc>\s*(.*?)\s*</loc>', 1),
+              '&amp;', '&') AS loc,
+      nullif(regexp_extract(entry, '(?s)<lastmod>\s*(.*?)\s*</lastmod>', 1),
+             '') AS lastmod
+    FROM entries
+    WHERE regexp_extract(entry, '(?s)<loc>\s*(.*?)\s*</loc>', 1) <> ''
+    ORDER BY sitemap_url, entry_pos
+"""
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2035,6 +2245,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup_first_wins": q_url_dedup_first_wins,
         "host_budget_topk": q_host_budget_topk,
         "robots_gate": q_robots_gate,
+        "robots_parse": q_robots_parse,
+        "sitemap_parse": q_sitemap_parse,
         "seen_antijoin_bloom": q_seen_antijoin,
         "source_priority_union": q_source_priority_union,
         "product_hash_dedup": q_product_hash_dedup,
@@ -2089,6 +2301,8 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup_first_wins": _Q_URL_DEDUP_SQL,
         "host_budget_topk": _Q_HOST_BUDGET_SQL,
         "robots_gate": _Q_ROBOTS_SQL,
+        "robots_parse": _Q_ROBOTS_PARSE_SQL,
+        "sitemap_parse": _Q_SITEMAP_PARSE_SQL,
         "seen_antijoin_bloom": _Q_SEEN_ANTIJOIN_SQL,
         "source_priority_union": _Q_SOURCE_UNION_SQL,
         "product_hash_dedup": _Q_PRODUCT_HASH_SQL,

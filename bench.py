@@ -510,6 +510,8 @@ def best_clean_window_record() -> dict:
     )
     best = {}
     best_sw = {}
+    best_pair = {}
+    best_pair_score = 0.0
     try:
         with open(path) as f:
             for line in f:
@@ -540,6 +542,45 @@ def best_clean_window_record() -> dict:
                                 "control_after": c1,
                             }
                     continue
+                # arbitrary-core-pair records (benchmarks/pair_scaling.py —
+                # the bus-saturation complement: same job, same 1:4 ratio,
+                # high level below the host's memory-bus saturation point).
+                # Gated exactly like the sixwave hunt: two-sided controls
+                # before AND after the pair.
+                if rec.get("kind") == "pair_scaling":
+                    c0 = (rec.get("control") or {}).get("eff", 0.0)
+                    c1 = (rec.get("control_after") or {}).get("eff", 0.0)
+                    if not (0.93 <= c0 <= 1.08 and 0.9 <= c1 <= 1.08):
+                        continue
+                    lo_n, hi_n = rec.get("pair", [0, 0])
+                    entry = {
+                        "ts": rec.get("ts"),
+                        "pair": rec.get("pair"),
+                        "control_before": c0,
+                        "control_after": c1,
+                    }
+                    sw = rec.get("sixwave") or {}
+                    g = rec.get("giant") or {}
+                    if sw:
+                        entry["sixwave_eff"] = sw["eff"]
+                        entry["sixwave_steady_state_eff"] = sw[
+                            "steady_state_eff"
+                        ]
+                        entry["sixwave_hi_urls_per_sec"] = sw[
+                            f"local[{hi_n}]"
+                        ]["urls_per_sec"]
+                    if g:
+                        entry["giant_eff"] = g["eff"]
+                        entry["giant_hi_urls_per_sec"] = g[f"local[{hi_n}]"][
+                            "urls_per_sec"
+                        ]
+                    score = max(
+                        entry.get("giant_eff", 0.0),
+                        entry.get("sixwave_steady_state_eff", 0.0),
+                    )
+                    if not best_pair or score > best_pair_score:
+                        best_pair, best_pair_score = entry, score
+                    continue
                 giant = rec.get("giant")
                 if not giant:
                     continue
@@ -564,6 +605,8 @@ def best_clean_window_record() -> dict:
         pass
     if best_sw:
         best["sixwave_hunt_best"] = best_sw
+    if best_pair:
+        best["pair_scaling_best"] = best_pair
     return best
 
 

@@ -31,7 +31,17 @@ def main() -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--pages", help="path to the prepared pages table (parquet)")
     p.add_argument("--seeds", help="path to seeds parquet (url, priority)")
-    p.add_argument("--robots", help="path to robots parquet")
+    p.add_argument("--robots", help="path to robots parquet (pre-parsed rules)")
+    p.add_argument(
+        "--robots-txt",
+        help="path to RAW robots.txt parquet (host, robots_txt) — parsed "
+        "into gate rules via parse_robots_txt (RFC 9309 groups); mutually "
+        "exclusive with --robots",
+    )
+    p.add_argument(
+        "--robots-agent", default="*",
+        help="user-agent product token for --robots-txt group selection",
+    )
     p.add_argument("--checkpoint", help="snapshot/checkpoint directory")
     p.add_argument("--budget", type=int, default=10, help="max urls/host/wave")
     p.add_argument("--max-waves", type=int, default=6)
@@ -118,13 +128,26 @@ def main() -> int:
         args.robots = paths["robots"]
         args.checkpoint = args.checkpoint or os.path.join(args.workdir, "ckpt")
 
-    required = ["pages", "seeds", "robots"]
+    if args.robots and args.robots_txt:
+        p.error("--robots and --robots-txt are mutually exclusive")
+    required = ["pages", "seeds"]
     if not args.iceberg_warehouse:
         required.append("checkpoint")
     missing = [k for k in required if not getattr(args, k)]
+    if not args.robots and not args.robots_txt:
+        missing.append("robots")
     if missing:
         p.error(f"missing required arguments: {', '.join('--' + m for m in missing)} "
                 f"(or use --synthesize)")
+
+    if args.robots_txt:
+        from bodhium_webscrapper_spark.operators.robots import parse_robots_txt
+
+        robots_df = parse_robots_txt(
+            spark.read.parquet(args.robots_txt), agent=args.robots_agent
+        )
+    else:
+        robots_df = spark.read.parquet(args.robots)
 
     cfg = CrawlConfig(
         max_urls_per_host_per_wave=args.budget,
@@ -143,7 +166,7 @@ def main() -> int:
         spark,
         args.pages,
         spark.read.parquet(args.seeds),
-        spark.read.parquet(args.robots),
+        robots_df,
         cfg,
         args.checkpoint or "unused-with-iceberg-store",
         store=store,

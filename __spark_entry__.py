@@ -2016,6 +2016,7 @@ def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             i % 4 == 0,
             F.concat(
                 F.lit("User-agent: bodhium\nDisallow: /priv"), s,
+                F.lit("\nAllow: /priv"), s, F.lit("/ok\nAllow:\n"),
                 F.lit("\nCrawl-delay: 1.5\n\nUser-agent: *\nDisallow: /star\n"),
             ),
         )
@@ -2047,6 +2048,7 @@ def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "host",
         F.array_join("disallow_prefixes", "|").alias("disallow"),
+        F.array_join("allow_prefixes", "|").alias("allow"),
         "crawl_delay_ms",
     ).orderBy("host")
 
@@ -2059,6 +2061,7 @@ _Q_ROBOTS_PARSE_SQL = r"""
       SELECT 'h' || i || '.example' AS host,
         CASE CAST(i % 4 AS INTEGER)
           WHEN 0 THEN e'User-agent: bodhium\nDisallow: /priv' || i ||
+            e'\nAllow: /priv' || i || e'/ok\nAllow:\n' ||
             e'\nCrawl-delay: 1.5\n\nUser-agent: *\nDisallow: /star\n'
           WHEN 1 THEN e'# c\r\nUser-agent: *\r\nDisallow: /tmp' || i ||
             e'\r\nCrawl-delay: ' || (i + 1) || e'\r\n'
@@ -2098,12 +2101,14 @@ _Q_ROBOTS_PARSE_SQL = r"""
         list(lower(val)) FILTER (WHERE is_ua) AS agents,
         coalesce(list(val) FILTER (WHERE key = 'disallow' AND val <> ''),
                  []) AS disallows,
+        coalesce(list(val) FILTER (WHERE key = 'allow' AND val <> ''),
+                 []) AS allows,
         min(TRY_CAST(val AS DOUBLE)) FILTER (WHERE key = 'crawl-delay')
           AS delay_s
       FROM grp WHERE g > 0 GROUP BY host, g
     ),
     ranked AS (
-      SELECT host, disallows, delay_s,
+      SELECT host, disallows, allows, delay_s,
         CASE WHEN list_contains(agents, 'bodhium') THEN 1
              WHEN list_contains(agents, '*') THEN 2 END AS rnk
       FROM groups
@@ -2115,24 +2120,100 @@ _Q_ROBOTS_PARSE_SQL = r"""
     SELECT host,
       array_to_string(list_sort(list_distinct(flatten(list(disallows)))),
                       '|') AS disallow,
+      coalesce(array_to_string(list_sort(list_distinct(flatten(list(allows)))),
+                               '|'), '') AS allow,
       CAST(floor(min(delay_s) * 1000) AS BIGINT) AS crawl_delay_ms
     FROM sel WHERE rnk = minr
     GROUP BY host ORDER BY host
 """
 
 
-def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1 front-end: sitemap XML bodies → (kind, entry_pos, loc, lastmod)
-    rows (sources/sitemap.py parse_sitemap — regexp_extract_all +
-    posexplode, zero shuffle). Corpus covers urlset + sitemapindex,
-    whitespace-padded <loc>, entity escapes, missing <lastmod>, and
-    loc-less entries (dropped but position-preserving)."""
-    from bodhium_webscrapper_spark.sources.sitemap import parse_sitemap
+def q_robots_gate_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 full RFC 9309 §2.2.2/§2.2.3 precedence: longest-matching rule
+    wins, Allow beats Disallow on equal length, ``*`` wildcards and
+    trailing-``$`` anchors (operators/robots.py robots_gate — per-rule
+    regexes built at prep time, startswith fast path for plain prefixes).
+    Seven path shapes per host: prefix-blocked, allow-overridden,
+    wildcard-blocked-over-shorter-allow, allow-when-wildcard-misses,
+    anchor-blocked, anchor-miss, equal-length-tie→allow. The oracle
+    reimplements longest-match in SQL over hand-derived regexes."""
+    from bodhium_webscrapper_spark.operators.robots import robots_gate
 
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 10).cast("string"), F.lit(".example")
+        ).alias("host"),
+        (F.col("doc_id") % 7).cast("int").alias("c"),
+    ).distinct()
+    paths = F.array(
+        *[F.lit(p) for p in ["/p/a", "/p/ok/z", "/q/1/x", "/q/z",
+                             "/exact", "/exactmore", "/same/x"]]
+    )
+    urls = base.select(
+        "host",
+        F.concat(F.lit("https://"), F.col("host"),
+                 F.element_at(paths, F.col("c") + 1)).alias("canonical_url"),
+    )
+    rules = base.select("host").distinct().select(
+        "host",
+        F.array(F.lit("/p"), F.lit("/q/*/x"), F.lit("/exact$"),
+                F.lit("/same")).alias("disallow_prefixes"),
+        F.array(F.lit("/p/ok"), F.lit("/q"), F.lit("/same")).alias(
+            "allow_prefixes"
+        ),
+    )
+    kept = robots_gate(urls, rules)
+    return kept.select("host", "canonical_url").orderBy("host", "canonical_url")
+
+
+_Q_ROBOTS_PRECEDENCE_SQL = r"""
+    WITH base AS (
+      SELECT DISTINCT 'h' || (doc_id % 10) || '.example' AS host,
+             CAST(doc_id % 7 AS INTEGER) AS c
+      FROM documents
+    ),
+    urls AS (
+      SELECT host,
+        ['/p/a', '/p/ok/z', '/q/1/x', '/q/z',
+         '/exact', '/exactmore', '/same/x'][c + 1] AS path
+      FROM base
+    ),
+    rules(rx, rlen, allow) AS (VALUES
+      ('^/p',      2, FALSE),
+      ('^/q/.*/x', 6, FALSE),
+      ('^/exact$', 7, FALSE),
+      ('^/same',   5, FALSE),
+      ('^/p/ok',   5, TRUE),
+      ('^/q',      2, TRUE),
+      ('^/same',   5, TRUE)),
+    scored AS (
+      SELECT u.host, u.path,
+        coalesce(max(CASE WHEN NOT r.allow THEN r.rlen END), 0) AS best_dis,
+        coalesce(max(CASE WHEN r.allow THEN r.rlen END), 0) AS best_alw
+      FROM urls u LEFT JOIN rules r ON regexp_matches(u.path, r.rx)
+      GROUP BY u.host, u.path
+    )
+    SELECT host, 'https://' || host || path AS canonical_url
+    FROM scored WHERE best_dis <= best_alw
+    ORDER BY host, canonical_url
+"""
+
+
+def _sitemap_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sitemap-body corpus shared by the sitemap queries:
+    (sitemap_url, sitemap_xml) per i in 0..11 (keyed off `documents`).
+    i%3==0 → sitemapindex (two child pointers, one lastmod, padded loc);
+    else → urlset with an entity-escaped loc, a loc-less entry, a plain
+    loc, and a SHARED URL (https://shared.example/home) that sits at
+    position 0 when i%3==1 and at the tail when i%3==2 — the cross-sitemap
+    duplicate whose best (earliest) position the seed derivation must
+    keep."""
     docs = _t(spark, sf_dir, "documents")
     idx = docs.select((F.col("doc_id") % 12).cast("int").alias("i")).distinct()
     i = F.col("i")
     s = i.cast("string")
+    shared = "<url><loc>https://shared.example/home</loc></url>\n"
     xml = F.when(
         i % 3 == 0,
         F.concat(
@@ -2144,21 +2225,35 @@ def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(
         F.concat(
-            F.lit("<urlset>\n<url>\n<loc>https://s"), s,
+            F.lit("<urlset>\n"),
+            F.when(i % 3 == 1, F.lit(shared)).otherwise(F.lit("")),
+            F.lit("<url>\n<loc>https://s"), s,
             F.lit(".example/p?a=1&amp;b="), s,
             F.lit("</loc>\n</url>\n<url><lastmod>x</lastmod></url>\n"
                   "<url><loc>https://s"),
             s,
-            F.lit(".example/q</loc></url>\n</urlset>"),
+            F.lit(".example/q</loc></url>\n"),
+            F.when(i % 3 == 2, F.lit(shared)).otherwise(F.lit("")),
+            F.lit("</urlset>"),
         )
     )
-    raw = idx.select(
+    return idx.select(
         F.concat(F.lit("https://s"), s, F.lit(".example/sitemap.xml")).alias(
             "sitemap_url"
         ),
         xml.alias("sitemap_xml"),
     )
-    out = parse_sitemap(raw)
+
+
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 front-end: sitemap XML bodies → (kind, entry_pos, loc, lastmod)
+    rows (sources/sitemap.py parse_sitemap — regexp_extract_all +
+    posexplode, zero shuffle). Corpus covers urlset + sitemapindex,
+    whitespace-padded <loc>, entity escapes, missing <lastmod>, and
+    loc-less entries (dropped but position-preserving)."""
+    from bodhium_webscrapper_spark.sources.sitemap import parse_sitemap
+
+    out = parse_sitemap(_sitemap_corpus(spark, sf_dir))
     return out.select(
         "sitemap_url", "kind",
         F.col("entry_pos").cast("long").alias("entry_pos"),
@@ -2166,8 +2261,8 @@ def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("sitemap_url", "entry_pos")
 
 
-_Q_SITEMAP_PARSE_SQL = r"""
-    WITH idx AS (
+_Q_SITEMAP_CORPUS_SQL = r"""
+    idx AS (
       SELECT DISTINCT CAST(doc_id % 12 AS INTEGER) AS i FROM documents
     ),
     raw AS (
@@ -2178,13 +2273,26 @@ _Q_SITEMAP_PARSE_SQL = r"""
           '-01</lastmod></sitemap><sitemap><loc> https://s' || i ||
           '.example/b.xml </loc></sitemap></sitemapindex>'
         ELSE
-          e'<urlset>\n<url>\n<loc>https://s' || i ||
+          e'<urlset>\n' ||
+          CASE WHEN i % 3 = 1
+            THEN e'<url><loc>https://shared.example/home</loc></url>\n'
+            ELSE '' END ||
+          e'<url>\n<loc>https://s' || i ||
           e'.example/p?a=1&amp;b=' || i ||
           e'</loc>\n</url>\n<url><lastmod>x</lastmod></url>\n' ||
-          e'<url><loc>https://s' || i || e'.example/q</loc></url>\n</urlset>'
+          e'<url><loc>https://s' || i || e'.example/q</loc></url>\n' ||
+          CASE WHEN i % 3 = 2
+            THEN e'<url><loc>https://shared.example/home</loc></url>\n'
+            ELSE '' END ||
+          '</urlset>'
         END AS xml
       FROM idx
-    ),
+    )
+"""
+
+
+_Q_SITEMAP_PARSE_SQL = r"""
+    WITH """ + _Q_SITEMAP_CORPUS_SQL + r""",
     entries AS (
       SELECT sitemap_url,
         CASE WHEN xml LIKE '%<sitemapindex%' THEN 'index'
@@ -2203,6 +2311,77 @@ _Q_SITEMAP_PARSE_SQL = r"""
     FROM entries
     WHERE regexp_extract(entry, '(?s)<loc>\s*(.*?)\s*</loc>', 1) <> ''
     ORDER BY sitemap_url, entry_pos
+"""
+
+
+def q_sitemap_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 seed derivation: sitemap bodies → frontier seed list (url,
+    priority=1/(1+position), best-position-wins across sitemaps) via
+    sources/sitemap.py sitemap_seeds — the --sitemaps CLI source. The
+    shared URL planted at position 0 in i%3==1 sitemaps and at the tail
+    of i%3==2 sitemaps must come out once, at priority 1.0."""
+    from bodhium_webscrapper_spark.sources.sitemap import sitemap_seeds
+
+    out = sitemap_seeds(_sitemap_corpus(spark, sf_dir))
+    return out.select(
+        "url", F.round("priority", 6).alias("priority")
+    ).orderBy("url")
+
+
+_Q_SITEMAP_SEEDS_SQL = r"""
+    WITH """ + _Q_SITEMAP_CORPUS_SQL + r""",
+    entries AS (
+      SELECT sitemap_url,
+        CASE WHEN xml LIKE '%<sitemapindex%' THEN 'index'
+             ELSE 'urlset' END AS kind,
+        unnest(generate_series(1, len(regexp_extract_all(xml,
+          '(?s)<(?:url|sitemap)\b[^>]*>(.*?)</(?:url|sitemap)>', 1)))) AS p1,
+        unnest(regexp_extract_all(xml,
+          '(?s)<(?:url|sitemap)\b[^>]*>(.*?)</(?:url|sitemap)>', 1)) AS entry
+      FROM raw
+    )
+    SELECT replace(regexp_extract(entry, '(?s)<loc>\s*(.*?)\s*</loc>', 1),
+                   '&amp;', '&') AS url,
+      round(max(1.0 / CAST(p1 AS DOUBLE)), 6) AS priority
+    FROM entries
+    WHERE kind = 'urlset'
+      AND regexp_extract(entry, '(?s)<loc>\s*(.*?)\s*</loc>', 1) <> ''
+    GROUP BY url ORDER BY url
+"""
+
+
+def q_missing_child_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 fixpoint frontier: sitemapindex children absent from the fetched
+    corpus (sources/sitemap.py missing_child_sitemaps — distinct + anti-
+    join). Every a.xml/b.xml pointer in the corpus is unfetched, so all
+    must surface; the fetched sitemap.xml urls must not."""
+    from bodhium_webscrapper_spark.sources.sitemap import missing_child_sitemaps
+
+    return missing_child_sitemaps(_sitemap_corpus(spark, sf_dir)).orderBy(
+        "sitemap_url"
+    )
+
+
+_Q_MISSING_SITEMAPS_SQL = r"""
+    WITH """ + _Q_SITEMAP_CORPUS_SQL + r""",
+    entries AS (
+      SELECT sitemap_url,
+        CASE WHEN xml LIKE '%<sitemapindex%' THEN 'index'
+             ELSE 'urlset' END AS kind,
+        unnest(regexp_extract_all(xml,
+          '(?s)<(?:url|sitemap)\b[^>]*>(.*?)</(?:url|sitemap)>', 1)) AS entry
+      FROM raw
+    ),
+    children AS (
+      SELECT DISTINCT
+        trim(regexp_extract(entry, '(?s)<loc>\s*(.*?)\s*</loc>', 1)) AS child
+      FROM entries
+      WHERE kind = 'index'
+        AND regexp_extract(entry, '(?s)<loc>\s*(.*?)\s*</loc>', 1) <> ''
+    )
+    SELECT child AS sitemap_url FROM children
+    WHERE child NOT IN (SELECT sitemap_url FROM raw)
+    ORDER BY sitemap_url
 """
 
 
@@ -2246,7 +2425,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_budget_topk": q_host_budget_topk,
         "robots_gate": q_robots_gate,
         "robots_parse": q_robots_parse,
+        "robots_gate_precedence": q_robots_gate_precedence,
         "sitemap_parse": q_sitemap_parse,
+        "sitemap_seeds": q_sitemap_seeds,
+        "missing_child_sitemaps": q_missing_child_sitemaps,
         "seen_antijoin_bloom": q_seen_antijoin,
         "source_priority_union": q_source_priority_union,
         "product_hash_dedup": q_product_hash_dedup,
@@ -2302,7 +2484,10 @@ def oracle_sql() -> dict[str, str]:
         "host_budget_topk": _Q_HOST_BUDGET_SQL,
         "robots_gate": _Q_ROBOTS_SQL,
         "robots_parse": _Q_ROBOTS_PARSE_SQL,
+        "robots_gate_precedence": _Q_ROBOTS_PRECEDENCE_SQL,
         "sitemap_parse": _Q_SITEMAP_PARSE_SQL,
+        "sitemap_seeds": _Q_SITEMAP_SEEDS_SQL,
+        "missing_child_sitemaps": _Q_MISSING_SITEMAPS_SQL,
         "seen_antijoin_bloom": _Q_SEEN_ANTIJOIN_SQL,
         "source_priority_union": _Q_SOURCE_UNION_SQL,
         "product_hash_dedup": _Q_PRODUCT_HASH_SQL,

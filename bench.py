@@ -545,12 +545,43 @@ def best_clean_window_record() -> dict:
                 # arbitrary-core-pair records (benchmarks/pair_scaling.py —
                 # the bus-saturation complement: same job, same 1:4 ratio,
                 # high level below the host's memory-bus saturation point).
-                # Gated exactly like the sixwave hunt: two-sided controls
-                # before AND after the pair.
+                # Two-sided controls before AND after the pair, gated
+                # against the control's OWN idle-host band at that pair:
+                # the dedup-shuffle control does not read ~1.0 at every
+                # pair — at 2→8 an IDLE host reads 0.617–0.841 across 7
+                # reps (BENCH/pair_calibration_2_8.log, 2026-08-18;
+                # pure-CPU 2-vs-8 parity 0.91–0.935 once truly idle — the
+                # host's own low-N frequency/steal behavior, no memory
+                # traffic involved).
+                # A reading inside the idle band means "window normal";
+                # outside it (either direction) means a leg was invaded.
+                # Because the idle band is wide (the lo-leg wall itself
+                # swings ±20% across idle reps), the control is only the
+                # FIRST gate; the tight signals are (2) the bracketing
+                # pure-CPU host-parity probes — idle ≥0.91 across every
+                # calibration rep, 0.843 in the round-4 degraded window —
+                # and (3) ABBA rep consistency: load can only inflate eff
+                # by slowing lo legs while hi legs run clean, which splits
+                # the interleaved per-rep efficiencies apart.
                 if rec.get("kind") == "pair_scaling":
                     c0 = (rec.get("control") or {}).get("eff", 0.0)
                     c1 = (rec.get("control_after") or {}).get("eff", 0.0)
-                    if not (0.93 <= c0 <= 1.08 and 0.9 <= c1 <= 1.08):
+                    band = {(4, 16): (0.93, 1.08), (2, 8): (0.58, 0.90)}.get(
+                        tuple(rec.get("pair", [])), (0.93, 1.08)
+                    )
+                    if not (band[0] <= c0 <= band[1]
+                            and band[0] <= c1 <= band[1]):
+                        continue
+                    probes = [rec.get("host_before") or {},
+                              rec.get("host_after") or {}]
+                    if min(p.get("parity", 0.0) for p in probes) < 0.90:
+                        continue
+                    rep_effs = [
+                        e
+                        for sec in ("sixwave", "giant")
+                        for e in (rec.get(sec) or {}).get("rep_effs", [])
+                    ]
+                    if rep_effs and max(rep_effs) - min(rep_effs) > 0.12:
                         continue
                     lo_n, hi_n = rec.get("pair", [0, 0])
                     entry = {
@@ -561,6 +592,9 @@ def best_clean_window_record() -> dict:
                     }
                     sw = rec.get("sixwave") or {}
                     g = rec.get("giant") or {}
+                    entry["host_parity"] = [
+                        p.get("parity") for p in probes
+                    ]
                     if sw:
                         entry["sixwave_eff"] = sw["eff"]
                         entry["sixwave_steady_state_eff"] = sw[
@@ -569,11 +603,15 @@ def best_clean_window_record() -> dict:
                         entry["sixwave_hi_urls_per_sec"] = sw[
                             f"local[{hi_n}]"
                         ]["urls_per_sec"]
+                        if sw.get("rep_effs"):
+                            entry["sixwave_rep_effs"] = sw["rep_effs"]
                     if g:
                         entry["giant_eff"] = g["eff"]
                         entry["giant_hi_urls_per_sec"] = g[f"local[{hi_n}]"][
                             "urls_per_sec"
                         ]
+                        if g.get("rep_effs"):
+                            entry["giant_rep_effs"] = g["rep_effs"]
                     score = max(
                         entry.get("giant_eff", 0.0),
                         entry.get("sixwave_steady_state_eff", 0.0),

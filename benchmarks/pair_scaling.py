@@ -18,7 +18,19 @@ probe bracketing. Records append to build/bench/window_hunt.jsonl with
 kind="pair_scaling" so the bench artifact can surface them alongside the
 4→16 records (never silently replacing them).
 
-usage: python benchmarks/pair_scaling.py [--lo 2] [--hi 8]
+With --reps 2 each measured job runs in ABBA order (lo, hi, hi, lo) and
+the record carries every wall plus the best-of-per-level efficiency AND
+the per-rep efficiencies. Rationale: the only pollution mode that can
+INFLATE an efficiency reading is load that slows the lo leg while the hi
+leg runs clean; interleaving the rep order means that pollution would
+have to start exactly between the first lo and the hi pair and end before
+the final lo — and if it did, the two per-rep efficiencies diverge and
+the record self-reports as inconsistent (the bench artifact's gate checks
+their spread). Best-of-per-level is conservative for the same reason:
+noise only ever makes a leg slower, and the short hi legs get a cleaner
+best than the long lo legs, biasing eff DOWN.
+
+usage: python benchmarks/pair_scaling.py [--lo 2] [--hi 8] [--reps 2]
            [--sixwave] [--giant] [--n-pages 16000000]
 """
 import argparse
@@ -40,6 +52,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--lo", type=int, default=2)
     ap.add_argument("--hi", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=1,
+                    help="ABBA repetitions per level (2 = lo,hi,hi,lo)")
     ap.add_argument("--n-pages", type=int, default=16_000_000)
     ap.add_argument("--sixwave", action="store_true")
     ap.add_argument("--giant", action="store_true")
@@ -62,40 +76,62 @@ def main() -> None:
     print("control:", rec["control"], flush=True)
 
     fixture = bench._fixture(args.n_pages)
+
+    def abba(run_level):
+        """Run the job at lo/hi in ABBA order (lo, hi[, hi, lo]); return
+        (best_lo, best_hi, all_lo, all_hi)."""
+        lo_runs = [run_level(args.lo, 0)]
+        hi_runs = [run_level(args.hi, 0)]
+        for r in range(1, args.reps):
+            hi_runs.append(run_level(args.hi, r))
+            lo_runs.append(run_level(args.lo, r))
+        best = lambda runs: min(runs, key=lambda x: x["seconds"])  # noqa: E731
+        return best(lo_runs), best(hi_runs), lo_runs, hi_runs
+
     if args.sixwave:
-        slo = bench.run_frontier(f"local[{args.lo}]", fixture,
-                                 f"pair{args.lo}", args.n_pages)
-        shi = bench.run_frontier(f"local[{args.hi}]", fixture,
-                                 f"pair{args.hi}", args.n_pages)
+        slo, shi, slo_all, shi_all = abba(
+            lambda n, r: bench.run_frontier(f"local[{n}]", fixture,
+                                            f"pair{n}_{r}", args.n_pages))
         assert [w["scheduled"] for w in slo["per_wave"]] == \
             [w["scheduled"] for w in shi["per_wave"]], "level row-count drift"
-        ss_lo = sum(w["seconds"] for w in slo["per_wave"][1:])
-        ss_hi = sum(w["seconds"] for w in shi["per_wave"][1:])
+        ss = lambda runs: sum(w["seconds"] for w in runs["per_wave"][1:])  # noqa: E731
         rec["sixwave"] = {
             f"local[{args.lo}]": slo, f"local[{args.hi}]": shi,
             "eff": _eff(slo["seconds"], shi["seconds"], ratio),
-            "steady_state_eff": _eff(ss_lo, ss_hi, ratio),
+            "steady_state_eff": _eff(min(map(ss, slo_all)),
+                                     min(map(ss, shi_all)), ratio),
+            "rep_effs": [_eff(a["seconds"], b["seconds"], ratio)
+                         for a, b in zip(slo_all, shi_all)],
+            "rep_walls": {f"local[{args.lo}]": [x["seconds"] for x in slo_all],
+                          f"local[{args.hi}]": [x["seconds"] for x in shi_all]},
         }
         print("sixwave:", json.dumps({
             "eff": rec["sixwave"]["eff"],
-            "steady_state_eff": rec["sixwave"]["steady_state_eff"]}),
+            "steady_state_eff": rec["sixwave"]["steady_state_eff"],
+            "rep_effs": rec["sixwave"]["rep_effs"]}),
             flush=True)
     if args.giant:
         genv = {"SPARK_GRAFT_BENCH_BUDGET": "1000000000",
                 "SPARK_GRAFT_BENCH_WAVES": "1",
                 "SPARK_GRAFT_BENCH_SEED_ALL": "1",
                 "SPARK_GRAFT_BENCH_FETCH": bench._giant_fetch()}
-        glo = bench.run_frontier(f"local[{args.lo}]", fixture,
-                                 f"gpair{args.lo}", args.n_pages, genv)
-        ghi = bench.run_frontier(f"local[{args.hi}]", fixture,
-                                 f"gpair{args.hi}", args.n_pages, genv)
+        glo, ghi, glo_all, ghi_all = abba(
+            lambda n, r: bench.run_frontier(f"local[{n}]", fixture,
+                                            f"gpair{n}_{r}", args.n_pages,
+                                            genv))
         assert glo["urls_scheduled"] == ghi["urls_scheduled"]
         rec["giant"] = {
             "fetch": bench._giant_fetch(),
             f"local[{args.lo}]": glo, f"local[{args.hi}]": ghi,
             "eff": _eff(glo["seconds"], ghi["seconds"], ratio),
+            "rep_effs": [_eff(a["seconds"], b["seconds"], ratio)
+                         for a, b in zip(glo_all, ghi_all)],
+            "rep_walls": {f"local[{args.lo}]": [x["seconds"] for x in glo_all],
+                          f"local[{args.hi}]": [x["seconds"] for x in ghi_all]},
         }
-        print("giant:", json.dumps({"eff": rec["giant"]["eff"]}), flush=True)
+        print("giant:", json.dumps({"eff": rec["giant"]["eff"],
+                                    "rep_effs": rec["giant"]["rep_effs"]}),
+              flush=True)
 
     alo, ahi = control_level(args.lo), control_level(args.hi)
     rec["control_after"] = {f"local[{args.lo}]": alo,

@@ -16,25 +16,76 @@ from pyspark.sql import functions as F
 
 
 def flatten_rules(robots: DataFrame) -> DataFrame:
-    """One (host, disallow_prefixes) row per host, PREFIX-BEARING hosts only.
+    """One (host, disallow_prefixes[, allow_prefixes]) row per host,
+    DISALLOW-BEARING hosts only.
 
     Duplicate host rows in a raw rules table would fan out frontier rows
     through robots_gate's left join, and the duplicates would then be
     scheduled separately — flatten all prefix lists per host first. Hosts
-    whose flattened prefix list is empty are dropped: they gate nothing
-    (absent host ⇒ allowed, exists() over an empty array ⇒ allowed — same
-    answer), and in a realistic corpus most hosts declare no disallows, so
-    keeping them multiplies the per-wave broadcast build for free. This is
-    wave-invariant: callers running a loop should compute it once and
-    persist (CrawlJob does)."""
-    return (
-        robots.groupBy("host")
-        .agg(
-            F.array_distinct(F.flatten(F.collect_list("disallow_prefixes"))).alias(
-                "disallow_prefixes"
+    whose flattened disallow list is empty are dropped: they gate nothing
+    (absent host ⇒ allowed; allow rules without a disallow to override are
+    vacuous — §2.2.2's default is allow), and in a realistic corpus most
+    hosts declare no disallows, so keeping them multiplies the per-wave
+    broadcast build for free. This is wave-invariant: callers running a
+    loop should compute it once and persist (CrawlJob does).
+
+    ``allow_prefixes`` is carried through when the input has it (the
+    parse_robots_txt schema) and synthesized empty otherwise (fixture /
+    legacy rules tables)."""
+    aggs = [
+        F.array_distinct(F.flatten(F.collect_list("disallow_prefixes"))).alias(
+            "disallow_prefixes"
+        )
+    ]
+    if "allow_prefixes" in robots.columns:
+        aggs.append(
+            F.array_distinct(F.flatten(F.collect_list("allow_prefixes"))).alias(
+                "allow_prefixes"
             )
         )
-        .filter(F.size("disallow_prefixes") > 0)
+    out = robots.groupBy("host").agg(*aggs)
+    if "allow_prefixes" not in robots.columns:
+        out = out.withColumn(
+            "allow_prefixes", F.array().cast("array<string>")
+        )
+    return out.filter(F.size("disallow_prefixes") > 0)
+
+
+def _rule_regex(pat):
+    """Anchored Java regex for a robots rule containing ``*``/``$``
+    (RFC 9309 §2.2.3): regex metachars escaped, ``*`` → ``.*``, a TRAILING
+    ``$`` → end anchor (elsewhere ``$`` is literal, matching the Google
+    robotstxt parser). Built once per rule at rules-prep time — never per
+    URL row."""
+    esc = F.regexp_replace(pat, r"([\\.\[\]\{\}\(\)\+\-\?\^\$\|])", r"\\$1")
+    esc = F.replace(esc, F.lit("*"), F.lit(".*"))
+    return F.concat(
+        F.lit("^"),
+        F.when(
+            F.endswith(pat, F.lit("$")),
+            F.concat(F.substring(esc, F.lit(1), F.length(esc) - 2), F.lit("$")),
+        ).otherwise(esc),
+    )
+
+
+def _rules_array(dis_col: str, alw_col: str):
+    """disallow+allow prefix arrays → one array<struct<pat,allow,rx>>,
+    ``rx`` non-null only for rules that need regex matching."""
+    def mk(col, allow):
+        return F.transform(
+            col,
+            lambda p: F.struct(
+                p.alias("pat"),
+                F.lit(allow).alias("allow"),
+                F.when(
+                    p.contains("*") | p.endswith("$"), _rule_regex(p)
+                ).alias("rx"),
+            ),
+        )
+
+    return F.concat(
+        mk(F.col(dis_col), False),
+        mk(F.coalesce(F.col(alw_col), F.array().cast("array<string>")), True),
     )
 
 
@@ -46,7 +97,18 @@ def robots_gate(
     flat: bool = False,
     strategy: str = "broadcast",
 ) -> DataFrame:
-    """Drop rows whose URL path starts with any disallowed prefix for its host.
+    """Drop rows whose URL path is blocked by its host's robots rules.
+
+    Full RFC 9309 §2.2.2 rule precedence: among the rules whose pattern
+    matches the path, the one with the MOST OCTETS (longest rule string)
+    wins; an Allow and Disallow of equal length resolve to Allow. Patterns
+    support the §2.2.3 special characters — ``*`` (any sequence) and a
+    trailing ``$`` (end anchor) — via per-rule regexes built once at
+    rules-prep time; plain prefixes take a ``startswith`` fast path (the
+    overwhelmingly common case, and exactly the legacy behavior: with no
+    allow rules and no wildcards, longest-match-blocked ⇔ any-match-blocked,
+    so fixture rules tables without an ``allow_prefixes`` column are
+    unaffected).
 
     Hosts absent from the rules table are allowed (standard robots default).
     ``flat=True`` promises ``robots`` is already one-row-per-host (e.g. a
@@ -63,18 +125,37 @@ def robots_gate(
         raise ValueError(f"strategy must be broadcast|shuffle, got {strategy!r}")
     path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("/"))
     flattened = robots if flat else flatten_rules(robots)
+    if "allow_prefixes" not in flattened.columns:
+        flattened = flattened.withColumn(
+            "allow_prefixes", F.array().cast("array<string>")
+        )
     rules = flattened.select(
         F.col("host").alias("_r_host"),
-        F.col("disallow_prefixes").alias("_r_prefixes"),
+        _rules_array("disallow_prefixes", "allow_prefixes").alias("_r_rules"),
     )
     if strategy == "broadcast":
         rules = F.broadcast(rules)
     else:
         rules = rules.hint("shuffle_hash")
     joined = df.join(rules, df[host_col] == F.col("_r_host"), "left")
-    blocked = F.exists("_r_prefixes", lambda p: F.startswith(path, p))
+
+    def matches(r):
+        return F.when(r["rx"].isNull(), F.startswith(path, r["pat"])).otherwise(
+            F.regexp_like(path, r["rx"])
+        )
+
+    def best(is_allow):
+        return F.aggregate(
+            F.filter(
+                "_r_rules", lambda r: (r["allow"] == F.lit(is_allow)) & matches(r)
+            ),
+            F.lit(0),
+            lambda acc, r: F.greatest(acc, F.length(r["pat"])),
+        )
+
+    blocked = best(False) > best(True)
     return joined.filter(~F.coalesce(blocked, F.lit(False))).drop(
-        "_r_host", "_r_prefixes"
+        "_r_host", "_r_rules"
     )
 
 
@@ -86,7 +167,7 @@ def parse_robots_txt(
 ) -> DataFrame:
     """Parse raw robots.txt TEXT into the rules table ``robots_gate`` and
     ``host_budget_map`` consume: ``(host, disallow_prefixes array<string>,
-    crawl_delay_ms long)``.
+    allow_prefixes array<string>, crawl_delay_ms long)``.
 
     RFC 9309 group semantics, entirely in JVM expressions (split/posexplode
     + two window functions + two aggregations — no Python in the path):
@@ -101,7 +182,10 @@ def parse_robots_txt(
       (case-insensitive product token, the RFC longest-match rule
       simplified to exact-token-or-``*``) beats the ``*`` group; ALL
       groups at the winning specificity merge (§2.2.1 "combine");
-    - empty ``Disallow:`` values mean allow-all and contribute no prefix;
+    - ``Allow`` rules are collected alongside ``Disallow`` (the gate
+      resolves precedence per §2.2.2: most octets wins, allow wins ties);
+    - empty ``Disallow:``/``Allow:`` values contribute no rule (§2.2.2:
+      an empty pattern matches nothing to override);
       ``Crawl-delay`` (a de-facto extension, not in the RFC) parses as
       seconds, merged with ``min`` (the most conservative reading is the
       smallest delay only if budgets divide by it — the politeness
@@ -151,6 +235,12 @@ def parse_robots_txt(
                 F.col("_val"),
             )
         ).alias("_disallows"),
+        F.collect_set(
+            F.when(
+                (F.col("_key") == "allow") & (F.col("_val") != ""),
+                F.col("_val"),
+            )
+        ).alias("_allows"),
         F.min(
             F.when(
                 F.col("_key") == "crawl-delay",
@@ -173,6 +263,9 @@ def parse_robots_txt(
         F.array_sort(
             F.array_distinct(F.flatten(F.collect_list("_disallows")))
         ).alias("disallow_prefixes"),
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list("_allows")))
+        ).alias("allow_prefixes"),
         F.floor(F.min("_delay_s") * 1000).cast("long").alias("crawl_delay_ms"),
     )
 

@@ -84,3 +84,60 @@ def parse_sitemap(
         )
         .filter(F.col("loc") != "")
     )
+
+
+def sitemap_seeds(df: DataFrame, xml_col: str = "sitemap_xml",
+                  source_col: str = "sitemap_url") -> DataFrame:
+    """Batch-collected sitemap bodies → frontier seed list
+    ``(url, priority double)``.
+
+    The reference's seed chain fetches sitemaps per domain and enqueues
+    every discovered URL (``/root/reference/app.py:305-328``); here the
+    fetched BODIES arrive as a table (the batch analogue of "fetch", same
+    contract as the pages table) and seeding is one scan + one aggregation:
+
+    - ``<urlset>`` entries become seeds; ``<sitemapindex>`` entries are
+      pointers at other sitemaps, which — when crawled — appear as further
+      ROWS of the same input, so their urlset contents are already covered
+      and the index rows themselves contribute no seeds;
+    - ``priority = 1.0 / (1.0 + entry_pos)`` honors the sitemap author's
+      ordering (position 0 → 1.0, monotonically decreasing), feeding the
+      frontier's priority-desc scheduling without inventing information
+      the protocol doesn't carry;
+    - a URL listed in several sitemaps keeps its best (earliest) position:
+      ``max(priority)`` groupBy url — first-wins across documents, exactly
+      the frontier's own dedup semantics.
+
+    Scale shape: the parse is an exchange-free scan; the dedup is one hash
+    aggregation keyed on url — at 10^8 sitemap entries this is a single
+    bounded shuffle, and the output feeds wave 0 unchanged.
+    """
+    entries = parse_sitemap(df, xml_col=xml_col, source_col=source_col)
+    return (
+        entries.filter(F.col("kind") == "urlset")
+        .select(
+            F.col("loc").alias("url"),
+            (F.lit(1.0) / (F.lit(1.0) + F.col("entry_pos"))).alias("_p"),
+        )
+        .groupBy("url")
+        .agg(F.max("_p").alias("priority"))
+    )
+
+
+def missing_child_sitemaps(df: DataFrame, xml_col: str = "sitemap_xml",
+                           source_col: str = "sitemap_url") -> DataFrame:
+    """Child sitemaps referenced by ``<sitemapindex>`` entries but ABSENT
+    from the input — the fetch frontier for the next sitemap round.
+
+    ``(sitemap_url)`` rows, distinct. An anti-join against the input's own
+    key column: broadcast-sized in practice (index files are few), and the
+    planner picks the strategy. Lets a driver loop fetch sitemaps to a
+    fixpoint the same way the crawl loop fetches pages."""
+    children = (
+        parse_sitemap(df, xml_col=xml_col, source_col=source_col)
+        .filter(F.col("kind") == "index")
+        .select(F.col("loc").alias("sitemap_url"))
+        .distinct()
+    )
+    have = df.select(F.col(source_col).alias("sitemap_url")).distinct()
+    return children.join(have, "sitemap_url", "left_anti")

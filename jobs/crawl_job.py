@@ -31,6 +31,15 @@ def main() -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--pages", help="path to the prepared pages table (parquet)")
     p.add_argument("--seeds", help="path to seeds parquet (url, priority)")
+    p.add_argument(
+        "--sitemaps",
+        help="path to fetched sitemap bodies parquet (sitemap_url, "
+        "sitemap_xml) — urlset entries become seeds with "
+        "priority=1/(1+position) via sitemap_seeds; if --seeds is also "
+        "given it is the FALLBACK source (used only when the sitemaps "
+        "yield no URLs), mirroring the reference's sitemap-first seed "
+        "chain",
+    )
     p.add_argument("--robots", help="path to robots parquet (pre-parsed rules)")
     p.add_argument(
         "--robots-txt",
@@ -130,12 +139,14 @@ def main() -> int:
 
     if args.robots and args.robots_txt:
         p.error("--robots and --robots-txt are mutually exclusive")
-    required = ["pages", "seeds"]
+    required = ["pages"]
     if not args.iceberg_warehouse:
         required.append("checkpoint")
     missing = [k for k in required if not getattr(args, k)]
     if not args.robots and not args.robots_txt:
         missing.append("robots")
+    if not args.seeds and not args.sitemaps:
+        missing.append("seeds")
     if missing:
         p.error(f"missing required arguments: {', '.join('--' + m for m in missing)} "
                 f"(or use --synthesize)")
@@ -148,6 +159,20 @@ def main() -> int:
         )
     else:
         robots_df = spark.read.parquet(args.robots)
+
+    seed_sources = []
+    if args.sitemaps:
+        from bodhium_webscrapper_spark.sources.sitemap import sitemap_seeds
+
+        seed_sources.append(sitemap_seeds(spark.read.parquet(args.sitemaps)))
+    if args.seeds:
+        seed_sources.append(spark.read.parquet(args.seeds))
+    if len(seed_sources) == 1:
+        seeds_df = seed_sources[0]
+    else:
+        from bodhium_webscrapper_spark.operators.union import source_priority_union
+
+        seeds_df = source_priority_union(seed_sources)
 
     cfg = CrawlConfig(
         max_urls_per_host_per_wave=args.budget,
@@ -165,7 +190,7 @@ def main() -> int:
     job = CrawlJob(
         spark,
         args.pages,
-        spark.read.parquet(args.seeds),
+        seeds_df,
         robots_df,
         cfg,
         args.checkpoint or "unused-with-iceberg-store",

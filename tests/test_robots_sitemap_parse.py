@@ -20,7 +20,11 @@ from bodhium_webscrapper_spark.operators.robots import (  # noqa: E402
     parse_robots_txt,
     robots_gate,
 )
-from bodhium_webscrapper_spark.sources.sitemap import parse_sitemap  # noqa: E402
+from bodhium_webscrapper_spark.sources.sitemap import (  # noqa: E402
+    missing_child_sitemaps,
+    parse_sitemap,
+    sitemap_seeds,
+)
 
 GNARLY = (
     "# corpo robots, CRLF + comments + stacked agents\r\n"
@@ -104,6 +108,59 @@ def test_parse_robots_feeds_gate_end_to_end(spark):
     ]
 
 
+def test_parse_robots_allow_collected(spark):
+    raw = spark.createDataFrame(
+        [("h.example",
+          "User-agent: *\nDisallow: /p\nAllow: /p/ok\nAllow:\nAllow: /q\n")],
+        "host string, robots_txt string",
+    )
+    row = parse_robots_txt(raw).collect()[0]
+    assert row["disallow_prefixes"] == ["/p"]
+    assert row["allow_prefixes"] == ["/p/ok", "/q"]  # empty Allow dropped
+
+
+def test_robots_gate_rfc_precedence(spark):
+    """RFC 9309 §2.2.2 most-octets-wins + allow-wins-ties, §2.2.3 * and $."""
+    rules = spark.createDataFrame(
+        [("h.example", ["/p", "/q/*/x", "/exact$", "/same"],
+          ["/p/ok", "/q", "/same"], None)],
+        "host string, disallow_prefixes array<string>, "
+        "allow_prefixes array<string>, crawl_delay_ms long",
+    )
+    cases = {
+        "/p/a": False,        # only /p (2) matches -> blocked
+        "/p/ok/z": True,      # allow /p/ok (5) > dis /p (2)
+        "/q/1/x": False,      # dis /q/*/x (6) > allow /q (2)
+        "/q/z": True,         # wildcard misses; allow /q matches
+        "/exact": False,      # $-anchored dis matches exactly
+        "/exactmore": True,   # $ anchor misses
+        "/same/x": True,      # dis /same (5) == allow /same (5) -> allow
+    }
+    urls = spark.createDataFrame(
+        [("h.example", f"https://h.example{p}") for p in cases],
+        "host string, canonical_url string",
+    )
+    kept = {r["canonical_url"].replace("https://h.example", "")
+            for r in robots_gate(urls, rules).collect()}
+    assert kept == {p for p, ok in cases.items() if ok}
+
+
+def test_robots_gate_legacy_schema_unchanged(spark):
+    """A rules table WITHOUT allow_prefixes (the fixture shape) behaves
+    exactly as before: any matching disallow blocks."""
+    rules = spark.createDataFrame(
+        [("h.example", ["/x"], None)],
+        "host string, disallow_prefixes array<string>, crawl_delay_ms long",
+    )
+    urls = spark.createDataFrame(
+        [("h.example", "https://h.example/x/1"),
+         ("h.example", "https://h.example/y")],
+        "host string, canonical_url string",
+    )
+    kept = [r["canonical_url"] for r in robots_gate(urls, rules).collect()]
+    assert kept == ["https://h.example/y"]
+
+
 def test_parse_robots_no_python_in_plan(spark):
     plan = (
         parse_robots_txt(_raw(spark))
@@ -176,6 +233,99 @@ def test_parse_sitemap_urlset_and_index(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_sitemap_seeds_best_position_wins(spark):
+    """A URL listed in several sitemaps keeps its best (earliest) position;
+    index entries contribute no seeds; priority = 1/(1+pos)."""
+    other = (
+        "<urlset><url><loc>https://h.example/z</loc></url>"
+        "<url><loc>https://h.example/b</loc></url></urlset>"
+    )
+    df = spark.createDataFrame(
+        [("https://h.example/sitemap.xml", URLSET),
+         ("https://h.example/index.xml", INDEX),
+         ("https://h.example/other.xml", other)],
+        "sitemap_url string, sitemap_xml string",
+    )
+    seeds = {r["url"]: r["priority"] for r in sitemap_seeds(df).collect()}
+    assert seeds == {
+        "https://h.example/a?x=1&y=2": 1.0,  # pos 0 in URLSET
+        "https://h.example/b": 0.5,          # pos 1 in both listings
+        "https://h.example/z": 1.0,          # pos 0 in other
+    }
+    # s1/s2 (index children) are not seeds
+    assert not any(u.endswith(".xml") for u in seeds)
+
+
+def test_missing_child_sitemaps_anti_join(spark):
+    df = spark.createDataFrame(
+        [("https://h.example/index.xml", INDEX),
+         ("https://h.example/s1.xml", URLSET)],  # s1 fetched, s2 not
+        "sitemap_url string, sitemap_xml string",
+    )
+    missing = [r["sitemap_url"] for r in missing_child_sitemaps(df).collect()]
+    assert missing == ["https://h.example/s2.xml"]
+
+
+def test_sitemap_seeds_drive_wave0_identically(spark, crawl_fixture, tmp_path):
+    """The --sitemaps CLI source: rendering the fixture's seed list as
+    sitemap XML bodies and deriving seeds via sitemap_seeds schedules the
+    SAME wave-0 URL set as feeding the seeds table directly (priorities
+    differ in value — 1/(1+position) vs the fixture's — but the per-host
+    seed is unique, so the scheduled set is invariant)."""
+    import os
+
+    from pyspark.sql import Window
+
+    from bodhium_webscrapper_spark.plans.frontier import CrawlConfig, CrawlJob
+
+    seeds = spark.read.parquet(crawl_fixture["seeds"])
+    # render all seeds into a handful of sitemap documents, 10 per doc,
+    # ordered by (priority desc, url) so positions follow fixture priority
+    xml = (
+        seeds.select(
+            "url",
+            F.floor(
+                (F.row_number().over(
+                    Window.orderBy(F.col("priority").desc(), F.col("url"))
+                ) - 1) / 10
+            ).alias("doc"),
+        )
+        .groupBy("doc")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(
+                    F.collect_list(
+                        F.concat(F.lit("<url><loc>"), F.col("url"),
+                                 F.lit("</loc></url>"))
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("sitemap_xml"),
+            F.concat(F.lit("https://seeds.example/sm"),
+                     F.col("doc").cast("string"), F.lit(".xml")).alias(
+                "sitemap_url"
+            ),
+        )
+        .select("sitemap_url", "sitemap_xml")
+    )
+    derived = sitemap_seeds(xml)
+
+    robots = spark.read.parquet(crawl_fixture["robots"])
+    cfg = CrawlConfig(max_urls_per_host_per_wave=5, max_waves=1,
+                      global_wave_limit=0)
+    ja = CrawlJob(spark, crawl_fixture["pages"], seeds, robots, cfg,
+                  os.path.join(str(tmp_path), "direct"))
+    jb = CrawlJob(spark, crawl_fixture["pages"], derived, robots, cfg,
+                  os.path.join(str(tmp_path), "sitemap"))
+    ja.run()
+    jb.run()
+    a = {r["canonical_url"] for r in ja.crawl_order().collect()}
+    b = {r["canonical_url"] for r in jb.crawl_order().collect()}
+    assert a == b and len(a) > 0
+
+
 def test_rules_roundtrip_through_text(spark, crawl_fixture):
     """Fixture rules table -> rendered robots.txt text -> parse_robots_txt
     == the original rules (the CLI's --robots-txt path is equivalent to
@@ -208,6 +358,8 @@ def test_rules_roundtrip_through_text(spark, crawl_fixture):
             F.col("crawl_delay_ms") > 0, F.col("crawl_delay_ms")
         ).alias("crawl_delay_ms"),
     ).filter(F.size("disallow_prefixes") > 0)
-    got = parsed.filter(F.size("disallow_prefixes") > 0)
+    got = parsed.filter(F.size("disallow_prefixes") > 0).select(
+        "host", "disallow_prefixes", "crawl_delay_ms"
+    )
     assert got.exceptAll(orig).count() == 0
     assert orig.exceptAll(got).count() == 0

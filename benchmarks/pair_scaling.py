@@ -54,6 +54,19 @@ def main() -> None:
     ap.add_argument("--hi", type=int, default=8)
     ap.add_argument("--reps", type=int, default=1,
                     help="ABBA repetitions per level (2 = lo,hi,hi,lo)")
+    ap.add_argument("--settle", type=int, default=45,
+                    help="seconds to idle before each control/probe pair — "
+                    "the round-5 record's only out-of-band readings were "
+                    "probes taken seconds after a 48g-heap JVM teardown "
+                    "(page-cache/allocator churn), not during the measured "
+                    "legs")
+    ap.add_argument("--require-clean", action="store_true",
+                    help="abort (exit 3) right after the before-probes when "
+                    "the window is already out of band — control eff outside "
+                    "the pair's idle band or host parity < 0.90 — so a "
+                    "hunting loop can skip degraded windows cheaply instead "
+                    "of spending ~an hour recording a run the artifact gate "
+                    "will reject")
     ap.add_argument("--n-pages", type=int, default=16_000_000)
     ap.add_argument("--sixwave", action="store_true")
     ap.add_argument("--giant", action="store_true")
@@ -69,11 +82,27 @@ def main() -> None:
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     rec = {"ts": time.strftime("%Y-%m-%dT%H:%M:%S"), "kind": "pair_scaling",
            "pair": [args.lo, args.hi]}
-    rec["host_before"] = bench.host_probe()
+    time.sleep(args.settle)
+    rec["host_before"] = bench.host_probe(lo=args.lo, hi=args.hi)
     clo, chi = control_level(args.lo), control_level(args.hi)
     rec["control"] = {f"local[{args.lo}]": clo, f"local[{args.hi}]": chi,
                       "eff": _eff(clo, chi, ratio)}
     print("control:", rec["control"], flush=True)
+
+    if args.require_clean:
+        # idle band for the (2,8) control per BENCH/pair_calibration_2_8.log;
+        # same constants as bench.best_clean_window_record's gate
+        band = {(4, 16): (0.93, 1.08), (2, 8): (0.58, 0.90)}.get(
+            (args.lo, args.hi), (0.93, 1.08))
+        ceff = rec["control"]["eff"]
+        parity = rec["host_before"].get("parity", 0.0)
+        if not (band[0] <= ceff <= band[1]) or parity < 0.90:
+            rec["kind"] = "pair_probe"  # transparency: record the rejection
+            with open(OUT, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            print(f"window dirty (control {ceff}, parity {parity}); abort",
+                  flush=True)
+            raise SystemExit(3)
 
     fixture = bench._fixture(args.n_pages)
 
@@ -133,11 +162,12 @@ def main() -> None:
                                     "rep_effs": rec["giant"]["rep_effs"]}),
               flush=True)
 
+    time.sleep(args.settle)
     alo, ahi = control_level(args.lo), control_level(args.hi)
     rec["control_after"] = {f"local[{args.lo}]": alo,
                             f"local[{args.hi}]": ahi,
                             "eff": _eff(alo, ahi, ratio)}
-    rec["host_after"] = bench.host_probe()
+    rec["host_after"] = bench.host_probe(lo=args.lo, hi=args.hi)
     print("after:", rec["control_after"], rec["host_after"], flush=True)
     with open(OUT, "a") as f:
         f.write(json.dumps(rec) + "\n")

@@ -1101,6 +1101,70 @@ _Q_DUP_SPANS_SQL = f"""
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark n-gram decontamination (GPT-3 App. C / PaLM §7): word-8-gram
+    overlap of the near-dup corpus against a synthetic eval set — the FULL
+    text of every 13th doc plus a words-3..30 excerpt of every 7th doc —
+    flagging docs whose gram-hit share >= 70%. Bench side broadcasts as
+    distinct 8-byte hashes; corpus side is one linear gram scan + (id)
+    shuffle. %13 docs (and their +10000 near-dup variants, whose three
+    appended tokens dilute but don't break the 70% bar) come out
+    contaminated; %7 excerpt hits stay below threshold — a full gradient
+    of (n_grams, hit_grams) pairs for the value hash."""
+    from bodhium_webscrapper_spark.operators.quality import decontaminate
+    from bodhium_webscrapper_spark.operators.dedup import normalized_text
+
+    docs = _docs_with_near_dups(spark, sf_dir)
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ntoks = F.split(normalized_text(F.col("text")), " ")
+    bench = base.filter(F.col("doc_id") % 13 == 0).select(
+        F.col("text")
+    ).unionByName(
+        base.filter(F.col("doc_id") % 7 == 0).select(
+            F.array_join(F.slice(ntoks, 3, 28), " ").alias("text")
+        )
+    )
+    return decontaminate(
+        docs, bench, "doc_id", "text", "text", k=8, min_hit_pct=70
+    ).orderBy("doc_id")
+
+
+_Q_DECONTAM_SQL = f"""
+    WITH d AS ({_DOCS_WITH_DUPS_SQL}),
+    nd AS (
+      SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+      FROM d),
+    og AS (
+      SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS g
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 8 + 2)) AS i
+            FROM nd WHERE len(toks) >= 8)),
+    bt AS (
+      SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents WHERE doc_id % 13 = 0
+      UNION ALL
+      SELECT bt2.toks[3:30] AS toks
+      FROM (SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+            FROM documents WHERE doc_id % 7 = 0) bt2),
+    bg AS (
+      SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS g
+      FROM (SELECT toks, unnest(range(1, len(toks) - 8 + 2)) AS i
+            FROM bt WHERE len(toks) >= 8)),
+    hits AS (
+      SELECT o.doc_id, count(*) AS hit_grams
+      FROM og o JOIN bg USING (g) GROUP BY o.doc_id),
+    base AS (
+      SELECT doc_id,
+        CAST(CASE WHEN len(toks) >= 8 THEN len(toks) - 7 ELSE 0 END AS BIGINT) AS n_grams
+      FROM nd)
+    SELECT b.doc_id, b.n_grams,
+      CAST(coalesce(h.hit_grams, 0) AS BIGINT) AS hit_grams,
+      (b.n_grams > 0 AND coalesce(h.hit_grams, 0) * 100 >= 70 * b.n_grams)
+        AS contaminated
+    FROM base b LEFT JOIN hits h USING (doc_id) ORDER BY b.doc_id
+"""
+
+
 def q_winnow_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash fingerprint near-dup pairs (SIGMOD'03).
 
@@ -2464,6 +2528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "c4_filters": q_c4_filters,
         "duplicate_spans": q_duplicate_spans,
+        "decontaminate": q_decontaminate,
         "simhash_dups": q_simhash_dups,
         "embedding_neardup": q_embedding_neardup,
         "ann_bruteforce_topk": q_ann_bruteforce,
@@ -2526,6 +2591,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_repetition": _Q_GOPHER_SQL,
         "c4_filters": _Q_C4_SQL,
         "duplicate_spans": _Q_DUP_SPANS_SQL,
+        "decontaminate": _Q_DECONTAM_SQL,
         "ann_ivf_topk": _Q_ANN_PLANTED_SQL,
         "ann_lsh_topk": _Q_ANN_PLANTED_SQL,
         "ann_lsh_multiprobe_topk": _Q_ANN_PLANTED_SQL,

@@ -226,3 +226,80 @@ def duplicate_spans(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum(F.col("_end") - F.col("_start")).cast("long").alias("dup_words"),
     )
+
+
+# ---------------------------------------------------------------- decontam
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str = "text",
+    k: int = 8,
+    min_hit_pct: int = 70,
+) -> DataFrame:
+    """Benchmark n-gram decontamination (GPT-3 appendix C / PaLM §7):
+    flag every training document whose word-k-gram overlap with an
+    evaluation corpus exceeds ``min_hit_pct`` percent of its own grams.
+    The reference has no notion of eval-set hygiene (it crawls and stores
+    raw pages, ``/root/reference/app.py:498-516``); at training-corpus
+    scale this gate is mandatory before any split is trusted.
+
+    Plan shape — asymmetric by construction: the benchmark side (eval
+    sets are 10^4..10^6 grams) collapses to DISTINCT 8-byte gram hashes
+    and BROADCASTS; the corpus side explodes grams once and aggregates
+    per document in a single (id) shuffle with map-side combine. Gram
+    text never crosses the wire, there is no pair join, and the corpus
+    pass is linear — the same scan cost as the Gopher/C4 signal pass.
+
+    Returns ``(id, n_grams, hit_grams, contaminated)``, all integers +
+    boolean (float-free value hash). ``hit_grams`` counts gram POSITIONS
+    whose gram occurs anywhere in the benchmark, so the all-integer
+    threshold ``100*hit >= pct*n`` is exact; documents shorter than
+    ``k`` words have ``n_grams = 0`` and are never contaminated.
+    """
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    grams_col = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+    btoks = F.split(normalized_text(F.col(bench_text_col)), " ")
+    bench_grams = (
+        bench.select(
+            F.explode(
+                F.when(
+                    F.size(btoks) >= k,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(btoks) - k),
+                        lambda i: F.xxhash64(
+                            F.concat_ws(" ", F.slice(btoks, i + 1, k))
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<bigint>"))
+            ).alias("gh")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+
+    doc_grams = docs.select(
+        F.col(id_col), F.explode_outer(grams_col).alias("gh")
+    )
+    marked = doc_grams.join(F.broadcast(bench_grams), "gh", "left")
+    return marked.groupBy(id_col).agg(
+        F.count("gh").alias("n_grams"),
+        F.count("_hit").alias("hit_grams"),
+    ).select(
+        id_col,
+        "n_grams",
+        "hit_grams",
+        (
+            (F.col("n_grams") > 0)
+            & (F.col("hit_grams") * 100 >= F.lit(min_hit_pct) * F.col("n_grams"))
+        ).alias("contaminated"),
+    )

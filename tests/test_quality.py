@@ -133,3 +133,59 @@ def test_dataset_job_gates_and_winnow(spark, tmp_path, monkeypatch):
     assert funnel["after_near_dedup"] == 2  # 2 dropped as near-dup of 1
     rows_out = spark.read.parquet(out).select("doc_id").collect()
     assert sorted(r["doc_id"] for r in rows_out) == [1, 6]
+
+
+def test_decontaminate_hand_computed(spark):
+    from bodhium_webscrapper_spark.operators.quality import decontaminate
+
+    # k=3 grams. bench holds "the quick brown fox jumps" (3 grams).
+    # doc 1 == bench text -> 3/3 grams hit (contaminated at 70%).
+    # doc 2 shares only "quick brown fox" -> 1/4 grams (25%, clean).
+    # doc 3 is 2 words -> n_grams=0, never contaminated.
+    docs = spark.createDataFrame(
+        [
+            (1, "The  Quick brown fox JUMPS"),  # normalization folds this
+            (2, "a quick brown fox runs home"),
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps",)], "text string"
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in decontaminate(
+            docs, bench, "doc_id", "text", "text", k=3, min_hit_pct=70
+        ).collect()
+    }
+    assert out[1] == {
+        "doc_id": 1, "n_grams": 3, "hit_grams": 3, "contaminated": True
+    }
+    assert out[2] == {
+        "doc_id": 2, "n_grams": 4, "hit_grams": 1, "contaminated": False
+    }
+    assert out[3] == {
+        "doc_id": 3, "n_grams": 0, "hit_grams": 0, "contaminated": False
+    }
+
+
+def test_decontaminate_plan_broadcasts_bench(spark):
+    """The bench side must reach the corpus as a broadcast of distinct gram
+    hashes — never a sort-merge join — and the whole plan stays JVM-side."""
+    from bodhium_webscrapper_spark.operators.quality import decontaminate
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), F.col("id").cast("string"),
+                 F.lit(" a b c d e f g h i j")).alias("text"),
+    )
+    bench = spark.range(5).select(
+        F.concat(F.lit("b"), F.col("id").cast("string"),
+                 F.lit(" a b c d e f g h")).alias("text"),
+    )
+    out = decontaminate(docs, bench, "doc_id", "text", "text", k=8)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -1165,6 +1165,78 @@ _Q_DECONTAM_SQL = f"""
 """
 
 
+def q_trap_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap host detection over a synthetic crawl log: hosts 0-2
+    mint calendar-trap urls (/cal/d/d/d/<id>, one shared fingerprint per
+    host); hosts 3-15 serve distinct pages, every 4th with a 2-param
+    query. Trap hosts trip BOTH the content-collapse and loop-shape
+    signals; normal hosts trip neither."""
+    from bodhium_webscrapper_spark.operators.traps import trap_host_signals
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.col("doc_id") % 16
+    hname = F.concat(F.lit("h"), m.cast("string"))
+    url = F.when(
+        m < 3,
+        F.concat(F.lit("https://"), hname, F.lit(".example/cal/d/d/d/"),
+                 F.col("doc_id").cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit("https://"), hname, F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("?a=1&b=2")).otherwise(
+                F.lit("")
+            ),
+        )
+    )
+    fp = F.when(
+        m < 3, F.md5(F.concat(F.lit("trap"), m.cast("string")))
+    ).otherwise(F.md5(F.col("text")))
+    pages = docs.select(hname.alias("host"), url.alias("url"), fp.alias("fp"))
+    return trap_host_signals(
+        pages, "host", "url", "fp", min_urls=20
+    ).orderBy("host")
+
+
+_Q_TRAP_HOSTS_SQL = """
+    WITH pages AS (
+      SELECT 'h' || (doc_id % 16) AS host,
+        CASE WHEN doc_id % 16 < 3
+             THEN 'https://h' || (doc_id % 16) || '.example/cal/d/d/d/' || doc_id
+             ELSE 'https://h' || (doc_id % 16) || '.example/p/' || doc_id ||
+                  (CASE WHEN doc_id % 4 = 0 THEN '?a=1&b=2' ELSE '' END) END AS url,
+        CASE WHEN doc_id % 16 < 3 THEN md5('trap' || (doc_id % 16))
+             ELSE md5(text) END AS fp
+      FROM documents),
+    parsed AS (
+      SELECT host, fp,
+        list_filter(string_split(
+          regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)', 1),
+          '/'), s -> s <> '') AS segs,
+        regexp_extract(url, '\\?([^#]*)', 1) AS q
+      FROM pages),
+    sig AS (
+      SELECT host, fp, len(segs) AS depth,
+        (coalesce(list_max(list_transform(segs,
+            s -> len(list_filter(segs, x -> x = s)))), 0) >= 3) AS rep,
+        CASE WHEN q = '' THEN 0 ELSE len(string_split(q, '&')) END AS np
+      FROM parsed),
+    agg AS (
+      SELECT host, count(*) AS n_urls, count(DISTINCT fp) AS n_fps,
+             max(depth) AS max_depth,
+             sum(CASE WHEN rep THEN 1 ELSE 0 END) AS n_repeat_urls,
+             max(np) AS max_params
+      FROM sig GROUP BY host)
+    SELECT host, CAST(n_urls AS BIGINT) AS n_urls, CAST(n_fps AS BIGINT) AS n_fps,
+      CAST(max_depth AS BIGINT) AS max_depth,
+      CAST(n_repeat_urls AS BIGINT) AS n_repeat_urls,
+      CAST(max_params AS BIGINT) AS max_params,
+      (n_urls >= 20 AND (n_fps * 100 <= 10 * n_urls
+                         OR n_repeat_urls * 100 >= 50 * n_urls)) AS is_trap
+    FROM agg ORDER BY host
+"""
+
+
 def q_winnow_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash fingerprint near-dup pairs (SIGMOD'03).
 
@@ -2529,6 +2601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": q_c4_filters,
         "duplicate_spans": q_duplicate_spans,
         "decontaminate": q_decontaminate,
+        "trap_hosts": q_trap_hosts,
         "simhash_dups": q_simhash_dups,
         "embedding_neardup": q_embedding_neardup,
         "ann_bruteforce_topk": q_ann_bruteforce,
@@ -2592,6 +2665,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_filters": _Q_C4_SQL,
         "duplicate_spans": _Q_DUP_SPANS_SQL,
         "decontaminate": _Q_DECONTAM_SQL,
+        "trap_hosts": _Q_TRAP_HOSTS_SQL,
         "ann_ivf_topk": _Q_ANN_PLANTED_SQL,
         "ann_lsh_topk": _Q_ANN_PLANTED_SQL,
         "ann_lsh_multiprobe_topk": _Q_ANN_PLANTED_SQL,

@@ -1165,6 +1165,71 @@ _Q_DECONTAM_SQL = f"""
 """
 
 
+def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive recrawl scheduling: the snapshot-diff fixture's per-url
+    status plus host = doc_id%12, host change rates at hot_pct=20, levels
+    3/2/1/0 (changed/added/unchanged-hot/unchanged-cold); removed urls
+    drop out."""
+    from bodhium_webscrapper_spark.operators.diff import (
+        recrawl_priority,
+        snapshot_diff,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.where(F.col("doc_id") % 5 != 0).select(
+        "doc_id", F.md5(F.col("text")).alias("content_hash")
+    )
+    new = docs.where(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit("!"))
+            ).otherwise(F.col("text"))
+        ).alias("content_hash"),
+    )
+    diff = snapshot_diff(old, new, key="doc_id").withColumn(
+        "host", F.concat(F.lit("h"), (F.col("doc_id") % 12).cast("string"))
+    )
+    return recrawl_priority(
+        diff, key="doc_id", host_col="host", hot_pct=20
+    ).orderBy("doc_id")
+
+
+_Q_RECRAWL_SQL = """
+    WITH o AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 != 0),
+    n AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 3 = 0 THEN text || '!' ELSE text END) AS h
+      FROM documents WHERE doc_id % 7 != 0),
+    diff AS (
+      SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             'h' || (coalesce(o.doc_id, n.doc_id) % 12) AS host,
+             CASE WHEN o.h IS NULL THEN 'added'
+                  WHEN n.h IS NULL THEN 'removed'
+                  WHEN o.h != n.h THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id),
+    stats AS (
+      SELECT host,
+             CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+               AS host_changed,
+             count(*) AS host_total
+      FROM diff WHERE status IN ('changed', 'unchanged') GROUP BY host)
+    SELECT d.doc_id, d.host, d.status,
+           CAST(coalesce(s.host_changed, 0) AS BIGINT) AS host_changed,
+           CAST(coalesce(s.host_total, 0) AS BIGINT) AS host_total,
+           CAST(CASE WHEN d.status = 'changed' THEN 3
+                     WHEN d.status = 'added' THEN 2
+                     WHEN s.host_total > 0
+                          AND s.host_changed * 100 >= 20 * s.host_total THEN 1
+                     ELSE 0 END AS INT) AS priority_level
+    FROM diff d LEFT JOIN stats s USING (host)
+    WHERE d.status != 'removed'
+    ORDER BY d.doc_id
+"""
+
+
 def q_trap_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawler-trap host detection over a synthetic crawl log: hosts 0-2
     mint calendar-trap urls (/cal/d/d/d/<id>, one shared fingerprint per
@@ -2602,6 +2667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": q_duplicate_spans,
         "decontaminate": q_decontaminate,
         "trap_hosts": q_trap_hosts,
+        "recrawl_priority": q_recrawl_priority,
         "simhash_dups": q_simhash_dups,
         "embedding_neardup": q_embedding_neardup,
         "ann_bruteforce_topk": q_ann_bruteforce,
@@ -2666,6 +2732,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_spans": _Q_DUP_SPANS_SQL,
         "decontaminate": _Q_DECONTAM_SQL,
         "trap_hosts": _Q_TRAP_HOSTS_SQL,
+        "recrawl_priority": _Q_RECRAWL_SQL,
         "ann_ivf_topk": _Q_ANN_PLANTED_SQL,
         "ann_lsh_topk": _Q_ANN_PLANTED_SQL,
         "ann_lsh_multiprobe_topk": _Q_ANN_PLANTED_SQL,

@@ -52,3 +52,63 @@ def diff_counts(diff: DataFrame) -> DataFrame:
     """Per-status row counts — the report row an incremental scheduler
     reads to size the next crawl's re-fetch budget."""
     return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n_urls"))
+
+
+def recrawl_priority(
+    diff: DataFrame,
+    key: str = "url",
+    host_col: str = "host",
+    hot_pct: int = 20,
+) -> DataFrame:
+    """Adaptive recrawl scheduling from a snapshot diff (the freshness
+    policy of Cho & Garcia-Molina, reduced to exact integers): pages that
+    CHANGED get the next crawl's top priority, new pages follow, and
+    UNCHANGED pages inherit their HOST's observed change rate — a host
+    where >= ``hot_pct``% of revisited urls changed is hot, so even its
+    stable pages age faster. REMOVED urls drop out (nothing to refetch).
+
+    The reference re-scrapes every configured site from scratch each job
+    (/root/reference/app.py one-shot pipeline); this operator is what turns
+    that into an incremental crawl that spends its politeness budget where
+    content actually moves.
+
+    Input: ``diff`` rows (key, host, status) from ``snapshot_diff`` plus a
+    host column. Output adds exact-integer evidence columns and the final
+    ``priority_level`` (3 changed / 2 added / 1 unchanged-on-hot-host /
+    0 unchanged-on-cold-host).
+
+    Plan shape: host stats are a groupBy(host) partial-agg (host cardinality
+    is orders below url cardinality), joined back on host — AQE broadcasts
+    the stats side when it fits, and the urls side never re-shuffles more
+    than (key, host, status). No windows, no per-url state.
+    """
+    s = F.col("status")
+    stats = (
+        diff.where(s.isin(CHANGED, UNCHANGED))
+        .groupBy(host_col)
+        .agg(
+            F.sum(F.when(s == CHANGED, 1).otherwise(0))
+            .cast("long")
+            .alias("host_changed"),
+            F.count(F.lit(1)).alias("host_total"),
+        )
+    )
+    j = diff.where(s != REMOVED).join(stats, host_col, "left")
+    level = (
+        F.when(s == CHANGED, 3)
+        .when(s == ADDED, 2)
+        .when(
+            (F.col("host_total") > 0)
+            & (F.col("host_changed") * 100 >= F.lit(hot_pct) * F.col("host_total")),
+            1,
+        )
+        .otherwise(0)
+    )
+    return j.select(
+        F.col(key),
+        F.col(host_col),
+        "status",
+        F.coalesce(F.col("host_changed"), F.lit(0)).cast("long").alias("host_changed"),
+        F.coalesce(F.col("host_total"), F.lit(0)).cast("long").alias("host_total"),
+        level.cast("int").alias("priority_level"),
+    )

@@ -128,3 +128,42 @@ def test_dataset_job_cluster_policy_collapses_via_common_superset(
 
     assert run("pairs", str(tmp_path / "o1")) == [2, 3, 6]
     assert run("clusters", str(tmp_path / "o2")) == [2, 6]
+
+
+def test_recrawl_priority_levels_and_host_rates(spark):
+    from bodhium_webscrapper_spark.operators.diff import recrawl_priority
+
+    # hot host: 1 changed / 2 revisited (50% >= 20%) -> its unchanged url
+    # is level 1. cold host: 0 changed / 2 revisited -> level 0. added url
+    # -> 2 regardless of host; removed url disappears.
+    rows = [
+        (1, "hot", "changed"),
+        (2, "hot", "unchanged"),
+        (3, "hot", "added"),
+        (4, "cold", "unchanged"),
+        (5, "cold", "unchanged"),
+        (6, "cold", "removed"),
+    ]
+    diff = spark.createDataFrame(rows, "url long, host string, status string")
+    out = {r["url"]: r.asDict() for r in
+           recrawl_priority(diff, key="url", host_col="host").collect()}
+    assert 6 not in out
+    assert out[1]["priority_level"] == 3
+    assert out[2]["priority_level"] == 1
+    assert out[3]["priority_level"] == 2
+    assert out[3]["host_changed"] == 1 and out[3]["host_total"] == 2
+    assert out[4]["priority_level"] == 0 and out[5]["priority_level"] == 0
+
+
+def test_recrawl_priority_all_added_host(spark):
+    from bodhium_webscrapper_spark.operators.diff import recrawl_priority
+
+    # a host seen for the first time has no revisit stats: added urls are
+    # level 2 with zeroed evidence columns, never NULL
+    diff = spark.createDataFrame(
+        [(1, "new", "added"), (2, "new", "added")],
+        "url long, host string, status string",
+    )
+    out = recrawl_priority(diff, key="url", host_col="host").collect()
+    assert all(r["priority_level"] == 2 for r in out)
+    assert all(r["host_changed"] == 0 and r["host_total"] == 0 for r in out)

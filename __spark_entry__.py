@@ -1165,6 +1165,64 @@ _Q_DECONTAM_SQL = f"""
 """
 
 
+def q_strip_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tracking-param stripping over a synthetic click-alias url mix:
+    doc_id%5 picks bare / utm+real / gclid-only / mixed-sorted / utm-only
+    query shapes; stripped urls keep real params, drop tracking ones, and
+    lose the '?' entirely when nothing survives."""
+    from bodhium_webscrapper_spark.functions.canonicalize import (
+        strip_tracking_params,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 5
+    url = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 8).cast("string"),
+        F.lit(".com/p/"), F.col("doc_id").cast("string"),
+        F.when(m == 1, F.lit("?id=7&utm_source=x"))
+        .when(m == 2, F.lit("?gclid=abc"))
+        .when(m == 3, F.lit("?id=9&page=2&utm_campaign=c"))
+        .when(m == 4, F.lit("?utm_medium=m"))
+        .otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id",
+        url.alias("url"),
+        strip_tracking_params(url).alias("stripped"),
+    ).orderBy("doc_id")
+
+
+_Q_STRIP_TRACKING_SQL = """
+    WITH u AS (
+      SELECT doc_id,
+        'https://h' || (doc_id % 8) || '.com/p/' || doc_id ||
+        (CASE WHEN doc_id % 5 = 1 THEN '?id=7&utm_source=x'
+              WHEN doc_id % 5 = 2 THEN '?gclid=abc'
+              WHEN doc_id % 5 = 3 THEN '?id=9&page=2&utm_campaign=c'
+              WHEN doc_id % 5 = 4 THEN '?utm_medium=m'
+              ELSE '' END) AS url
+      FROM documents),
+    s AS (
+      SELECT doc_id, url,
+        regexp_extract(url, '^([^?]*)', 1) AS base,
+        regexp_extract(url, '\\?(.*)$', 1) AS q
+      FROM u),
+    k AS (
+      SELECT doc_id, url, base, q,
+        list_filter(string_split(q, '&'),
+          p -> NOT regexp_matches(p,
+            '^(utm_[a-z0-9_]*|gclid|wbraid|gbraid|fbclid|msclkid|yclid|mc_eid|igshid|_ga|ref_src)(=|$)'))
+          AS kept
+      FROM s)
+    SELECT doc_id, url,
+      CASE WHEN q = '' THEN url
+           ELSE base || (CASE WHEN len(kept) > 0
+                              THEN '?' || array_to_string(kept, '&')
+                              ELSE '' END) END AS stripped
+    FROM k ORDER BY doc_id
+"""
+
+
 def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive recrawl scheduling: the snapshot-diff fixture's per-url
     status plus host = doc_id%12, host change rates at hot_pct=20, levels
@@ -2668,6 +2726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "trap_hosts": q_trap_hosts,
         "recrawl_priority": q_recrawl_priority,
+        "strip_tracking": q_strip_tracking,
         "simhash_dups": q_simhash_dups,
         "embedding_neardup": q_embedding_neardup,
         "ann_bruteforce_topk": q_ann_bruteforce,
@@ -2733,6 +2792,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _Q_DECONTAM_SQL,
         "trap_hosts": _Q_TRAP_HOSTS_SQL,
         "recrawl_priority": _Q_RECRAWL_SQL,
+        "strip_tracking": _Q_STRIP_TRACKING_SQL,
         "ann_ivf_topk": _Q_ANN_PLANTED_SQL,
         "ann_lsh_topk": _Q_ANN_PLANTED_SQL,
         "ann_lsh_multiprobe_topk": _Q_ANN_PLANTED_SQL,

@@ -493,3 +493,43 @@ def with_canonical_url(
         .withColumn(out_prefix + "host", host_of(F.col(c)))
         .withColumn(out_prefix + "url_hash", url_key(F.col(c)))
     )
+
+
+# ------------------------------------------------------------------ tracking
+
+# Click/campaign identifiers that mint spurious distinct URLs (the classic
+# frontier-inflation vector: every ad click is a "new" page). Names are the
+# publicly documented analytics params (Google utm_*/gclid/wbraid/gbraid,
+# Microsoft msclkid, Facebook fbclid, Yandex yclid, Mailchimp mc_eid,
+# Instagram igshid). `(=|$)` also catches bare flags without a value.
+TRACKING_PARAM_RE = (
+    r"^(utm_[a-z0-9_]*|gclid|wbraid|gbraid|fbclid|msclkid|yclid|mc_eid"
+    r"|igshid|_ga|ref_src)(=|$)"
+)
+
+
+def strip_tracking_params(url: Column, pattern: str = TRACKING_PARAM_RE) -> Column:
+    """Drop tracking query parameters from an already-canonical URL.
+
+    Runs AFTER ``canonicalize_one``'s sort/normalize (so the kept params
+    stay sorted and re-joining is order-stable) and BEFORE url_hash keying,
+    collapsing ad-click aliases into one frontier entry. The reference
+    keys its dedup set on the raw URL string (``/root/reference/app.py:
+    618-622``), so every ``?utm_source=`` variant re-enters its queue.
+
+    Pure JVM HOF chain (regexp split/filter/join) — whole-stage codegen,
+    no Python in the plan; safe inside the scan projection at 100 TB.
+    URLs without a query pass through untouched.
+    """
+    base = F.regexp_extract(url, r"^([^?]*)", 1)
+    q = F.regexp_extract(url, r"\?(.*)$", 1)
+    kept = F.filter(F.split(q, "&"), lambda p: ~p.rlike(pattern))
+    return F.when(q == F.lit(""), url).otherwise(
+        F.concat(
+            base,
+            F.when(
+                F.size(kept) > 0,
+                F.concat(F.lit("?"), F.array_join(kept, "&")),
+            ).otherwise(F.lit("")),
+        )
+    )

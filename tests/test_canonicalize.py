@@ -104,3 +104,43 @@ def test_url_slug(spark):
     assert rows[1] == "a_b_c"
     assert rows[2].startswith("p_") and len(rows[2]) == 10  # md5[:8] suffix
     assert len(rows[3]) <= 100
+
+
+def test_strip_tracking_params_hand_cases(spark):
+    from bodhium_webscrapper_spark.functions.canonicalize import (
+        strip_tracking_params,
+    )
+
+    cases = [
+        # (input, expected)
+        ("https://a.com/p", "https://a.com/p"),                    # no query
+        ("https://a.com/p?id=1&utm_source=x", "https://a.com/p?id=1"),
+        ("https://a.com/p?gclid=z", "https://a.com/p"),            # all gone
+        ("https://a.com/p?utm_campaign", "https://a.com/p"),       # bare flag
+        ("https://a.com/p?fbclid=1&id=2&utm_m=3", "https://a.com/p?id=2"),
+        ("https://a.com/p?utmx=1", "https://a.com/p?utmx=1"),      # not utm_
+        ("https://a.com/p?page=2&ref_src=tw", "https://a.com/p?page=2"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    out = [
+        r["s"]
+        for r in df.select(
+            strip_tracking_params(F.col("url")).alias("s")
+        ).collect()
+    ]
+    assert out == [e for _, e in cases]
+
+
+def test_strip_tracking_params_plan_is_jvm(spark):
+    from bodhium_webscrapper_spark.functions.canonicalize import (
+        strip_tracking_params,
+    )
+
+    df = spark.range(10).select(
+        F.concat(F.lit("https://h/p?id="), F.col("id").cast("string")).alias("url")
+    )
+    p = (
+        df.select(strip_tracking_params(F.col("url")).alias("s"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -208,6 +208,17 @@ class CrawlConfig:
     # default: written at job init under <checkpoint_dir>/_bucketed_pages
     # iff absent — the one-time corpus rewrite
     bucketed_pages_path: str | None = None
+    # drop tracking query params (utm_*/gclid/fbclid family,
+    # functions/canonicalize.py:TRACKING_PARAM_RE) from every frontier URL
+    # BEFORE keying: seeds, exploded outlinks, and the PageRank edge dsts
+    # all strip with the same JVM expression, so ad-click aliases collapse
+    # into one frontier entry and rank mass lands on the merged key. The
+    # classic frontier-inflation vector at 10^10 scale — every campaign
+    # click mints a "new" URL the canonicalizer alone keeps distinct.
+    # Default OFF: the reference keys dedup on the raw URL string
+    # (app.py:618-622), so parity mode must keep the variants distinct,
+    # and stripped keys no longer match pages rows keyed with the params.
+    strip_tracking: bool = False
 
 
 def dedup_first_wins_frontier(frontier: DataFrame) -> DataFrame:
@@ -361,19 +372,39 @@ class CrawlJob:
                 url_key,
             )
 
+            url = F.col("url")
+            if self.config.strip_tracking:
+                from bodhium_webscrapper_spark.functions.canonicalize import (
+                    strip_tracking_params,
+                )
+
+                url = strip_tracking_params(url)
             return (
                 self.seeds.select(
-                    url_key(F.col("url")).alias("url_hash"),
-                    F.col("url").alias("canonical_url"),
-                    host_of(F.col("url")).alias("host"),
+                    url_key(url).alias("url_hash"),
+                    url.alias("canonical_url"),
+                    host_of(url).alias("host"),
                     F.lit(0).alias("depth"),
                     F.col("priority").cast("double").alias("priority"),
                     F.lit(0).alias("retry_count"),
                 )
                 .filter(F.col("host").isNotNull())
             )
+        seeded = with_canonical_url(self.seeds, "url")
+        if self.config.strip_tracking:
+            # strip AFTER the RFC 3986 rewrite (params arrive sorted, the
+            # re-join stays order-stable) and re-key; host never contains
+            # query text so it needs no recompute
+            from bodhium_webscrapper_spark.functions.canonicalize import (
+                strip_tracking_params,
+                url_key,
+            )
+
+            seeded = seeded.withColumn(
+                "canonical_url", strip_tracking_params(F.col("canonical_url"))
+            ).withColumn("url_hash", url_key(F.col("canonical_url")))
         return (
-            with_canonical_url(self.seeds, "url")
+            seeded
             .select(
                 "url_hash",
                 "canonical_url",
@@ -503,6 +534,17 @@ class CrawlJob:
             F.col("priority").alias("parent_priority"),
             F.explode(F.col("outlinks")).alias("canonical_url"),
         )
+        if self.config.strip_tracking:
+            # collapse tracking-param aliases BEFORE keying — the UDF's
+            # outlinks are canonical (params sorted), so the strip is the
+            # same order-stable JVM rewrite the seed path applies
+            from bodhium_webscrapper_spark.functions.canonicalize import (
+                strip_tracking_params,
+            )
+
+            links = links.withColumn(
+                "canonical_url", strip_tracking_params(F.col("canonical_url"))
+            )
         outl = links.select(
             url_key(F.col("canonical_url")).alias("url_hash"),
             "canonical_url",
@@ -527,10 +569,19 @@ class CrawlJob:
             # page_results history. The previous blend's cache is released
             # here (and at run() end) so at most one edge cache is live.
             results_all = self.store.read_deltas(self.spark, "page_results", wave)
+            dst_url = F.col("_u")
+            if cfg.strip_tracking:
+                # dst keys must match the stripped frontier keys, else the
+                # rank join misses every merged alias
+                from bodhium_webscrapper_spark.functions.canonicalize import (
+                    strip_tracking_params,
+                )
+
+                dst_url = strip_tracking_params(dst_url)
             edges = results_all.select(
                 F.col("url_hash").alias("src"),
                 F.explode(F.col("outlinks")).alias("_u"),
-            ).select("src", url_key(F.col("_u")).alias("dst"))
+            ).select("src", url_key(dst_url).alias("dst"))
             from pyspark import StorageLevel
 
             if self._rank_edges is not None:

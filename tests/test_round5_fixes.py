@@ -493,3 +493,84 @@ def test_rank_bonus_not_accumulated_on_retries(spark, crawl_fixture, tmp_path):
             F.abs(F.col("priority") - F.col("_sched_p")) > 1e-12
         ).count()
         assert diverged == 0
+
+
+# ---------------------------------------------------------------- strip_tracking
+
+
+def _tracking_fixture(spark, tmp):
+    """Four-page host where /'s outlinks differ only by tracking params."""
+    body = " ".join(f"word{i}" for i in range(20))
+    links = (
+        '<a href="https://trk.example/a?utm_source=x">l1</a>'
+        '<a href="https://trk.example/a?gclid=1&x=2">l2</a>'
+        '<a href="https://trk.example/a?x=2">l3</a>'
+        '<a href="https://trk.example/b">l4</a>'
+    )
+    rows = [
+        ("https://trk.example/", f"<html><body>{links}<p>{body}</p></body></html>"),
+        ("https://trk.example/a", f"<html><body><p>{body}</p></body></html>"),
+        ("https://trk.example/a?x=2", f"<html><body><p>{body}</p></body></html>"),
+        ("https://trk.example/b", f"<html><body><p>{body}</p></body></html>"),
+    ]
+    pages = os.path.join(tmp, "trk_pages")
+    (
+        spark.createDataFrame(rows, "url string, html string")
+        .withColumn("url_hash", F.xxhash64("url"))
+        .write.mode("overwrite")
+        .parquet(pages)
+    )
+    seeds = spark.createDataFrame(
+        [("https://trk.example/", 1.0)], "url string, priority double"
+    )
+    return pages, seeds
+
+
+def _wave1_urls(spark, pages, seeds, tmp, tag, **cfg_kwargs):
+    cfg = CrawlConfig(max_waves=2, global_wave_limit=None, **cfg_kwargs)
+    job = CrawlJob(spark, pages, seeds, None, cfg, os.path.join(tmp, tag))
+    job.run()
+    return sorted(
+        r.canonical_url for r in job.crawl_order().filter("wave = 1").collect()
+    )
+
+
+def test_strip_tracking_collapses_outlink_aliases_e2e(spark, tmp_path):
+    """With strip_tracking on, the three /a tracking variants key to two
+    frontier rows (/a and /a?x=2); off, the reference-parity mode keeps
+    all three distinct (app.py:618-622 keys dedup on the raw string)."""
+    tmp = str(tmp_path)
+    pages, seeds = _tracking_fixture(spark, tmp)
+    off = _wave1_urls(spark, pages, seeds, tmp, "trk_off")
+    on = _wave1_urls(spark, pages, seeds, tmp, "trk_on", strip_tracking=True)
+    assert off == [
+        "https://trk.example/a?gclid=1&x=2",
+        "https://trk.example/a?utm_source=x",
+        "https://trk.example/a?x=2",
+        "https://trk.example/b",
+    ]
+    assert on == [
+        "https://trk.example/a",
+        "https://trk.example/a?x=2",
+        "https://trk.example/b",
+    ]
+
+
+def test_strip_tracking_seed_path_both_branches(spark, tmp_path):
+    """Seeds with tracking params key identically whether they enter via
+    the canonicalizer UDF or the trusted-canonical JVM branch."""
+    tmp = str(tmp_path)
+    pages, _ = _tracking_fixture(spark, tmp)
+    seeds = spark.createDataFrame(
+        [("https://trk.example/?utm_campaign=s", 1.0)],
+        "url string, priority double",
+    )
+    for tag, canon in (("sd_udf", False), ("sd_jvm", True)):
+        cfg = CrawlConfig(
+            max_waves=1, global_wave_limit=None,
+            strip_tracking=True, seeds_canonical=canon,
+        )
+        job = CrawlJob(spark, pages, seeds, None, cfg, os.path.join(tmp, tag))
+        job.run()
+        rows = job.crawl_order().collect()
+        assert [r.canonical_url for r in rows] == ["https://trk.example/"]

@@ -1165,6 +1165,120 @@ _Q_DECONTAM_SQL = f"""
 """
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-line removal (RefinedWeb/CCNet boilerplate
+    pass) over the 8-word-line corpus with a planted boilerplate line
+    ('subscribe to our newsletter...') appended to every 4th doc: planted
+    lines (and any natural 8-word-chunk collisions across docs) vanish
+    from every document; the %3 within-doc repeated first line survives
+    unless it also occurs in another doc. text compared by md5 so the
+    value hash covers exact reassembly order."""
+    from bodhium_webscrapper_spark.operators.quality import line_dedup
+
+    base = _docs_with_lines(spark, sf_dir)
+    docs = base.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit("\nsubscribe to our newsletter for fresh updates"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = line_dedup(docs, "doc_id", "text", min_docs=2)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_dup_lines",
+        F.md5(F.col("text")).alias("text_md5"),
+    ).orderBy("doc_id")
+
+
+_Q_LINE_DEDUP_SQL = f"""
+    WITH base AS ({_DOCS_LINES_SQL}),
+    d AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 4 = 1
+             THEN text || chr(10) || 'subscribe to our newsletter for fresh updates'
+             ELSE text END AS text
+      FROM base),
+    lsx AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+    ln AS (
+      SELECT doc_id, i, ls[i] AS line
+      FROM (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS i FROM lsx)),
+    dup AS (
+      SELECT line FROM (SELECT DISTINCT line, doc_id FROM ln)
+      GROUP BY line HAVING count(*) >= 2),
+    kept AS (
+      SELECT doc_id, i, line FROM ln
+      WHERE line NOT IN (SELECT line FROM dup)),
+    agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             md5(string_agg(line, chr(10) ORDER BY i)) AS text_md5
+      FROM kept GROUP BY doc_id)
+    SELECT l.doc_id,
+      CAST(len(l.ls) AS BIGINT) AS n_lines,
+      CAST(len(l.ls) - coalesce(a.n_kept, 0) AS BIGINT) AS n_dup_lines,
+      coalesce(a.text_md5, md5('')) AS text_md5
+    FROM lsx l LEFT JOIN agg a USING (doc_id) ORDER BY l.doc_id
+"""
+
+
+def q_resolve_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution by pointer doubling over a synthetic
+    redirect map on documents: blocks of 7 ids chain 0->1->...->5
+    (terminal), and every 50th block closes 5->0 into a 6-cycle. Sources
+    resolve to their block terminal with exact hop counts; cyclic-block
+    sources come out (NULL, NULL, is_cycle=true). The oracle walks the
+    same map linearly with a recursive CTE — log-rounds composition vs
+    linear recursion must agree hop-for-hop."""
+    from bodhium_webscrapper_spark.operators.redirects import resolve_redirects
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    chain = ids.filter(F.col("doc_id") % 7 <= 4).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+    )
+    loop = ids.filter(
+        (F.col("doc_id") % 7 == 5)
+        & (F.floor(F.col("doc_id") / 7) % 50 == 0)
+    ).select(F.col("doc_id").alias("src"), (F.col("doc_id") - 5).alias("dst"))
+    edges = chain.unionByName(loop)
+    out = resolve_redirects(edges, max_hops=32)
+    return out.select(
+        "src_id",
+        "final_id",
+        F.col("hops").cast("long").alias("hops"),
+        "is_cycle",
+    ).orderBy("src_id")
+
+
+_Q_REDIRECTS_SQL = """
+    WITH RECURSIVE edges AS (
+      SELECT doc_id AS src, doc_id + 1 AS dst FROM documents WHERE doc_id % 7 <= 4
+      UNION ALL
+      SELECT doc_id AS src, doc_id - 5 AS dst FROM documents
+      WHERE doc_id % 7 = 5 AND (doc_id // 7) % 50 = 0
+    ),
+    walk AS (
+      SELECT src AS start, dst AS cur, 1 AS hops FROM edges
+      UNION ALL
+      SELECT w.start, e.dst, w.hops + 1 FROM walk w JOIN edges e ON e.src = w.cur
+      WHERE w.hops < 32
+    ),
+    terminal AS (
+      SELECT start, cur AS final, hops FROM walk w
+      WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = w.cur)
+    )
+    SELECT s.src AS src_id, t.final AS final_id,
+           CAST(t.hops AS BIGINT) AS hops,
+           t.final IS NULL AS is_cycle
+    FROM (SELECT DISTINCT src FROM edges) s
+    LEFT JOIN terminal t ON t.start = s.src
+    ORDER BY src_id
+"""
+
+
 def q_strip_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tracking-param stripping over a synthetic click-alias url mix:
     doc_id%5 picks bare / utm+real / gclid-only / mixed-sorted / utm-only
@@ -2724,6 +2838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": q_c4_filters,
         "duplicate_spans": q_duplicate_spans,
         "decontaminate": q_decontaminate,
+        "line_dedup": q_line_dedup,
+        "resolve_redirects": q_resolve_redirects,
         "trap_hosts": q_trap_hosts,
         "recrawl_priority": q_recrawl_priority,
         "strip_tracking": q_strip_tracking,
@@ -2790,6 +2906,8 @@ def oracle_sql() -> dict[str, str]:
         "c4_filters": _Q_C4_SQL,
         "duplicate_spans": _Q_DUP_SPANS_SQL,
         "decontaminate": _Q_DECONTAM_SQL,
+        "line_dedup": _Q_LINE_DEDUP_SQL,
+        "resolve_redirects": _Q_REDIRECTS_SQL,
         "trap_hosts": _Q_TRAP_HOSTS_SQL,
         "recrawl_priority": _Q_RECRAWL_SQL,
         "strip_tracking": _Q_STRIP_TRACKING_SQL,

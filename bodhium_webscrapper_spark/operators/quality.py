@@ -303,3 +303,76 @@ def decontaminate(
             & (F.col("hit_grams") * 100 >= F.lit(min_hit_pct) * F.col("n_grams"))
         ).alias("contaminated"),
     )
+
+
+# ---------------------------------------------------------------- line dedup
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Cross-document duplicate-line removal (the RefinedWeb/CCNet
+    boilerplate pass): a line that appears in >= ``min_docs`` DISTINCT
+    documents is removed from every document it appears in (cookie
+    banners, nav menus, subscribe prompts — the lines that repeat across
+    a host's pages verbatim). Within-document repeats of an otherwise
+    unique line survive: repetition inside one page is the Gopher
+    signals' business (gopher_repetition_signals), not boilerplate.
+
+    The reference has no corpus-level view at all — each Lambda sees one
+    page (``/root/reference/app.py:497-538``) — so its extracted markdown
+    keeps every banner; this is the batch-engine capability that per-URL
+    architectures structurally lack.
+
+    Plan shape, linear like duplicate_spans: line text crosses the wire
+    only inside the per-doc reassembly shuffle (unavoidable — the output
+    IS text); the duplicate-line census and the removal anti-join move
+    8-byte xxhash64 keys. Per-doc reassembly is one aggregate of
+    struct(pos, line) arrays — no window, no second pass. 64-bit
+    collision risk (an innocent line sharing a hash with boilerplate) is
+    the same accepted trade as duplicate_spans' gram index.
+
+    Returns one row per input document:
+      ``(id, n_lines, n_dup_lines, text)`` — ``text`` with duplicated
+      lines removed (empty string when nothing survives), original line
+      order preserved.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn("lh", F.xxhash64("line"))
+    dup = (
+        lines.select("lh", id_col)
+        .dropDuplicates(["lh", id_col])
+        .groupBy("lh")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("lh")
+    )
+    kept = lines.join(dup, "lh", "left_anti")
+    kept_agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("_text"),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), sep)).cast("long").alias("n_lines"),
+    )
+    return base.join(kept_agg, id_col, "left").select(
+        id_col,
+        "n_lines",
+        (F.col("n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_dup_lines"),
+        F.coalesce(F.col("_text"), F.lit("")).alias("text"),
+    )

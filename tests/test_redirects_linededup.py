@@ -1,0 +1,77 @@
+"""Unit tests: redirect-chain resolution (pointer doubling) and
+cross-document line dedup."""
+
+from pyspark.sql import functions as F
+
+from bodhium_webscrapper_spark.operators.quality import line_dedup
+from bodhium_webscrapper_spark.operators.redirects import resolve_redirects
+
+
+def _resolve(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = resolve_redirects(df, **kw).collect()
+    return {r.src_id: (r.final_id, r.hops, r.is_cycle) for r in rows}
+
+
+def test_redirects_chain_and_cycle(spark):
+    got = _resolve(
+        spark,
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+    )
+    assert got == {
+        1: (4, 3, False),
+        2: (4, 2, False),
+        3: (4, 1, False),
+        10: (11, 1, False),
+        20: (None, None, True),
+        21: (None, None, True),
+    }
+
+
+def test_redirects_long_chain_exact_hops(spark):
+    # 20-hop chain: pointer doubling must compose hop counts exactly
+    edges = [(i, i + 1) for i in range(20)]
+    got = _resolve(spark, edges)
+    assert got[0] == (20, 20, False)
+    assert got[13] == (20, 7, False)
+
+
+def test_redirects_hop_budget_flags_overlong(spark):
+    edges = [(i, i + 1) for i in range(10)]
+    got = _resolve(spark, edges, max_hops=4)
+    assert got[8] == (10, 2, False)
+    # 0 is 10 hops from the terminal: over the budget -> discard flag
+    assert got[0] == (None, None, True)
+
+
+def test_line_dedup_removes_cross_doc_keeps_within_doc(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one\nshared banner\nunique one"),
+            (2, "shared banner\nbody two"),
+            (3, "shared banner"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in line_dedup(docs, "doc_id", "text").collect()}
+    # the cross-doc banner vanishes everywhere; doc 1's within-doc repeat
+    # of its own unique line survives twice, order preserved
+    assert out[1].text == "unique one\nunique one"
+    assert (out[1].n_lines, out[1].n_dup_lines) == (3, 1)
+    assert out[2].text == "body two"
+    # all lines removed -> empty text, row still present
+    assert out[3].text == ""
+    assert (out[3].n_lines, out[3].n_dup_lines) == (1, 1)
+
+
+def test_line_dedup_min_docs_threshold(spark):
+    docs = spark.createDataFrame(
+        [(1, "a\nb"), (2, "a\nc"), (3, "a\nb")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.text
+        for r in line_dedup(docs, "doc_id", "text", min_docs=3).collect()
+    }
+    # 'a' is in 3 docs (removed); 'b' only in 2 (kept at min_docs=3)
+    assert out == {1: "b", 2: "c", 3: "b"}

@@ -1165,6 +1165,101 @@ _Q_DECONTAM_SQL = f"""
 """
 
 
+def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC/WET record parsing: documents are packed 10-per-blob into
+    canonical WET-style records (writer twin build_warc_record), then the
+    parser explodes and re-extracts every header + payload. The oracle
+    assembles and parses the same blobs independently in DuckDB — the
+    md5'd payload and the Content-Length cross-check make the value hash
+    cover byte-exact payload recovery."""
+    from bodhium_webscrapper_spark.sources.warc import (
+        build_warc_record,
+        parse_warc_records,
+    )
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    payload = F.substring(
+        F.regexp_replace(F.col("text"), r"\s+", " "), 1, 200
+    )
+    rec = build_warc_record(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/doc/"),
+            F.col("doc_id").cast("string"),
+        ),
+        payload,
+        date=F.concat(
+            F.lit("2026-01-0"),
+            ((F.col("doc_id") % 9) + 1).cast("string"),
+            F.lit("T12:00:00Z"),
+        ),
+    )
+    docs = base.select(
+        F.floor(F.col("doc_id") / 10).alias("grp"), "doc_id", rec.alias("r")
+    )
+    blobs = docs.groupBy("grp").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "r"))),
+                lambda s: s["r"],
+            ),
+            "",
+        ).alias("blob")
+    )
+    out = parse_warc_records(blobs, "blob")
+    return out.select(
+        "uri",
+        "warc_type",
+        "warc_date",
+        "content_length",
+        "length_ok",
+        F.md5(F.col("payload")).alias("payload_md5"),
+    ).orderBy("uri")
+
+
+_Q_WARC_SQL = r"""
+    WITH base AS (
+      SELECT doc_id, source,
+        substr(regexp_replace(text, '\s+', ' ', 'g'), 1, 200) AS payload
+      FROM documents),
+    rec AS (
+      SELECT doc_id, (doc_id // 10) AS grp,
+        'WARC/1.0' || chr(13) || chr(10) ||
+        'WARC-Type: conversion' || chr(13) || chr(10) ||
+        'WARC-Target-URI: https://' || source || '.example/doc/' || doc_id
+          || chr(13) || chr(10) ||
+        'WARC-Date: 2026-01-0' || ((doc_id % 9) + 1) || 'T12:00:00Z'
+          || chr(13) || chr(10) ||
+        'Content-Length: ' || length(payload)
+          || chr(13) || chr(10) || chr(13) || chr(10) ||
+        payload || chr(13) || chr(10) || chr(13) || chr(10) AS r
+      FROM base),
+    blobs AS (
+      SELECT grp, string_agg(r, '' ORDER BY doc_id) AS blob
+      FROM rec GROUP BY grp),
+    rx AS (
+      SELECT u AS r
+      FROM (SELECT unnest(string_split_regex(blob, 'WARC/1\.0\r\n')) AS u
+            FROM blobs)
+      WHERE u <> ''),
+    p AS (
+      SELECT list_element(string_split_regex(r, '\r\n\r\n'), 1) AS hdr,
+             regexp_replace(
+               list_element(string_split_regex(r, '\r\n\r\n'), 2),
+               '(\r\n)+$', '') AS payload
+      FROM rx)
+    SELECT
+      regexp_extract(hdr, 'WARC-Target-URI: ([^\r\n]+)', 1) AS uri,
+      regexp_extract(hdr, 'WARC-Type: ([^\r\n]+)', 1) AS warc_type,
+      regexp_extract(hdr, 'WARC-Date: ([^\r\n]+)', 1) AS warc_date,
+      CAST(regexp_extract(hdr, 'Content-Length: ([0-9]+)', 1) AS BIGINT)
+        AS content_length,
+      CAST(regexp_extract(hdr, 'Content-Length: ([0-9]+)', 1) AS BIGINT)
+        = length(payload) AS length_ok,
+      md5(payload) AS payload_md5
+    FROM p ORDER BY uri
+"""
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicate-line removal (RefinedWeb/CCNet boilerplate
     pass) over the 8-word-line corpus with a planted boilerplate line
@@ -2838,6 +2933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": q_c4_filters,
         "duplicate_spans": q_duplicate_spans,
         "decontaminate": q_decontaminate,
+        "warc_parse": q_warc_parse,
         "line_dedup": q_line_dedup,
         "resolve_redirects": q_resolve_redirects,
         "trap_hosts": q_trap_hosts,
@@ -2906,6 +3002,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_filters": _Q_C4_SQL,
         "duplicate_spans": _Q_DUP_SPANS_SQL,
         "decontaminate": _Q_DECONTAM_SQL,
+        "warc_parse": _Q_WARC_SQL,
         "line_dedup": _Q_LINE_DEDUP_SQL,
         "resolve_redirects": _Q_REDIRECTS_SQL,
         "trap_hosts": _Q_TRAP_HOSTS_SQL,

@@ -75,3 +75,52 @@ def test_line_dedup_min_docs_threshold(spark):
     }
     # 'a' is in 3 docs (removed); 'b' only in 2 (kept at min_docs=3)
     assert out == {1: "b", 2: "c", 3: "b"}
+
+
+# ---------------------------------------------------------------- WARC
+
+
+def test_warc_roundtrip_and_internal_blank_lines(spark):
+    from bodhium_webscrapper_spark.sources.warc import (
+        build_warc_record,
+        parse_warc_records,
+    )
+
+    # payload with an INTERNAL blank line: the limit-2 header split must
+    # keep it intact
+    body = "para one\r\n\r\npara two"
+    df = spark.range(1).select(
+        F.concat(
+            build_warc_record(F.lit("https://a.example/1"), F.lit(body)),
+            build_warc_record(
+                F.lit("https://a.example/2"), F.lit("plain"),
+                warc_type="response", date="2025-12-31T23:59:59Z",
+            ),
+        ).alias("blob")
+    )
+    rows = parse_warc_records(df, "blob").orderBy("rec_idx").collect()
+    assert len(rows) == 2
+    r1, r2 = rows
+    assert (r1.uri, r1.payload, r1.length_ok, r1.rec_idx) == (
+        "https://a.example/1", body, True, 0)
+    assert (r2.warc_type, r2.warc_date, r2.payload) == (
+        "response", "2025-12-31T23:59:59Z", "plain")
+    assert r2.warc_ts is not None and r2.content_length == 5
+
+
+def test_warc_malformed_record_survives(spark):
+    from bodhium_webscrapper_spark.sources.warc import parse_warc_records
+
+    blob = (
+        "WARC/1.0\r\nWARC-Type: conversion\r\n\r\npayload without length\r\n\r\n"
+        "WARC/1.0\r\nWARC-Target-URI: https://b.example/\r\n"
+        "Content-Length: 999\r\n\r\nshort\r\n\r\n"
+    )
+    df = spark.createDataFrame([(blob,)], "blob string")
+    rows = parse_warc_records(df, "blob").orderBy("rec_idx").collect()
+    assert len(rows) == 2
+    # missing headers -> empty strings / NULL length, no row lost
+    assert rows[0].uri == "" and rows[0].content_length is None
+    assert rows[0].length_ok is None
+    # declared length wrong -> corruption tripwire fires
+    assert rows[1].content_length == 999 and rows[1].length_ok is False

@@ -1165,6 +1165,69 @@ _Q_DECONTAM_SQL = f"""
 """
 
 
+def q_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection: every 11th doc (offset 3) becomes one of three
+    rotating short error templates (caught: marker + short); every 17th
+    (offset 5, unless already templated) keeps its full text with an
+    error phrase appended (escapes: the length guard protects editorial
+    pages that mention errors)."""
+    from bodhium_webscrapper_spark.operators.quality import soft404_signals
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    tmpl = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("error 404 page not found"))
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.lit("the requested url does not exist on this server sorry"),
+        )
+        .otherwise(
+            F.lit("this page is no longer available please return home")
+        )
+    )
+    fixed = base.select(
+        "doc_id",
+        F.col("source").alias("host"),
+        F.when(F.col("doc_id") % 11 == 3, tmpl)
+        .when(
+            F.col("doc_id") % 17 == 5,
+            F.concat(F.col("text"), F.lit(" (error 404 archive note)")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    sig = soft404_signals(F.col("text"), max_words=50)
+    return fixed.select(
+        "doc_id", "host", *[c.alias(n) for n, c in sig.items()]
+    ).orderBy("doc_id")
+
+
+_Q_SOFT404_SQL = r"""
+    WITH fixed AS (
+      SELECT doc_id, source AS host,
+        CASE
+          WHEN doc_id % 11 = 3 THEN
+            CASE
+              WHEN doc_id % 3 = 0 THEN 'error 404 page not found'
+              WHEN doc_id % 3 = 1 THEN 'the requested url does not exist on this server sorry'
+              ELSE 'this page is no longer available please return home'
+            END
+          WHEN doc_id % 17 = 5 THEN text || ' (error 404 archive note)'
+          ELSE text
+        END AS text
+      FROM documents),
+    sig AS (
+      SELECT doc_id, host,
+        CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_words,
+        regexp_matches(lower(text),
+          '(page not found|error 404|404 not found|could not be found|no longer available|does not exist|the requested url)')
+          AS has_error_marker
+      FROM fixed)
+    SELECT doc_id, host, n_words, has_error_marker,
+           (has_error_marker AND n_words < 50) AS is_soft404
+    FROM sig ORDER BY doc_id
+"""
+
+
 def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC/WET record parsing: documents are packed 10-per-blob into
     canonical WET-style records (writer twin build_warc_record), then the
@@ -2933,6 +2996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": q_c4_filters,
         "duplicate_spans": q_duplicate_spans,
         "decontaminate": q_decontaminate,
+        "soft404": q_soft404,
         "warc_parse": q_warc_parse,
         "line_dedup": q_line_dedup,
         "resolve_redirects": q_resolve_redirects,
@@ -3002,6 +3066,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_filters": _Q_C4_SQL,
         "duplicate_spans": _Q_DUP_SPANS_SQL,
         "decontaminate": _Q_DECONTAM_SQL,
+        "soft404": _Q_SOFT404_SQL,
         "warc_parse": _Q_WARC_SQL,
         "line_dedup": _Q_LINE_DEDUP_SQL,
         "resolve_redirects": _Q_REDIRECTS_SQL,

@@ -376,3 +376,41 @@ def line_dedup(
         .alias("n_dup_lines"),
         F.coalesce(F.col("_text"), F.lit("")).alias("text"),
     )
+
+
+# ---------------------------------------------------------------- soft 404
+
+# Error-page phrases (lowercased match). Deliberately phrase-level — a bare
+# "404" hits part numbers and prices all over real webtext.
+SOFT404_MARKER_RE = (
+    r"(page not found|error 404|404 not found|could not be found"
+    r"|no longer available|does not exist|the requested url)"
+)
+
+
+def soft404_signals(
+    text: Column,
+    max_words: int = 50,
+) -> dict[str, Column]:
+    """Soft-404 detection signals as pure JVM column expressions.
+
+    A soft 404 is an error page served with HTTP 200 — the fetch loop
+    can't see it in the status code, so the corpus keeps it unless a
+    content-level gate fires. The reference has no such gate (crawl4ai
+    extracts whatever the browser rendered, ``/root/reference/app.py:
+    497-516``); at Common-Crawl scale a few percent of pages are soft
+    errors and they are near-duplicates of each other per host, polluting
+    both the dedup index and the training mix.
+
+    Returns ``has_error_marker`` (phrase match), ``n_words``, and
+    ``is_soft404`` = marker AND short (< ``max_words``) — long editorial
+    pages that merely *mention* an error phrase survive. Signals are
+    split out so callers can rethreshold, same contract as c4_signals.
+    """
+    n_words = F.size(F.split(normalized_text(text), " "))
+    has_marker = F.lower(text).rlike(SOFT404_MARKER_RE)
+    return {
+        "n_words": n_words.cast("long"),
+        "has_error_marker": has_marker,
+        "is_soft404": has_marker & (n_words < max_words),
+    }

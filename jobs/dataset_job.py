@@ -43,6 +43,8 @@ def main() -> int:
     p.add_argument("--jaccard", type=float, default=0.8)
     p.add_argument("--c4", action="store_true",
                    help="apply the C4 keep rule (sentences/lorem/curly/words)")
+    p.add_argument("--drop-soft404", action="store_true",
+                   help="drop soft-404 pages (error phrase + short content)")
     p.add_argument("--max-dup-line-pct", type=int, default=0,
                    help="Gopher gate: drop docs whose duplicate-line chars "
                         "exceed PCT%% of total chars (0 = off)")
@@ -117,10 +119,15 @@ def main() -> int:
     # Optional published-filter gates. Both stay LAZY — a column expression
     # and a doc-keyed join fold into the same two Spark actions below.
     gate_cond = l_cond
-    c_cond = g_cond = None
+    c_cond = g_cond = s_cond = None
     if args.c4:
         c_cond = gate_cond & c4_signals(F.col(args.text_col))["c4_keep"]
         gate_cond = c_cond
+    if args.drop_soft404:
+        from bodhium_webscrapper_spark.operators.quality import soft404_signals
+
+        s_cond = gate_cond & ~soft404_signals(F.col(args.text_col))["is_soft404"]
+        gate_cond = s_cond
     if args.max_dup_line_pct > 0:
         # relational signal (per-doc line aggregate) -> one doc_id-keyed
         # equi-join; at corpus scale this is the same shuffle class as the
@@ -148,6 +155,8 @@ def main() -> int:
     ]
     if c_cond is not None:
         agg_cols.append(F.sum(c_cond.cast("long")).alias("after_c4"))
+    if s_cond is not None:
+        agg_cols.append(F.sum(s_cond.cast("long")).alias("after_soft404"))
     if g_cond is not None:
         agg_cols.append(F.sum(g_cond.cast("long")).alias("after_gopher"))
     agg_cols.append(

@@ -189,3 +189,67 @@ def test_decontaminate_plan_broadcasts_bench(spark):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_soft404_signals_hand_cases(spark):
+    from pyspark.sql import functions as F
+
+    from bodhium_webscrapper_spark.operators.quality import soft404_signals
+
+    long_tail = " ".join(f"w{i}" for i in range(80))
+    rows = [
+        (1, "error 404 page not found"),            # short error -> soft404
+        (2, "a review of error 404 pages " + long_tail),  # long mention -> keep
+        (3, "perfectly ordinary content here"),     # clean -> keep
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = soft404_signals(F.col("text"))
+    got = {
+        r.doc_id: (r.has_error_marker, r.is_soft404)
+        for r in df.select(
+            "doc_id", *[c.alias(n) for n, c in sig.items()]
+        ).collect()
+    }
+    assert got == {1: (True, True), 2: (True, False), 3: (False, False)}
+
+
+def test_dataset_job_soft404_gate(spark, tmp_path, monkeypatch):
+    import io
+    import json
+    import sys
+    from contextlib import redirect_stdout
+
+    from jobs.dataset_job import main
+
+    long_doc = (
+        "an entirely different sentence about parquet shuffles and "
+        "broadcast joins that survives every single gate today. "
+        + " ".join(f"word{i}" for i in range(60))
+    )
+    other_doc = (
+        "a completely separate essay on watermarking late events in "
+        "structured streaming pipelines. "
+        + " ".join(f"token{i}" for i in range(60))
+    )
+    rows = [
+        (1, long_doc),
+        (2, "sorry this page could not be found"),       # soft 404
+        (3, other_doc + " footnote: error 404 happens."),  # long mention
+    ]
+    src = str(tmp_path / "docs_s404")
+    out = str(tmp_path / "cleaned_s404")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    argv = ["dataset_job", "--input", src, "--output", out,
+            "--min-quality", "-1", "--drop-soft404", "--master", "local[4]"]
+    monkeypatch.setattr(sys, "argv", argv)
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main() == 0
+    funnel = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert funnel["input"] == 3
+    assert funnel["after_soft404"] == 2
+    rows_out = spark.read.parquet(out).select("doc_id").collect()
+    assert sorted(r["doc_id"] for r in rows_out) == [1, 3]

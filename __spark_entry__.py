@@ -1165,6 +1165,67 @@ _Q_DECONTAM_SQL = f"""
 """
 
 
+def q_char_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained char-bigram familiarity (the CCNet perplexity-bucket
+    stand-in): every 13th doc (offset 2) becomes doc-id-derived gibberish
+    (digits translated to rare consonants, repeated) — its bigrams barely
+    occur in the rest of the corpus, so n_rare/min_count separate it from
+    fluent docs. All-integer outputs; the oracle retrains the same counts
+    in SQL."""
+    from bodhium_webscrapper_spark.operators.quality import (
+        char_ngram_familiarity,
+    )
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fixed = base.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 2,
+            F.repeat(
+                F.concat(
+                    F.translate(
+                        F.col("doc_id").cast("string"),
+                        "0123456789",
+                        "qzxjvwkfyb",
+                    ),
+                    F.lit(" "),
+                ),
+                8,
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return char_ngram_familiarity(
+        fixed, "doc_id", "text", rare_threshold=50
+    ).orderBy("doc_id")
+
+
+_Q_CHAR_FAMILIARITY_SQL = r"""
+    WITH fixed AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 13 = 2
+             THEN repeat(translate(CAST(doc_id AS VARCHAR), '0123456789', 'qzxjvwkfyb') || ' ', 8)
+             ELSE text END AS text
+      FROM documents),
+    nt AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM fixed),
+    g AS (
+      SELECT doc_id, substr(t, i, 2) AS gram
+      FROM (SELECT doc_id, t, unnest(range(1, length(t))) AS i
+            FROM nt WHERE length(t) >= 2)),
+    cnt AS (SELECT gram, count(*) AS c FROM g GROUP BY gram),
+    pd AS (
+      SELECT doc_id, count(*) AS n_grams, min(c) AS min_count,
+             sum(CASE WHEN c < 50 THEN 1 ELSE 0 END) AS n_rare
+      FROM g JOIN cnt USING (gram) GROUP BY doc_id)
+    SELECT d.doc_id,
+      CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+      CAST(p.min_count AS BIGINT) AS min_count,
+      CAST(coalesce(p.n_rare, 0) AS BIGINT) AS n_rare
+    FROM documents d LEFT JOIN pd p USING (doc_id) ORDER BY d.doc_id
+"""
+
+
 def q_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Soft-404 detection: every 11th doc (offset 3) becomes one of three
     rotating short error templates (caught: marker + short); every 17th
@@ -2996,6 +3057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": q_c4_filters,
         "duplicate_spans": q_duplicate_spans,
         "decontaminate": q_decontaminate,
+        "char_familiarity": q_char_familiarity,
         "soft404": q_soft404,
         "warc_parse": q_warc_parse,
         "line_dedup": q_line_dedup,
@@ -3066,6 +3128,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_filters": _Q_C4_SQL,
         "duplicate_spans": _Q_DUP_SPANS_SQL,
         "decontaminate": _Q_DECONTAM_SQL,
+        "char_familiarity": _Q_CHAR_FAMILIARITY_SQL,
         "soft404": _Q_SOFT404_SQL,
         "warc_parse": _Q_WARC_SQL,
         "line_dedup": _Q_LINE_DEDUP_SQL,

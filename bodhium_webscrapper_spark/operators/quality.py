@@ -414,3 +414,60 @@ def soft404_signals(
         "has_error_marker": has_marker,
         "is_soft404": has_marker & (n_words < max_words),
     }
+
+
+# ------------------------------------------------------- char-gram familiarity
+
+
+def char_ngram_familiarity(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    rare_threshold: int = 50,
+) -> DataFrame:
+    """Corpus-trained character-bigram familiarity — the LM-free stand-in
+    for CCNet-style perplexity bucketing (Wenzek et al. 2020): instead of
+    scoring against an external KenLM, score each document against the
+    corpus's OWN char-bigram statistics. Fluent text is built from the
+    corpus's common letter pairs; mojibake, gibberish, and wrong-charset
+    docs contain pairs the corpus has barely seen.
+
+    All-integer outputs per document (exact under any execution order, so
+    the SQL oracle replays them bit-identically — the same contract as
+    gopher/c4): ``n_grams`` (bigram instances), ``min_count`` (corpus
+    count of the doc's rarest bigram; NULL when the doc has none), and
+    ``n_rare`` (instances whose corpus count < ``rare_threshold``).
+    Callers threshold ``n_rare/n_grams`` for a keep rule.
+
+    Plan: one linear gram explode, one count aggregate whose result is
+    vocabulary-sized (<= |charset|^2 — thousands of rows at ANY corpus
+    size, hence broadcast back), one per-doc aggregate. No pair joins, no
+    per-row Python; the only shuffle keyed wider than 8 bytes is the
+    2-char gram count.
+    """
+    t = normalized_text(F.col(text_col))
+    grams_arr = F.when(
+        F.length(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - 1),
+            lambda i: t.substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = df.select(F.col(id_col), F.explode(grams_arr).alias("gram"))
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = (
+        grams.join(F.broadcast(counts), "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.min("c").alias("min_count"),
+            F.sum((F.col("c") < rare_threshold).cast("long")).alias("n_rare"),
+        )
+    )
+    base = df.select(id_col)
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+        F.col("min_count").cast("long").alias("min_count"),
+        F.coalesce(F.col("n_rare"), F.lit(0)).cast("long").alias("n_rare"),
+    )

@@ -253,3 +253,28 @@ def test_dataset_job_soft404_gate(spark, tmp_path, monkeypatch):
     assert funnel["after_soft404"] == 2
     rows_out = spark.read.parquet(out).select("doc_id").collect()
     assert sorted(r["doc_id"] for r in rows_out) == [1, 3]
+
+
+def test_char_ngram_familiarity_flags_gibberish(spark):
+    from bodhium_webscrapper_spark.operators.quality import (
+        char_ngram_familiarity,
+    )
+
+    fluent = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [(i, fluent + f" extra words here {i}") for i in range(1, 9)]
+    rows.append((9, "qz xj vw kq zx jq wz vq"))  # gibberish bigrams
+    rows.append((10, "a"))                        # too short: zero grams
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in char_ngram_familiarity(
+            df, "doc_id", "text", rare_threshold=5
+        ).collect()
+    }
+    assert len(out) == 10  # every doc present, including the gram-less one
+    assert out[10].n_grams == 0 and out[10].min_count is None
+    # the gibberish doc's rare share dominates; fluent docs' doesn't
+    gib = out[9].n_rare / out[9].n_grams
+    flu = max(out[i].n_rare / out[i].n_grams for i in range(1, 9))
+    assert gib > 0.8 and flu < 0.3
+    assert out[9].min_count < 5

@@ -1165,6 +1165,64 @@ _Q_DECONTAM_SQL = f"""
 """
 
 
+def q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTF-8-as-cp1252 mojibake repair: every 6th doc (offset 1) gets a
+    damaged suffix (the cp1252 mis-decode of 'café “quoted… don’t – über
+    «q»'); fix_mojibake must restore the clean form byte-exactly (md5'd)
+    and the marker flag must fire on exactly the damaged docs. The oracle
+    replays the same literal replace chain, generated from the SAME
+    MOJIBAKE_MAP table so the twins cannot drift."""
+    from bodhium_webscrapper_spark.functions.textstats import (
+        fix_mojibake,
+        has_mojibake,
+    )
+
+    damaged_suffix = " cafÃ© â€œquotedâ€¦ donâ€™t â€“ Ã¼ber Â«qÂ»"
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = base.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 6 == 1,
+            F.concat(F.col("text"), F.lit(damaged_suffix)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return d.select(
+        "doc_id",
+        has_mojibake(F.col("text")).alias("had_mojibake"),
+        F.md5(fix_mojibake(F.col("text"))).alias("fixed_md5"),
+    ).orderBy("doc_id")
+
+
+def _mojibake_replace_sql(expr: str) -> str:
+    from bodhium_webscrapper_spark.functions.textstats import MOJIBAKE_MAP
+
+    for bad, good in MOJIBAKE_MAP:
+        expr = f"replace({expr}, '{bad}', '{good}')"
+    return expr
+
+
+def _mojibake_oracle_sql() -> str:
+    from bodhium_webscrapper_spark.functions.textstats import (
+        MOJIBAKE_MARKER_RE,
+    )
+
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 6 = 1
+             THEN text || ' cafÃ© â€œquotedâ€¦ donâ€™t â€“ Ã¼ber Â«qÂ»'
+             ELSE text END AS text
+      FROM documents)
+    SELECT doc_id,
+      regexp_matches(text, '{MOJIBAKE_MARKER_RE}') AS had_mojibake,
+      md5({_mojibake_replace_sql("text")}) AS fixed_md5
+    FROM d ORDER BY doc_id
+"""
+
+
+_Q_MOJIBAKE_SQL = _mojibake_oracle_sql()
+
+
 def q_char_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained char-bigram familiarity (the CCNet perplexity-bucket
     stand-in): every 13th doc (offset 2) becomes doc-id-derived gibberish
@@ -3057,6 +3115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": q_c4_filters,
         "duplicate_spans": q_duplicate_spans,
         "decontaminate": q_decontaminate,
+        "fix_mojibake": q_fix_mojibake,
         "char_familiarity": q_char_familiarity,
         "soft404": q_soft404,
         "warc_parse": q_warc_parse,
@@ -3128,6 +3187,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_filters": _Q_C4_SQL,
         "duplicate_spans": _Q_DUP_SPANS_SQL,
         "decontaminate": _Q_DECONTAM_SQL,
+        "fix_mojibake": _Q_MOJIBAKE_SQL,
         "char_familiarity": _Q_CHAR_FAMILIARITY_SQL,
         "soft404": _Q_SOFT404_SQL,
         "warc_parse": _Q_WARC_SQL,

@@ -278,3 +278,40 @@ def test_char_ngram_familiarity_flags_gibberish(spark):
     flu = max(out[i].n_rare / out[i].n_grams for i in range(1, 9))
     assert gib > 0.8 and flu < 0.3
     assert out[9].min_count < 5
+
+
+def test_mojibake_map_matches_cp1252_roundtrip(spark):
+    """Every MOJIBAKE_MAP entry must be exactly the cp1252 mis-decode of
+    its repaired form — the table is derived, not eyeballed."""
+    from bodhium_webscrapper_spark.functions.textstats import MOJIBAKE_MAP
+
+    for bad, good in MOJIBAKE_MAP:
+        assert bad == good.encode("utf-8").decode("cp1252"), (bad, good)
+
+
+def test_fix_mojibake_repairs_and_flags(spark):
+    from pyspark.sql import functions as F
+
+    from bodhium_webscrapper_spark.functions.textstats import (
+        fix_mojibake,
+        has_mojibake,
+    )
+
+    clean = "café “quoted… don’t – über «q»"
+    damaged = clean.encode("utf-8").decode("cp1252")
+    df = spark.createDataFrame(
+        [(1, damaged), (2, clean), (3, "plain ascii text")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            fix_mojibake(F.col("text")).alias("fixed"),
+            has_mojibake(F.col("text")).alias("flag"),
+        ).collect()
+    }
+    assert rows[1].fixed == clean and rows[1].flag
+    # already-clean and plain text pass through untouched, unflagged
+    assert rows[2].fixed == clean and not rows[2].flag
+    assert rows[3].fixed == "plain ascii text" and not rows[3].flag

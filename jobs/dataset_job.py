@@ -3,10 +3,13 @@
 Runs the documents table through the standard web-text curation stages a
 100 TB training-data pipeline needs (all engine operators):
 
-  boilerplate strip (optional) → PII scrub (optional) →
+  mojibake repair (optional) → boilerplate strip (optional) →
+  PII scrub (optional) → cross-doc line dedup (optional RefinedWeb
+  boilerplate-line pass, --dedup-lines-min-docs) →
   quality filter (heuristic score) → language filter →
   C4 keep-rule gate (optional: terminal punctuation / lorem-ipsum /
   curly-brace / min-words, Raffel et al. 2020) →
+  soft-404 gate (optional) →
   Gopher duplicate-line gate (optional: repetition signals,
   Rae et al. 2021 A1.1) →
   exact dedup (md5 of normalized text) → near-dup removal (MinHash-LSH
@@ -43,6 +46,11 @@ def main() -> int:
     p.add_argument("--jaccard", type=float, default=0.8)
     p.add_argument("--c4", action="store_true",
                    help="apply the C4 keep rule (sentences/lorem/curly/words)")
+    p.add_argument("--fix-mojibake", action="store_true",
+                   help="repair cp1252-misdecode sequences before scoring")
+    p.add_argument("--dedup-lines-min-docs", type=int, default=0,
+                   help="RefinedWeb line pass: remove lines appearing in "
+                        ">= N distinct docs from every doc (0 = off)")
     p.add_argument("--drop-soft404", action="store_true",
                    help="drop soft-404 pages (error phrase + short content)")
     p.add_argument("--max-dup-line-pct", type=int, default=0,
@@ -96,10 +104,45 @@ def main() -> int:
     # strip_boilerplate_re is the codegen'd regexp_replace twin of the HOF
     # strip_boilerplate (identical output, pytest-asserted) — the HOF variant
     # would be the one interpreted expression in this full-corpus scan.
+    if args.fix_mojibake:
+        from bodhium_webscrapper_spark.functions.textstats import fix_mojibake
+
+        # encoding repair FIRST: boilerplate/PII patterns and dedup keys
+        # must see repaired bytes, not two spellings of the same page
+        docs = docs.withColumn(args.text_col, fix_mojibake(F.col(args.text_col)))
     if args.strip_boilerplate:
         docs = docs.withColumn(args.text_col, strip_boilerplate_re(F.col(args.text_col)))
     if args.pii_scrub:
         docs = docs.withColumn(args.text_col, pii_scrub(F.col(args.text_col)))
+    dedup_lines_col = None
+    if args.dedup_lines_min_docs > 0:
+        from bodhium_webscrapper_spark.operators.quality import line_dedup
+
+        # relational rewrite (needs the corpus-wide line census): one
+        # doc-keyed join folded lazily into the two Spark actions below,
+        # same class as the Gopher gate's join. n_dup_lines rides along
+        # into the funnel aggregate.
+        ld = line_dedup(
+            docs.select(args.id_col, args.text_col),
+            args.id_col,
+            args.text_col,
+            min_docs=args.dedup_lines_min_docs,
+        ).select(
+            args.id_col,
+            F.col("text").alias("_ld_text"),
+            F.col("n_dup_lines").alias("_ld_removed"),
+        )
+        docs = (
+            docs.join(ld, args.id_col, "left")
+            .withColumn(
+                args.text_col,
+                F.coalesce(F.col("_ld_text"), F.col(args.text_col)),
+            )
+            .drop("_ld_text")
+        )
+        dedup_lines_col = F.sum(
+            F.coalesce(F.col("_ld_removed"), F.lit(0))
+        ).alias("dup_lines_removed")
 
     # Funnel discipline, wave-loop style: the job runs exactly TWO Spark
     # actions — one aggregate for every pre-write funnel count, and the
@@ -159,6 +202,8 @@ def main() -> int:
         agg_cols.append(F.sum(s_cond.cast("long")).alias("after_soft404"))
     if g_cond is not None:
         agg_cols.append(F.sum(g_cond.cast("long")).alias("after_gopher"))
+    if dedup_lines_col is not None:
+        agg_cols.append(dedup_lines_col)
     agg_cols.append(
         F.count_distinct(
             F.when(gate_cond, doc_fingerprint(F.col(args.text_col)))
@@ -212,7 +257,7 @@ def main() -> int:
     # the output contract (a gated and an ungated run must write the same
     # schema); drop() is a no-op when the gate is off
     out = (
-        kept.drop("dup_line_chars", "total_chars")
+        kept.drop("dup_line_chars", "total_chars", "_ld_removed")
         .withColumn("n_tokens", token_count(F.col(args.text_col)))
     )
     out.write.mode("overwrite").parquet(args.output)  # Spark action 2 of 2

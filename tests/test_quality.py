@@ -315,3 +315,45 @@ def test_fix_mojibake_repairs_and_flags(spark):
     # already-clean and plain text pass through untouched, unflagged
     assert rows[2].fixed == clean and not rows[2].flag
     assert rows[3].fixed == "plain ascii text" and not rows[3].flag
+
+
+def test_dataset_job_line_dedup_and_mojibake_transforms(spark, tmp_path, monkeypatch):
+    import io
+    import json
+    import sys
+    from contextlib import redirect_stdout
+
+    from jobs.dataset_job import main
+
+    clean = "café “quoted… don’t – über «q»"
+    damaged = clean.encode("utf-8").decode("cp1252")
+    banner = "subscribe to our newsletter for fresh updates"
+    body1 = ("an essay about shuffle partitions and broadcast joins that "
+             "survives every gate. " + " ".join(f"w{i}" for i in range(40)))
+    body2 = ("a separate piece on watermarking and state stores in streams. "
+             + " ".join(f"t{i}" for i in range(40)))
+    rows = [
+        (1, body1 + "\n" + banner),
+        (2, body2 + "\n" + banner + "\n" + damaged),
+    ]
+    src = str(tmp_path / "docs_ld")
+    out = str(tmp_path / "cleaned_ld")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    argv = ["dataset_job", "--input", src, "--output", out,
+            "--min-quality", "-1", "--fix-mojibake",
+            "--dedup-lines-min-docs", "2", "--master", "local[4]"]
+    monkeypatch.setattr(sys, "argv", argv)
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main() == 0
+    funnel = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert funnel["dup_lines_removed"] == 2  # the banner, from both docs
+    got = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(out).select("doc_id", "text").collect()
+    }
+    assert got[1] == body1                     # banner gone
+    assert got[2] == body2 + "\n" + clean      # banner gone, mojibake fixed

@@ -64,6 +64,15 @@ def resolve_redirects(
         )
     )
     rounds = max(1, math.ceil(math.log2(max(2, max_hops))))
+    # truncate lineage EVERY round: the self-join references `jump` twice,
+    # so without materialization the plan tree doubles per round (2^rounds
+    # copies of J_0 — Catalyst re-optimizes and Spark re-EXECUTES the whole
+    # exponential tree). Same discipline as connected_components
+    # (operators/graph.py): eager localCheckpoint keeps plan size and work
+    # O(1) per round; on a real cluster prefer .checkpoint() for
+    # executor-loss resilience. Plan-shape asserted in
+    # tests/test_explain_plans.py.
+    jump = jump.localCheckpoint(eager=True)
     for _ in range(rounds):
         nxt = jump.select(
             F.col("u").alias("j_u"),
@@ -87,7 +96,7 @@ def resolve_redirects(
                 (F.col("done") | F.col("j_u").isNull() | F.col("j_done"))
                 .alias("done"),
             )
-        )
+        ).localCheckpoint(eager=True)
     return jump.select(
         F.col("u").alias("src_id"),
         F.when(F.col("done") & (F.col("hops") <= max_hops), F.col("cur"))

@@ -217,3 +217,77 @@ def test_snapshot_diff_single_join_no_python(spark):
     assert joins == 2  # ONE node; formatted mode prints tree + detail
     assert "FullOuter" in p
     assert "BatchEvalPython" not in p
+
+
+def test_line_dedup_zero_python_no_pair_join(spark):
+    from bodhium_webscrapper_spark.operators.quality import line_dedup
+
+    df = spark.createDataFrame(
+        [(i, f"line a\nline b{i}\nline c") for i in range(50)],
+        "doc_id long, text string",
+    )
+    p = plan_of(line_dedup(df, "doc_id", "text"))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_char_familiarity_broadcasts_vocab(spark):
+    """The gram-count table is vocabulary-bounded: it must reach the per-doc
+    join as a broadcast build, never a sort-merge of the exploded grams."""
+    from bodhium_webscrapper_spark.operators.quality import (
+        char_ngram_familiarity,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "the quick brown fox " * 5) for i in range(50)],
+        "doc_id long, text string",
+    )
+    q = char_ngram_familiarity(df, "doc_id", "text")
+    p = plan_of(q)
+    assert "BroadcastHashJoin" in p
+    # exactly one non-broadcast join is allowed: the final doc-keyed left
+    # join re-attaching gram-less docs (doc-cardinality — a shuffle join is
+    # the right plan at scale). The gram->count join must NOT be it.
+    # Count on the simple plan: formatted mode prints tree + detail, so
+    # every node's name appears twice.
+    simple = q._jdf.queryExecution().executedPlan().toString()
+    assert simple.count("SortMergeJoin") <= 1
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_mojibake_and_soft404_zero_python(spark):
+    from bodhium_webscrapper_spark.functions.textstats import (
+        fix_mojibake,
+        has_mojibake,
+    )
+    from bodhium_webscrapper_spark.operators.quality import soft404_signals
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    sig = soft404_signals(F.col("text"))
+    q = df.select(
+        fix_mojibake(F.col("text")).alias("f"),
+        has_mojibake(F.col("text")).alias("h"),
+        *[c.alias(n) for n, c in sig.items()],
+    )
+    p = plan_of(q)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "[codegen id :" in p  # the whole projection is codegen'd
+
+
+def test_redirect_resolution_log_rounds_joins(spark):
+    """Pointer doubling: the 32-hop resolve plans a bounded number of
+    narrow hash joins (J0 terminal probe + 5 doubling rounds), no
+    cartesian anywhere."""
+    from bodhium_webscrapper_spark.operators.redirects import (
+        resolve_redirects,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "src long, dst long"
+    )
+    p = plan_of(resolve_redirects(edges, max_hops=32))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    n_joins = p.count("Join")
+    assert n_joins <= 8, p  # 1 terminal probe + 5 rounds (+ plan reuse slack)

@@ -357,3 +357,55 @@ def test_dataset_job_line_dedup_and_mojibake_transforms(spark, tmp_path, monkeyp
     }
     assert got[1] == body1                     # banner gone
     assert got[2] == body2 + "\n" + clean      # banner gone, mojibake fixed
+
+
+def test_crawl_to_curate_pipeline_e2e(spark, crawl_fixture, tmp_path, monkeypatch):
+    """The full engine story: crawl job -> extracted() text -> dataset job.
+    The crawl's extracted output IS a valid curation input (url_hash as the
+    doc id), and the funnel accounts for every extracted page."""
+    import io
+    import json
+    import os
+    import sys
+    from contextlib import redirect_stdout
+
+    from bodhium_webscrapper_spark.plans.frontier import CrawlConfig, CrawlJob
+    from jobs.dataset_job import main
+
+    tmp = str(tmp_path)
+    job = CrawlJob(
+        spark,
+        crawl_fixture["pages"],
+        spark.read.parquet(crawl_fixture["seeds"]),
+        spark.read.parquet(crawl_fixture["robots"]),
+        CrawlConfig(max_waves=2, max_urls_per_host_per_wave=5,
+                    global_wave_limit=200),
+        os.path.join(tmp, "crawl"),
+    )
+    job.run()
+    src = os.path.join(tmp, "extracted")
+    extracted = job.extracted()
+    n_extracted = extracted.count()
+    assert n_extracted > 0
+    extracted.write.parquet(src)
+
+    out = os.path.join(tmp, "curated")
+    argv = ["dataset_job", "--input", src, "--output", out,
+            "--id-col", "url_hash", "--text-col", "text",
+            "--min-quality", "-1", "--dedup-lines-min-docs", "2",
+            "--master", "local[4]"]
+    monkeypatch.setattr(sys, "argv", argv)
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main() == 0
+    funnel = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert funnel["input"] == n_extracted
+    # fixture pages share nav/boilerplate lines across docs -> the line
+    # pass must remove something, and outputs keep the crawl's key
+    assert funnel["dup_lines_removed"] > 0
+    cur = spark.read.parquet(out)
+    assert "url_hash" in cur.columns and "n_tokens" in cur.columns
+    assert 0 < cur.count() <= n_extracted

@@ -1284,6 +1284,65 @@ _Q_CHAR_FAMILIARITY_SQL = r"""
 """
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (DCLM / FineWeb-Edu stage): label every
+    4th source as the curated reference split, train hashed bag-of-words
+    token weights on the whole corpus, then broadcast-score every doc with
+    its mean per-token reference evidence (integer ppm). The reference has
+    no such stage (its only gates are blank/10-word —
+    /root/reference/app.py:498-516); this is the filter a training-data
+    pipeline layers on top. The oracle retrains the identical integer
+    weight table in SQL — md5 feature hashing and div-arithmetic are
+    bit-portable across engines."""
+    from bodhium_webscrapper_spark.operators.quality import (
+        score_quality_classifier,
+        train_token_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    labeled = docs.select(
+        "doc_id",
+        "text",
+        (F.substring(F.col("source"), 4, 10).cast("int") % 4 == 0).alias(
+            "is_ref"
+        ),
+    )
+    weights = train_token_weights(labeled, "text", "is_ref")
+    scored = score_quality_classifier(labeled, "doc_id", "text", weights)
+    return (
+        labeled.select("doc_id", "is_ref")
+        .join(scored, "doc_id")
+        .select("doc_id", "is_ref", "n_tokens", "score_ppm")
+        .orderBy("doc_id")
+    )
+
+
+_Q_QUALITY_CLASSIFIER_SQL = """
+    WITH lab AS (
+      SELECT doc_id, text,
+             (CAST(substr(source, 4) AS INT) % 4 = 0) AS is_ref
+      FROM documents),
+    toks AS (
+      SELECT doc_id, is_ref, unnest(string_split_regex(
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '
+             )) AS term
+      FROM lab),
+    tk AS (SELECT doc_id, is_ref, substr(md5(term), 1, 4) AS bucket
+           FROM toks WHERE term != ''),
+    w AS (SELECT bucket,
+                 (CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+                  * 1000000) // CAST(count(*) AS BIGINT) AS w_ppm
+          FROM tk GROUP BY 1),
+    s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(w_ppm) AS BIGINT) AS sum_w
+          FROM tk JOIN w USING (bucket) GROUP BY 1)
+    SELECT l.doc_id, l.is_ref,
+           CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(s.sum_w // s.n_tokens AS BIGINT) AS score_ppm
+    FROM lab l LEFT JOIN s USING (doc_id) ORDER BY l.doc_id
+"""
+
+
 def q_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Soft-404 detection: every 11th doc (offset 3) becomes one of three
     rotating short error templates (caught: marker + short); every 17th
@@ -3117,6 +3176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "fix_mojibake": q_fix_mojibake,
         "char_familiarity": q_char_familiarity,
+        "quality_classifier": q_quality_classifier,
         "soft404": q_soft404,
         "warc_parse": q_warc_parse,
         "line_dedup": q_line_dedup,
@@ -3189,6 +3249,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _Q_DECONTAM_SQL,
         "fix_mojibake": _Q_MOJIBAKE_SQL,
         "char_familiarity": _Q_CHAR_FAMILIARITY_SQL,
+        "quality_classifier": _Q_QUALITY_CLASSIFIER_SQL,
         "soft404": _Q_SOFT404_SQL,
         "warc_parse": _Q_WARC_SQL,
         "line_dedup": _Q_LINE_DEDUP_SQL,

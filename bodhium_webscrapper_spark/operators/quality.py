@@ -471,3 +471,115 @@ def char_ngram_familiarity(
         F.col("min_count").cast("long").alias("min_count"),
         F.coalesce(F.col("n_rare"), F.lit(0)).cast("long").alias("n_rare"),
     )
+
+
+# ------------------------------------------------- model-based quality
+
+def _word_tokens(text: Column) -> Column:
+    """Word tokenization shared by the classifier's train and score passes
+    (same contract as the tf-idf query): lowercase, non-alphanumeric runs
+    collapse to a single separator, empty tokens dropped."""
+    return F.filter(
+        F.split(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "), " "),
+        lambda x: x != "",
+    )
+
+
+def _feature_bucket(term: Column, bucket_hex: int) -> Column:
+    """Feature-hash a token to one of 16^bucket_hex buckets via an md5
+    prefix. md5 (unlike xxhash64) is bit-identical across Spark, DuckDB,
+    and Python, so SQL oracles replay the hash; the prefix keeps the
+    weight table bounded by construction — the property that makes the
+    score-side join broadcastable at ANY corpus size."""
+    return F.substring(F.md5(term), 1, bucket_hex)
+
+
+def train_token_weights(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    bucket_hex: int = 4,
+) -> DataFrame:
+    """Train a hashed bag-of-words quality classifier — the DCLM/FineWeb-Edu
+    model-filter stage (Li et al. 2024; Penedo et al. 2024) with the
+    fastText model replaced by its Spark-native integer core: per
+    feature-hash bucket, the ppm-scaled probability that a token occurrence
+    came from the reference (label-true) split.
+
+    ``P(ref | bucket)`` in exact integer arithmetic:
+    ``w_ppm = (pos_occurrences * 1_000_000) div total_occurrences`` — no
+    floats, so training is bit-deterministic under any partitioning and an
+    SQL oracle retrains the identical table.
+
+    Plan: one linear token explode + one count aggregate keyed on the
+    4-hex-char bucket (partial aggregation collapses each partition to
+    <= 65 536 rows before the shuffle — constant traffic regardless of
+    corpus size). Returns ``(bucket, w_ppm)``, 65 536 rows max: broadcast
+    it. At 100 TB, train on a stratified sample (q_stratified_sample) —
+    weights converge long before the full corpus; the scoring pass below
+    is the part that must see every row.
+    """
+    tok = df.select(
+        F.col(label_col).cast("boolean").alias("_is_ref"),
+        F.explode(_word_tokens(F.col(text_col))).alias("_term"),
+    )
+    return (
+        tok.groupBy(_feature_bucket(F.col("_term"), bucket_hex).alias("bucket"))
+        .agg(
+            F.sum(F.col("_is_ref").cast("long")).alias("_pos"),
+            F.count(F.lit(1)).alias("_tot"),
+        )
+        .select("bucket", F.expr("_pos * 1000000 div _tot").alias("w_ppm"))
+    )
+
+
+def score_quality_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: DataFrame,
+    bucket_hex: int = 4,
+) -> DataFrame:
+    """Score every document against trained token weights: mean per-token
+    reference evidence, ppm-scaled integer (``sum(w_ppm) div n_tokens``).
+    Callers threshold ``score_ppm`` against the corpus prior (e.g. keep
+    docs scoring above the positive-class base rate), exactly how DCLM
+    consumes its fastText scores.
+
+    Plan: one linear token explode, one BROADCAST join against the
+    vocabulary-bounded weight table (never a shuffle of the token stream
+    on the bucket key), one per-doc aggregate — the only shuffle is keyed
+    on ``id_col``. Unseen buckets contribute nothing (inner join): when
+    weights were trained on the corpus itself every bucket is present;
+    when trained on a sample, absent buckets are rare-token noise the
+    fastText analogue also effectively ignores. Token-less documents
+    come back with ``n_tokens = 0`` and NULL ``score_ppm``.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.explode(_word_tokens(F.col(text_col))).alias("_term"),
+    ).select(
+        id_col, _feature_bucket(F.col("_term"), bucket_hex).alias("bucket")
+    )
+    per_doc = (
+        tok.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w_ppm").alias("_sum_w"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.expr("_sum_w div n_tokens").alias("score_ppm"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.col("score_ppm").cast("long").alias("score_ppm"),
+        )
+    )

@@ -291,3 +291,28 @@ def test_redirect_resolution_log_rounds_joins(spark):
     assert "BroadcastNestedLoopJoin" not in p
     n_joins = p.count("Join")
     assert n_joins <= 8, p  # 1 terminal probe + 5 rounds (+ plan reuse slack)
+
+
+def test_quality_classifier_weights_broadcast_zero_python(spark):
+    """The weight table is bounded at 16^4 buckets by construction: the
+    score-side join must be a broadcast, the token stream must never
+    shuffle on the bucket key, and nothing drops to Python."""
+    from bodhium_webscrapper_spark.operators.quality import (
+        score_quality_classifier,
+        train_token_weights,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "the quick brown fox jumps", i % 4 == 0) for i in range(50)],
+        "doc_id long, text string, is_ref boolean",
+    )
+    w = train_token_weights(df, "text", "is_ref")
+    q = score_quality_classifier(df, "doc_id", "text", w)
+    p = plan_of(q)
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    simple = q._jdf.queryExecution().executedPlan().toString()
+    # the only sort-merge-eligible join is the final doc-keyed left
+    # reattach; the bucket->weight join must not shuffle
+    assert simple.count("SortMergeJoin") <= 1

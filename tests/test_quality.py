@@ -409,3 +409,66 @@ def test_crawl_to_curate_pipeline_e2e(spark, crawl_fixture, tmp_path, monkeypatc
     cur = spark.read.parquet(out)
     assert "url_hash" in cur.columns and "n_tokens" in cur.columns
     assert 0 < cur.count() <= n_extracted
+
+
+def test_quality_classifier_hand_computed(spark):
+    """Integer weight/score arithmetic checked by hand: apple appears 3x
+    (2 ref) -> 666666 ppm, banana 1x ref -> 1000000, cherry 1x non -> 0."""
+    from bodhium_webscrapper_spark.operators.quality import (
+        score_quality_classifier,
+        train_token_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Apple apple, banana!", True),
+            (2, "apple CHERRY", False),
+            (3, "???", False),  # tokenizes to nothing
+        ],
+        "doc_id long, text string, is_ref boolean",
+    )
+    w = train_token_weights(docs, "text", "is_ref")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["score_ppm"])
+        for r in score_quality_classifier(docs, "doc_id", "text", w).collect()
+    }
+    assert got == {
+        1: (3, (666666 + 666666 + 1000000) // 3),
+        2: (2, (666666 + 0) // 2),
+        3: (0, None),
+    }
+
+
+def test_quality_classifier_separates_splits_on_corpus(spark):
+    """Trained on the real documents table, mean score of the reference
+    split must exceed the non-reference split (the filter is usable)."""
+    import os
+
+    import pytest
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"{sf_dir} missing")
+    from pyspark.sql import functions as F
+
+    from bodhium_webscrapper_spark.operators.quality import (
+        score_quality_classifier,
+        train_token_weights,
+    )
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select(
+            "doc_id",
+            "text",
+            (F.substring("source", 4, 10).cast("int") % 4 == 0).alias("is_ref"),
+        )
+    )
+    w = train_token_weights(docs, "text", "is_ref")
+    scored = score_quality_classifier(docs, "doc_id", "text", w).join(
+        docs.select("doc_id", "is_ref"), "doc_id"
+    )
+    means = dict(
+        scored.groupBy("is_ref").agg(F.avg("score_ppm").alias("m")).collect()
+    )
+    assert means[True] > means[False]

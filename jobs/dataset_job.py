@@ -12,6 +12,8 @@ Runs the documents table through the standard web-text curation stages a
   soft-404 gate (optional) →
   Gopher duplicate-line gate (optional: repetition signals,
   Rae et al. 2021 A1.1) →
+  model-based quality gate (optional: hashed-token classifier trained
+  against a reference corpus, --model-ref; the DCLM/FineWeb-Edu stage) →
   exact dedup (md5 of normalized text) → near-dup removal (MinHash-LSH
   exact-Jaccard-verified, or winnowing fingerprint containment —
   --neardedup) → token accounting
@@ -69,6 +71,16 @@ def main() -> int:
                         "transitive closure over the pair graph, keep the "
                         "component-min doc (Lee et al. 2022 §3.2; adds "
                         "O(log n) control-plane actions for the CC rounds)")
+    p.add_argument("--model-ref", default="",
+                   help="parquet of reference-quality docs (same text col): "
+                        "train the hashed-token quality classifier with these "
+                        "as the positive class and the input corpus as the "
+                        "negative class, then gate on its score (DCLM / "
+                        "FineWeb-Edu model-filter stage)")
+    p.add_argument("--model-min-ppm", type=int, default=500000,
+                   help="model gate: keep docs whose mean per-token "
+                        "reference evidence >= this (ppm; 500000 = more "
+                        "reference-like than not)")
     p.add_argument("--pii-scrub", action="store_true",
                    help="redact emails/SSNs/phones/IPv4s before scoring")
     p.add_argument("--strip-boilerplate", action="store_true",
@@ -189,6 +201,45 @@ def main() -> int:
             <= args.max_dup_line_pct * F.coalesce(F.col("total_chars"), F.lit(1))
         )
         gate_cond = g_cond
+    m_cond = None
+    if args.model_ref:
+        # model-based quality filter: train on reference-vs-input, score by
+        # broadcast join. Training is an aggregate over BOTH corpora but
+        # stays lazy — the 16^4-bucket weight table materializes as a
+        # broadcast exchange inside action 1 (Spark's internal build-side
+        # collect, not a user-level action), and the re-persist below means
+        # action 2 replays neither the training nor the scoring join. At
+        # 100 TB, point --model-ref at a curated corpus and swap the
+        # negative side for a stratified sample — weights converge long
+        # before the full corpus; scoring still sees every row.
+        from bodhium_webscrapper_spark.operators.quality import (
+            score_quality_classifier,
+            train_token_weights,
+        )
+
+        ref = (
+            spark.read.parquet(args.model_ref)
+            .select(F.col(args.text_col).alias("_t"))
+            .withColumn("_is_ref", F.lit(True))
+        )
+        neg = docs.select(F.col(args.text_col).alias("_t")).withColumn(
+            "_is_ref", F.lit(False)
+        )
+        weights = train_token_weights(ref.unionByName(neg), "_t", "_is_ref")
+        sc = score_quality_classifier(
+            docs.select(args.id_col, args.text_col),
+            args.id_col,
+            args.text_col,
+            weights,
+        ).select(args.id_col, F.col("score_ppm").alias("_model_ppm"))
+        base_scored, scored = scored, scored.join(sc, args.id_col, "left").persist()
+        base_scored.unpersist()
+        # token-less docs score NULL -> fail the gate (no evidence of quality)
+        m_cond = gate_cond & (
+            F.coalesce(F.col("_model_ppm"), F.lit(-1)) >= args.model_min_ppm
+        )
+        gate_cond = m_cond
+
     # after_exact_dedup = distinct fingerprints among surviving rows: the
     # same md5(normalized text) key exact_text_dedup first-wins on
     agg_cols = [
@@ -202,6 +253,8 @@ def main() -> int:
         agg_cols.append(F.sum(s_cond.cast("long")).alias("after_soft404"))
     if g_cond is not None:
         agg_cols.append(F.sum(g_cond.cast("long")).alias("after_gopher"))
+    if m_cond is not None:
+        agg_cols.append(F.sum(m_cond.cast("long")).alias("after_model"))
     if dedup_lines_col is not None:
         agg_cols.append(dedup_lines_col)
     agg_cols.append(
@@ -257,7 +310,7 @@ def main() -> int:
     # the output contract (a gated and an ungated run must write the same
     # schema); drop() is a no-op when the gate is off
     out = (
-        kept.drop("dup_line_chars", "total_chars", "_ld_removed")
+        kept.drop("dup_line_chars", "total_chars", "_ld_removed", "_model_ppm")
         .withColumn("n_tokens", token_count(F.col(args.text_col)))
     )
     out.write.mode("overwrite").parquet(args.output)  # Spark action 2 of 2

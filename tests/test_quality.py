@@ -472,3 +472,53 @@ def test_quality_classifier_separates_splits_on_corpus(spark):
         scored.groupBy("is_ref").agg(F.avg("score_ppm").alias("m")).collect()
     )
     assert means[True] > means[False]
+
+
+def test_dataset_job_model_gate(spark, tmp_path, monkeypatch):
+    """--model-ref trains the hashed-token classifier on reference-vs-input
+    and the gate drops the docs sharing no vocabulary with the reference."""
+    import io
+    import json
+    import sys
+    from contextlib import redirect_stdout
+
+    from jobs.dataset_job import main
+
+    ref_rows = [(i, "parquet shuffle broadcast join executor stage task "
+                    "partition schema column row filter") for i in range(4)]
+    rows = [
+        (1, "the parquet shuffle needs a broadcast join per stage and a "
+            "schema for every column row and partition filter today"),
+        (2, "zzz qqq xxx vvv kkk jjj www yyy uuu hhh zzz qqq xxx vvv kkk "
+            "jjj www yyy uuu hhh"),  # vocabulary disjoint from reference
+        (3, "executor task partition schema column row filter stage join "
+            "broadcast shuffle parquet again and again and once more"),
+    ]
+    src = str(tmp_path / "docs")
+    refp = str(tmp_path / "ref")
+    out = str(tmp_path / "cleaned")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    spark.createDataFrame(
+        ref_rows, "doc_id long, text string"
+    ).write.parquet(refp)
+
+    argv = ["dataset_job", "--input", src, "--output", out,
+            "--min-quality", "-1", "--model-ref", refp,
+            "--model-min-ppm", "300000", "--master", "local[4]"]
+    monkeypatch.setattr(sys, "argv", argv)
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main() == 0
+    funnel = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert funnel["input"] == 3
+    assert funnel["after_model"] == 2       # doc 2 scores ~0 ppm
+    assert funnel["after_near_dedup"] == 2
+    kept = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert kept == [1, 3]
+    # gate internals never leak into the output contract
+    assert "_model_ppm" not in spark.read.parquet(out).columns

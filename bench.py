@@ -52,6 +52,8 @@ HEADLINE = [
     "duplicate_spans",
     "gopher_repetition",
     "pagerank_priority",
+    # train + broadcast-score the hashed-token quality classifier
+    "quality_classifier",
 ]
 
 

@@ -204,6 +204,56 @@ _Q_ROBOTS_SQL = """
 """
 
 
+def q_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1/FineWeb-style blocklist gate: banned registrable domains drop
+    every subdomain under them (hosts here are www.hN.example — the gate
+    must match on eTLD+1, not the literal host), banned URL substrings
+    drop any URL containing them. The reference has no blocklist; this is
+    the third frontier gate a production crawl runs next to robots and
+    politeness."""
+    from bodhium_webscrapper_spark.operators.blocklist import blocklist_gate
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        F.concat(
+            F.lit("www.h"), (F.col("doc_id") % 10).cast("string"), F.lit(".example")
+        ).alias("host"),
+        F.concat(
+            F.lit("https://www.h"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit(".example"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("/tracker/x")).otherwise(
+                F.lit("/page")
+            ),
+        ).alias("canonical_url"),
+    )
+    bl = spark.createDataFrame(
+        [
+            ("domain", "h0.example"),
+            ("domain", "h3.example"),
+            ("domain", "h6.example"),
+            ("substring", "/tracker/"),
+        ],
+        "kind string, pattern string",
+    )
+    return (
+        blocklist_gate(docs, bl)
+        .select("doc_id", "canonical_url")
+        .orderBy("doc_id")
+    )
+
+
+_Q_BLOCKLIST_SQL = """
+    SELECT doc_id,
+           'https://www.h' || (doc_id % 10) || '.example' ||
+             (CASE WHEN doc_id % 7 = 0 THEN '/tracker/x' ELSE '/page' END)
+             AS canonical_url
+    FROM documents
+    WHERE (doc_id % 10) NOT IN (0, 3, 6) AND doc_id % 7 != 0
+    ORDER BY doc_id
+"""
+
+
 def q_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2/A1: URL-seen anti-join with bloom pre-pass (bloom-on == bloom-off).
 
@@ -3133,6 +3183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup_first_wins": q_url_dedup_first_wins,
         "host_budget_topk": q_host_budget_topk,
         "robots_gate": q_robots_gate,
+        "blocklist_gate": q_blocklist_gate,
         "robots_parse": q_robots_parse,
         "robots_gate_precedence": q_robots_gate_precedence,
         "sitemap_parse": q_sitemap_parse,
@@ -3203,6 +3254,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup_first_wins": _Q_URL_DEDUP_SQL,
         "host_budget_topk": _Q_HOST_BUDGET_SQL,
         "robots_gate": _Q_ROBOTS_SQL,
+        "blocklist_gate": _Q_BLOCKLIST_SQL,
         "robots_parse": _Q_ROBOTS_PARSE_SQL,
         "robots_gate_precedence": _Q_ROBOTS_PRECEDENCE_SQL,
         "sitemap_parse": _Q_SITEMAP_PARSE_SQL,

@@ -283,6 +283,7 @@ class CrawlJob:
         checkpoint_dir: str,
         job_id: str = "crawl",
         store=None,
+        blocklist: DataFrame | None = None,
     ):
         """``store``: inject a SnapshotStore-compatible backend (e.g.
         plans.iceberg_store.IcebergSnapshotStore); default is the local
@@ -316,6 +317,17 @@ class CrawlJob:
                 self._budgets = host_budget_map(
                     robots, config.max_urls_per_host_per_wave, config.wave_period_ms
                 ).persist()
+        # UT1/FineWeb-style blocklist (kind in {domain,substring}, pattern):
+        # wave-invariant like the robots rules — persist once, count once to
+        # pick the domain anti-join strategy (a 10^7-domain list cannot be a
+        # broadcast build; substrings are config-sized by contract)
+        self._blocklist = None
+        self._blocklist_strategy = "broadcast"
+        if blocklist is not None:
+            self._blocklist = blocklist.persist()
+            n_domains = self._blocklist.filter(F.col("kind") == "domain").count()
+            if n_domains > config.robots_broadcast_threshold:
+                self._blocklist_strategy = "shuffle"
         # column pruning: the fetch join needs only key + url (the link
         # resolution base) + payload (+ golden text when verifying) — never
         # lang/warc_ts
@@ -678,6 +690,12 @@ class CrawlJob:
             if self._rules is not None
             else new
         )
+        if self._blocklist is not None:
+            from bodhium_webscrapper_spark.operators.blocklist import blocklist_gate
+
+            gated = blocklist_gate(
+                gated, self._blocklist, strategy=self._blocklist_strategy
+            )
         huge_wave = n_candidates > cfg.salt_activation_threshold
         salt = cfg.salt_buckets if huge_wave else 1
         budget_col = None

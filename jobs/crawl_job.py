@@ -51,6 +51,12 @@ def main() -> int:
         "--robots-agent", default="*",
         help="user-agent product token for --robots-txt group selection",
     )
+    p.add_argument(
+        "--blocklist",
+        help="path to blocklist parquet (kind in {domain,substring}, "
+        "pattern) — UT1/FineWeb-style frontier gate: banned registrable "
+        "domains (subdomains included) + banned URL substrings",
+    )
     p.add_argument("--checkpoint", help="snapshot/checkpoint directory")
     p.add_argument("--budget", type=int, default=10, help="max urls/host/wave")
     p.add_argument("--max-waves", type=int, default=6)
@@ -195,6 +201,9 @@ def main() -> int:
         cfg,
         args.checkpoint or "unused-with-iceberg-store",
         store=store,
+        blocklist=(
+            spark.read.parquet(args.blocklist) if args.blocklist else None
+        ),
     )
     summary = job.run(resume=args.resume)
     print(json.dumps(summary))

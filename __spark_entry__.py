@@ -3144,6 +3144,93 @@ _Q_MISSING_SITEMAPS_SQL = r"""
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk training-sequence packing (operators/packing.py):
+    documents ordered by doc_id, token counts prefix-summed with the
+    two-phase distributed scan (NO single-partition window — per-partition
+    totals to the driver, one Arrow cumsum pass), then sliced into
+    fixed-length 256-token sequences; one row per (doc × sequence) with the
+    doc slice and its position in the sequence. The oracle replays the same
+    layout with a windowed cumulative sum + generate_series — tractable at
+    sf0.01, the exact shape this operator exists to avoid at 10^10 docs."""
+    from bodhium_webscrapper_spark.functions.textstats import token_count
+    from bodhium_webscrapper_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(docs, seq_len=256).orderBy("seq_id", "doc_id")
+
+
+_Q_PACK_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\\s+')) END AS n
+      FROM documents),
+    off AS (
+      SELECT doc_id, n,
+        CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS g
+      FROM toks)
+    SELECT s.seq_id, o.doc_id,
+      GREATEST(0, s.seq_id * 256 - o.g) AS tok_start,
+      LEAST(o.n, (s.seq_id + 1) * 256 - o.g) AS tok_end,
+      GREATEST(0, o.g - s.seq_id * 256) AS seq_pos
+    FROM off o, LATERAL (
+      SELECT unnest(generate_series(o.g // 256, (o.g + o.n - 1) // 256)) AS seq_id) s
+    WHERE o.n > 0
+    ORDER BY seq_id, doc_id
+"""
+
+
+def q_mixture_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture realization (operators/mixing.py): declared per-source
+    target shares (synthesized from the source id: weight 1+src%5, in ppm)
+    → integer keep rates (scarcest-relative-to-target source keeps 100%,
+    ppm floor-division arithmetic) → deterministic md5-threshold selection.
+    One bounded groupBy + a broadcast join + a scan-speed hash compare; the
+    doc table is never shuffled."""
+    from bodhium_webscrapper_spark.operators.mixing import mixture_select
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    targets = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (
+                (F.lit(1) + F.substring(F.col("source"), 4, 10).cast("long") % 5)
+                * F.lit(50_000)
+            ).alias("target_ppm"),
+        )
+    )
+    return mixture_select(docs, targets).orderBy("doc_id")
+
+
+_Q_MIXTURE_SQL = """
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_docs,
+        (1 + CAST(substr(source, 4) AS BIGINT) % 5) * 50000 AS target_ppm
+      FROM documents GROUP BY source),
+    r AS (
+      SELECT source, n_docs, target_ppm,
+        CAST(floor(target_ppm * 1000000 / n_docs) AS BIGINT) AS ratio_scaled
+      FROM counts),
+    k AS (
+      SELECT source,
+        CASE WHEN MAX(ratio_scaled) OVER () > 0
+          THEN CAST(floor(ratio_scaled * 1000000 / (MAX(ratio_scaled) OVER ())) AS BIGINT)
+          ELSE 0 END AS keep_ppm
+      FROM r)
+    SELECT d.doc_id, d.source, k.keep_ppm
+    FROM documents d JOIN k USING (source)
+    WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        < CAST(floor(keep_ppm * 4294967296 / 1000000) AS BIGINT)
+    ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3245,6 +3332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
         "curation_funnel": q_curation_funnel,
+        "pack_sequences": q_pack_sequences,
+        "mixture_select": q_mixture_select,
     }
 
 
@@ -3316,4 +3405,6 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample": _Q_FRAME_SAMPLE_SQL,
         "curation_funnel": _Q_CURATION_SQL,
         "simhash_dups": _Q_SIMHASH_SQL,
+        "pack_sequences": _Q_PACK_SQL,
+        "mixture_select": _Q_MIXTURE_SQL,
     }

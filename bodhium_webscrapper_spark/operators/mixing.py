@@ -1,0 +1,116 @@
+"""Domain-mixture reweighting: turn a target source mix into deterministic
+per-source keep rates and a reproducible per-document selection.
+
+A 100 TB crawl is dominated by whatever the frontier happened to reach; a
+training run wants a DECLARED mixture over sources/domains (the
+data-mixing step in Gopher/LLaMA-style recipes — mixture weights are
+policy, the engine surface here is the arithmetic that realizes them by
+downsampling). Given per-source target shares, the max-data solution that
+needs no upsampling keeps
+
+    keep_frac_s = (t_s / c_s) / max_u (t_u / c_u)
+
+— the source that is scarcest relative to its target keeps 100% and every
+other source is thinned to hit the exact target ratios. All arithmetic is
+INTEGER (parts-per-million with explicitly ordered floor divisions), so a
+SQL oracle replays it with zero float ambiguity, and the per-document keep
+decision is an md5-threshold on the doc id — a pure function of the data,
+reproducible across runs, engines, partition counts, and cluster sizes
+(the property rand()/TABLESAMPLE lack, and the same idiom as the engine's
+stratified sampler).
+
+Scale: one groupBy(source) aggregate (the number of sources is bounded —
+thousands, not billions), a driver-free broadcast join of the keep rates
+back onto documents, and a scan-speed md5 compare. No window, no sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PPM = 1_000_000
+
+
+def mixture_keep_rates(
+    docs: DataFrame,
+    targets: DataFrame,
+    source_col: str = "source",
+    target_col: str = "target_ppm",
+) -> DataFrame:
+    """Per-source integer keep rates realizing ``targets`` by downsampling.
+
+    ``targets``: (source, target_ppm) — declared shares in parts-per-million
+    (need not sum to exactly 1e6; only ratios matter). Sources present in
+    the corpus but absent from ``targets`` get target 0 (dropped), the
+    degenerate case of an excluded domain.
+
+    Output per source (all int64):
+      - ``n_docs``     — corpus count
+      - ``target_ppm`` — the declared share
+      - ``ratio_scaled``  — floor(target_ppm * PPM / n_docs): relative
+        over/under-representation, the quantity whose max anchors the mix
+      - ``keep_ppm``   — floor(ratio_scaled * PPM / max(ratio_scaled)):
+        the realized per-source sampling rate in ppm
+      - ``expect_kept``— floor(n_docs * keep_ppm / PPM): expected docs kept
+
+    The max is taken with an unpartitioned ``max().over()`` — an
+    all-partition aggregate over the SOURCE table (bounded rows), not the
+    document table, so the single-partition window is over thousands of
+    rows at any corpus size.
+    """
+    counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    rates = (
+        counts.join(F.broadcast(targets), source_col, "left")
+        .withColumn(target_col, F.coalesce(F.col(target_col), F.lit(0)).cast("long"))
+        .withColumn(
+            "ratio_scaled",
+            F.floor(F.col(target_col) * F.lit(PPM) / F.col("n_docs")).cast("long"),
+        )
+    )
+    w = Window.partitionBy()  # bounded: one row per source
+    rates = rates.withColumn("_rmax", F.max("ratio_scaled").over(w))
+    return rates.select(
+        F.col(source_col),
+        F.col("n_docs").cast("long"),
+        F.col(target_col),
+        F.col("ratio_scaled"),
+        F.when(F.col("_rmax") > 0, F.floor(F.col("ratio_scaled") * F.lit(PPM) / F.col("_rmax")))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("keep_ppm"),
+        F.when(F.col("_rmax") > 0, F.floor(F.col("n_docs") * F.floor(F.col("ratio_scaled") * F.lit(PPM) / F.col("_rmax")) / F.lit(PPM)))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("expect_kept"),
+    )
+
+
+def mixture_select(
+    docs: DataFrame,
+    targets: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    target_col: str = "target_ppm",
+) -> DataFrame:
+    """Documents kept under the realized mixture — deterministic md5 gate.
+
+    A doc survives iff ``u32(md5(doc_id)[:8]) < floor(keep_ppm * 2^32 /
+    PPM)``: the first 32 hash bits as a uniform draw against the source's
+    rate. The keep set is a pure function of (doc ids, targets) — stable
+    under re-runs and incremental rebuilds, so adding documents to one
+    source never flips another source's survivors.
+
+    The rates side is bounded (one row per source) → broadcast join;
+    documents are scanned once, no shuffle at all on the doc table.
+    """
+    rates = mixture_keep_rates(docs, targets, source_col, target_col)
+    cutoff = F.floor(F.col("keep_ppm") * F.lit(4294967296) / F.lit(PPM))
+    draw = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return (
+        docs.join(F.broadcast(rates.select(source_col, "keep_ppm")), source_col)
+        .filter(draw < cutoff)
+        .select(F.col(id_col), F.col(source_col), F.col("keep_ppm"))
+    )

@@ -1,0 +1,157 @@
+"""Training-sequence packing: concat-and-chunk documents into fixed-length
+model sequences — the last batch-prep stage of an LLM data pipeline.
+
+The curated corpus (what the reference's pipeline would hand to training,
+``/root/reference/app.py:577-589`` stops at markdown files) is a bag of
+variable-length documents; the trainer consumes fixed ``seq_len``-token
+rows. GPT-style packing concatenates every document in one deterministic
+global order and slices the stream into consecutive ``seq_len`` windows, so
+each document occupies the half-open token interval ``[g, g+n)`` of the
+virtual stream, where ``g`` is the exclusive prefix sum of token counts in
+that order. The operator emits one row per (document × overlapped
+sequence): which slice of the document lands where in which sequence.
+
+Scale design — the naive form is a global cumulative-sum window
+(``SUM() OVER (ORDER BY ...)``), which Spark plans as a SINGLE-PARTITION
+WindowExec: a guaranteed driver-sized straggler at 10^10 documents. This
+implementation is the textbook two-phase distributed scan instead:
+
+1. range-partition + sort by the (unique) order key — one exchange, the
+   same shape any global orderBy pays, every partition stays bounded;
+2. per-partition token totals via one tiny aggregate (ONE row per
+   partition travels to the driver — KB at any corpus size) → exclusive
+   partition offsets;
+3. one Arrow ``mapInPandas`` pass adds partition offset + running
+   within-partition cumsum (vectorized ``numpy.cumsum`` per batch, a
+   scalar carried across batches) — no second shuffle, no window;
+4. the (doc → sequences) fan-out is pure JVM: ``explode(sequence(...))``
+   plus integer arithmetic, whole-stage codegen.
+
+The packed layout is a pure function of the data (order key is unique →
+total order; prefix sums don't depend on where partition boundaries fall),
+so re-runs, different partition counts, and different cluster sizes emit
+bit-identical packings — the property that makes checkpoint-resume of a
+training-data build auditable. Verified against a windowed-SQL oracle and
+by invariant tests (token conservation, exact-full sequences, determinism
+under repartition) in tests/test_packing.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PACKED_COLS = ["seq_id", "doc_id", "tok_start", "tok_end", "seq_pos"]
+
+
+def doc_token_offsets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    ntok_col: str = "n_tokens",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exclusive prefix sum of ``ntok_col`` over the total order of
+    ``id_col`` — each doc's global start offset ``g_off`` in the virtual
+    concatenated token stream — WITHOUT a single-partition window.
+
+    Returns (id_col, ntok_col, g_off). The input projection is persisted
+    for the duration of the two phases (the partition-totals action and the
+    main pass must see the same partition layout); the cache is released by
+    the mapInPandas pass's last consumer going out of scope or an explicit
+    ``spark.catalog.clearCache()`` — at 10^10 rows it is a narrow
+    (id, int64) projection, MEMORY_AND_DISK.
+    """
+    import numpy as np
+    from pyspark import StorageLevel
+
+    spark = docs.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    sorted_docs = (
+        docs.select(F.col(id_col), F.col(ntok_col).cast("long").alias(ntok_col))
+        .repartitionByRange(num_partitions, F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # phase 1: ONE row per partition to the driver (bounded by the partition
+    # count, never the data), ordered by the partitions' key ranges
+    totals = (
+        sorted_docs.groupBy("_pid")
+        .agg(F.sum(ntok_col).alias("_tok"), F.min(id_col).alias("_lo"))
+        .collect()
+    )
+    totals.sort(key=lambda r: (r["_lo"] is None, r["_lo"]))
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in totals:
+        offsets[r["_pid"]] = acc
+        acc += r["_tok"] or 0
+
+    out_schema = f"{id_col} long, {ntok_col} long, g_off long"
+
+    def add_offsets(iterator):
+        # one partition = one iterator invocation; the running total carries
+        # across Arrow batches so batch size never changes the result
+        run = None
+        for pdf in iterator:
+            if run is None:
+                run = offsets.get(int(pdf["_pid"].iloc[0]), 0) if len(pdf) else 0
+            n = pdf[ntok_col].to_numpy(dtype="int64", na_value=0)
+            g = run + np.concatenate(([0], np.cumsum(n)[:-1]))
+            run += int(n.sum())
+            yield pdf.assign(g_off=g)[[id_col, ntok_col, "g_off"]]
+
+    return sorted_docs.mapInPandas(add_offsets, out_schema)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    ntok_col: str = "n_tokens",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk packing manifest: one row per (document × training
+    sequence it overlaps).
+
+    Output (all int64, ``PACKED_COLS``):
+      - ``seq_id``    — which fixed-length sequence (token interval
+                        ``[seq_id*seq_len, (seq_id+1)*seq_len)``)
+      - ``doc_id``    — the contributing document
+      - ``tok_start`` / ``tok_end`` — the half-open token slice OF THE DOC
+      - ``seq_pos``   — where that slice starts WITHIN the sequence
+
+    Invariants (pytest-asserted): slices of a doc partition its tokens;
+    every sequence is exactly ``seq_len`` tokens except the last; a doc
+    shorter than the remaining room shares its sequence with neighbors
+    (packing, not padding). Zero-token docs emit nothing.
+
+    The fan-out stays JVM-side: a doc spanning k sequences explodes a
+    k-element ``sequence()`` — bounded by ceil(n/seq_len)+1, so a giant
+    document cannot blow a task (its rows land in adjacent seq_ids).
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    off = doc_token_offsets(docs, id_col, ntok_col, num_partitions)
+    L = F.lit(int(seq_len))
+    g, n = F.col("g_off"), F.col(ntok_col)
+    first_seq = F.floor(g / L)
+    last_seq = F.floor((g + n - F.lit(1)) / L)
+    seq_lo = F.col("seq_id") * L  # sequence's global token start
+    return (
+        off.filter(n > 0)
+        .select(
+            F.col(id_col),
+            g,
+            n,
+            F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+        )
+        .select(
+            F.col("seq_id").cast("long"),
+            F.col(id_col),
+            F.greatest(F.lit(0), seq_lo - g).cast("long").alias("tok_start"),
+            F.least(n, seq_lo + L - g).cast("long").alias("tok_end"),
+            F.greatest(F.lit(0), g - seq_lo).cast("long").alias("seq_pos"),
+        )
+    )

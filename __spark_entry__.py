@@ -3231,6 +3231,51 @@ _Q_MIXTURE_SQL = """
 """
 
 
+def q_media_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash media near-dup pairs: the SimHash banding/verify
+    engine (dedup.hamming_neardup_pairs — pigeonhole banded self-join +
+    JVM bit_count verify, integers-only shuffle) applied to a 64-bit pHash
+    column. The pHash itself is the decoder's job (the same injection point
+    as multimodal.decode_fn — no codec in this container); here it is a
+    deterministic stand-in the oracle replays bit-for-bit: a 60-bit md5 of
+    the payload's 40-byte 'perceptual family' prefix with the low 2 bits
+    carrying a length-derived variant, so the planted near-dup payloads
+    land within hamming 2 of their originals."""
+    from bodhium_webscrapper_spark.functions.multimodal import (
+        deterministic_media_fixture,
+    )
+    from bodhium_webscrapper_spark.operators.dedup import hamming_neardup_pairs
+
+    docs = _docs_with_near_dups(spark, sf_dir)
+    media = deterministic_media_fixture(docs, "text", "doc_id")
+    fam = F.substring(F.decode(F.col("payload"), "utf-8"), 1, 40)
+    h = F.conv(F.substring(F.md5(fam), 1, 15), 16, 10).cast("long")
+    phash = h.bitwiseAND(F.lit(-4)).bitwiseOR(
+        F.length(F.col("payload")) % 4
+    )
+    sigs = media.select(F.col("doc_id"), phash.alias("phash"))
+    return (
+        hamming_neardup_pairs(sigs, "doc_id", "phash", max_hamming=2, n_bands=4)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+_Q_MEDIA_PHASH_SQL = f"""
+    WITH d AS ({_DOCS_WITH_DUPS_SQL}),
+    sig AS (
+      SELECT doc_id,
+        (CAST(concat('0x', substr(md5(substr(text, 1, 40)), 1, 15)) AS BIGINT) & -4)
+          | (octet_length(encode(text)) % 4) AS s
+      FROM d)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= 2
+    ORDER BY id_a, id_b
+"""
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3334,6 +3379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": q_curation_funnel,
         "pack_sequences": q_pack_sequences,
         "mixture_select": q_mixture_select,
+        "media_phash_dups": q_media_phash_dups,
     }
 
 
@@ -3407,4 +3453,5 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dups": _Q_SIMHASH_SQL,
         "pack_sequences": _Q_PACK_SQL,
         "mixture_select": _Q_MIXTURE_SQL,
+        "media_phash_dups": _Q_MEDIA_PHASH_SQL,
     }

@@ -325,6 +325,70 @@ def simhash_col(text_col: Column, token_hash=None) -> Column:
     return _simhash_from_hashes(token_hashes)
 
 
+def hamming_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    max_hamming: int = 3,
+    n_bands: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs over ANY precomputed 64-bit integer signature — the
+    shared engine under SimHash text dedup and perceptual-hash media dedup
+    (a real pipeline injects pHash/chromaprint from its decoder; the Spark
+    surface is this banded self-join).
+
+    Pigeonhole recall guarantee: the signature's 64 bits are split into
+    ``n_bands`` (default ``max_hamming + 1``) disjoint bands that together
+    cover every bit (the last band absorbs the remainder), so a pair at
+    hamming <= max_hamming has at least one band with zero differing bits
+    and is found by the banded equi-self-join. Candidates are verified with
+    ``bit_count(a ^ b)`` — everything JVM-side; the join shuffles
+    (id, sig, band, bucket) integers only, never payloads.
+    """
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if n_bands < max_hamming + 1:
+        raise ValueError(
+            f"n_bands={n_bands} < max_hamming+1={max_hamming + 1}: the "
+            "pigeonhole recall guarantee needs at least max_hamming+1 bands"
+        )
+    width = 64 // n_bands
+    sig = F.col(sig_col)
+
+    def band_bucket(b: int):
+        shifted = F.shiftrightunsigned(sig, width * b)
+        if b == n_bands - 1:
+            return shifted  # top band keeps all remaining high bits
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
+    banded = df.select(
+        F.col(id_col).alias("_id"),
+        sig.alias("_sig"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
+                for b in range(n_bands)
+            ])
+        ).alias("_b"),
+    ).select("_id", "_sig", "_b.band", "_b.bucket")
+    left = banded.select(
+        F.col("_id").alias("id_a"), F.col("_sig").alias("_sig_a"), "band", "bucket"
+    )
+    right = banded.select(
+        F.col("_id").alias("id_b"), F.col("_sig").alias("_sig_b"), "band", "bucket"
+    )
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("_sig_a").bitwiseXOR(F.col("_sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -334,42 +398,13 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash: candidates share one of four 16-bit bands
     (pigeonhole: hamming<=3 ⇒ at least one of 4 bands identical), verified
-    with bit_count(a^b) <= max_hamming — all JVM-side except the signature."""
+    with bit_count(a^b) <= max_hamming — all JVM-side except the signature.
+    The banding/verify engine is ``hamming_neardup_pairs``."""
     sigs = df.select(
         F.col(id_col).alias("_id"),
         simhash_col(F.col(text_col), token_hash=token_hash).alias("_sim"),
     )
-    banded = sigs.select(
-        "_id",
-        "_sim",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.shiftrightunsigned(F.col("_sim"), 16 * b)
-                    .bitwiseAND(F.lit(0xFFFF))
-                    .alias("bucket"),
-                )
-                for b in range(4)
-            ])
-        ).alias("_b"),
-    ).select("_id", "_sim", "_b.band", "_b.bucket")
-    left = banded.select(
-        F.col("_id").alias("id_a"), F.col("_sim").alias("_sim_a"), "band", "bucket"
-    )
-    right = banded.select(
-        F.col("_id").alias("id_b"), F.col("_sim").alias("_sim_b"), "band", "bucket"
-    )
-    return (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "hamming", F.bit_count(F.col("_sim_a").bitwiseXOR(F.col("_sim_b")))
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    return hamming_neardup_pairs(sigs, "_id", "_sim", max_hamming, n_bands=4)
 
 
 # ---------------------------------------------------------------- embeddings

@@ -182,3 +182,48 @@ def test_winnow_fast_twin_equals_hof(spark):
     b = {(r["doc_id"], r["fp"]) for r in
          winnow_fingerprints(docs, "doc_id", "text", impl="fast").collect()}
     assert a == b and len(a) > 0
+
+
+def test_hamming_neardup_recall_guarantee(spark):
+    """Pigeonhole recall: EVERY pair at hamming <= max is found, including
+    pairs whose differing bits straddle several bands; pairs beyond max are
+    verified away even when a band collides."""
+    from bodhium_webscrapper_spark.operators.dedup import hamming_neardup_pairs
+
+    def s64(v: int) -> int:  # wrap to the signed-long domain Spark stores
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    base = 0x0123456789ABCDEF
+    rows = [
+        (0, s64(base)),
+        (1, s64(base ^ 0b1)),                 # ham 1, low band
+        (2, s64(base ^ (1 << 63))),           # ham 1, top band (sign bit)
+        (3, s64(base ^ (1 << 15) ^ (1 << 16) ^ (1 << 47))),  # ham 3, 3 bands
+        (4, s64(base ^ 0xF)),                 # ham 4: band-0 collision is
+                                              # impossible but bands 1-3 match
+                                              # -> candidate, verify kills it
+        (5, 0x7EDCBA9876543210),              # unrelated
+    ]
+    df = spark.createDataFrame(rows, "id long, sig long")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_neardup_pairs(df, "id", "sig", max_hamming=3).collect()
+    }
+    assert pairs[(0, 1)] == 1
+    assert pairs[(0, 2)] == 1
+    assert pairs[(0, 3)] == 3
+    assert (0, 4) not in pairs  # ham 4 > max: verify rejects the candidate
+    assert all(5 not in p for p in pairs)
+    # symmetric closure of the planted neighbors, all <= 3 apart pairwise?
+    # (1,2): differ in 2 bits -> must also be found
+    assert pairs[(1, 2)] == 2
+
+
+def test_hamming_neardup_rejects_too_few_bands(spark):
+    import pytest as _pytest
+
+    from bodhium_webscrapper_spark.operators.dedup import hamming_neardup_pairs
+
+    df = spark.createDataFrame([(1, 2)], "id long, sig long")
+    with _pytest.raises(ValueError):
+        hamming_neardup_pairs(df, "id", "sig", max_hamming=3, n_bands=3)

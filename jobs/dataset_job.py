@@ -16,7 +16,8 @@ Runs the documents table through the standard web-text curation stages a
   against a reference corpus, --model-ref; the DCLM/FineWeb-Edu stage) →
   exact dedup (md5 of normalized text) → near-dup removal (MinHash-LSH
   exact-Jaccard-verified, or winnowing fingerprint containment —
-  --neardedup) → token accounting
+  --neardedup) → token accounting → training-sequence packing manifest
+  (optional, --pack-seq-len)
 
 Usage:
     spark-submit --py-files build/engine.zip jobs/dataset_job.py \
@@ -81,6 +82,13 @@ def main() -> int:
                    help="model gate: keep docs whose mean per-token "
                         "reference evidence >= this (ppm; 500000 = more "
                         "reference-like than not)")
+    p.add_argument("--pack-seq-len", type=int, default=0,
+                   help="also emit a training-sequence packing manifest at "
+                        "<output>_packed: the cleaned corpus concat-and-"
+                        "chunked into N-token sequences (0 = off; adds the "
+                        "packing stage's own two actions — the partition-"
+                        "totals collect and the manifest write — a "
+                        "documented deviation from the two-action contract)")
     p.add_argument("--pii-scrub", action="store_true",
                    help="redact emails/SSNs/phones/IPv4s before scoring")
     p.add_argument("--strip-boilerplate", action="store_true",
@@ -326,6 +334,23 @@ def main() -> int:
     counted = output_counts(spark, args.output, sum_col="n_tokens")
     funnel["after_near_dedup"] = counted["rows"]
     funnel["tokens_total"] = counted["sum"]
+
+    if args.pack_seq_len > 0:
+        # packing consumes the WRITTEN output (footer-pruned to id+n_tokens,
+        # zero funnel recompute) and emits the (doc × sequence) manifest the
+        # trainer's loader consumes. n_sequences is arithmetic on the
+        # already-known token total — no extra count job; the manifest row
+        # count comes from the footers of files the stage writes anyway.
+        from bodhium_webscrapper_spark.operators.packing import pack_sequences
+
+        packed_path = args.output.rstrip("/") + "_packed"
+        toks = spark.read.parquet(args.output).select(args.id_col, "n_tokens")
+        pack_sequences(toks, args.pack_seq_len, id_col=args.id_col).write.mode(
+            "overwrite"
+        ).parquet(packed_path)
+        funnel["pack_manifest_rows"] = output_counts(spark, packed_path)["rows"]
+        funnel["n_sequences"] = -(-funnel["tokens_total"] // args.pack_seq_len)
+
     print(json.dumps(funnel))
     spark.stop()
     return 0

@@ -176,3 +176,41 @@ def test_select_plan_broadcasts_rates_no_doc_shuffle(spark, corpus):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dataset_job_pack_stage(spark, tmp_path, monkeypatch):
+    """--pack-seq-len writes a <output>_packed manifest over the CLEANED
+    corpus whose slices conserve the funnel's token total, and reports
+    n_sequences = ceil(tokens_total / seq_len)."""
+    import io
+    import json
+    import sys
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import SparkSession
+
+    from jobs.dataset_job import main
+
+    rows = [
+        (i, "spark shuffles " + " ".join(f"w{i}x{j}" for j in range(12)))
+        for i in range(8)
+    ]
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "cleaned")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    argv = ["dataset_job", "--input", src, "--output", out,
+            "--min-quality", "-1", "--pack-seq-len", "16",
+            "--master", "local[4]"]
+    monkeypatch.setattr(sys, "argv", argv)
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main() == 0
+    funnel = json.loads(buf.getvalue().strip().splitlines()[-1])
+    manifest = spark.read.parquet(out + "_packed").collect()
+    assert funnel["pack_manifest_rows"] == len(manifest)
+    sliced = sum(r["tok_end"] - r["tok_start"] for r in manifest)
+    assert sliced == funnel["tokens_total"]
+    n_seq = len({r["seq_id"] for r in manifest})
+    assert n_seq == funnel["n_sequences"]
+    assert funnel["n_sequences"] == -(-funnel["tokens_total"] // 16)

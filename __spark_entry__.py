@@ -3276,6 +3276,80 @@ _Q_MEDIA_PHASH_SQL = f"""
 """
 
 
+def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-template census (operators/traps.py url_template_census): URLs
+    generalize into their machine-minted family shape (hex runs → H, digit
+    runs → N, query values → V) and are counted per (host, template) — the
+    URL-space trap signal that fires BEFORE content accumulates. Fixture:
+    session-hex URLs, calendar paths, and item pages with paged queries all
+    collapse into one template per family."""
+    from bodhium_webscrapper_spark.operators.traps import url_template_census
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 8
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 4).cast("string"),
+                    F.lit(".example"))
+    d = F.col("doc_id").cast("string")
+    url = F.when(
+        m == 0,
+        F.concat(F.lit("https://"), host, F.lit("/s/"),
+                 F.substring(F.md5(d), 1, 12)),
+    ).when(
+        m < 3,
+        F.concat(F.lit("https://"), host, F.lit("/2024/"),
+                 (F.col("doc_id") % 12 + 1).cast("string"), F.lit("/"),
+                 (F.col("doc_id") % 28 + 1).cast("string"), F.lit("/item"), d),
+    ).otherwise(
+        F.concat(
+            F.lit("https://"), host, F.lit("/p/"), d,
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit("?page="), (F.col("doc_id") % 50).cast("string"),
+                            F.lit("&ref=x"))).otherwise(F.lit("")),
+        )
+    )
+    return (
+        url_template_census(docs.select(url.alias("url")), "url")
+        .orderBy("host", "template")
+    )
+
+
+_Q_URL_TEMPLATES_SQL = r"""
+    WITH urls AS (
+      SELECT CASE
+        WHEN doc_id % 8 = 0 THEN
+          'https://h' || (doc_id % 4) || '.example/s/' ||
+          substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+        WHEN doc_id % 8 < 3 THEN
+          'https://h' || (doc_id % 4) || '.example/2024/' ||
+          (doc_id % 12 + 1) || '/' || (doc_id % 28 + 1) || '/item' || doc_id
+        ELSE
+          'https://h' || (doc_id % 4) || '.example/p/' || doc_id ||
+          (CASE WHEN doc_id % 3 = 0
+                THEN '?page=' || (doc_id % 50) || '&ref=x' ELSE '' END)
+        END AS url
+      FROM documents),
+    t AS (
+      SELECT
+        regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+        regexp_replace(regexp_replace(
+          regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)', 1),
+          '[0-9a-f]{8,}', 'H', 'g'), '[0-9]+', 'N', 'g') AS path_t,
+        regexp_extract(url, '\?([^#]*)', 1) AS q,
+        url
+      FROM urls),
+    tpl AS (
+      SELECT host,
+        CASE WHEN q = '' THEN path_t
+             ELSE path_t || '?' || regexp_replace(q, '=[^&#]*', '=V', 'g')
+        END AS template,
+        url
+      FROM t)
+    SELECT host, template, COUNT(*) AS n_urls,
+           COUNT(DISTINCT url) AS n_distinct
+    FROM tpl GROUP BY host, template ORDER BY host, template
+"""
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3380,6 +3454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "mixture_select": q_mixture_select,
         "media_phash_dups": q_media_phash_dups,
+        "url_templates": q_url_templates,
     }
 
 
@@ -3454,4 +3529,5 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _Q_PACK_SQL,
         "mixture_select": _Q_MIXTURE_SQL,
         "media_phash_dups": _Q_MEDIA_PHASH_SQL,
+        "url_templates": _Q_URL_TEMPLATES_SQL,
     }

@@ -105,3 +105,66 @@ def trap_host_signals(
             )
         ).alias("is_trap"),
     )
+
+
+# ---------------------------------------------------------- URL templates
+
+_HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
+
+
+def url_template(url: Column) -> Column:
+    """Generalize a URL's path+query into its TEMPLATE — the shape shared
+    by every member of a machine-minted URL family:
+
+      - hex runs of >= 8 chars -> ``H``   (session ids, content hashes)
+      - digit runs            -> ``N``   (page numbers, dates, item ids)
+      - query VALUES          -> ``V``   (param names kept, order kept)
+
+    ``/2024/03/item8234?page=7&sid=ab12cd34ef`` →
+    ``/N/N/itemN?page=V&sid=V``. Hex collapses before digits so a hex run
+    is one ``H``, not ``H``-``N`` shards. Pure JVM regexp chain — one
+    whole-stage-codegen pass, replayed verbatim by the DuckDB oracle."""
+    path = F.regexp_extract(url, _PATH_RE, 1)
+    q = F.regexp_extract(url, _QUERY_RE, 1)
+    path_t = F.regexp_replace(
+        F.regexp_replace(path, r"[0-9a-f]{8,}", "H"), r"[0-9]+", "N"
+    )
+    q_t = F.regexp_replace(q, r"=[^&#]*", "=V")
+    return F.when(q == "", path_t).otherwise(F.concat(path_t, F.lit("?"), q_t))
+
+
+def url_template_census(
+    df: DataFrame,
+    url_col: str,
+    min_urls: int = 1,
+) -> DataFrame:
+    """Per-(host, template) URL-family census — the URL-space complement of
+    ``trap_host_signals``'s content-side verdict. A family whose ``n_urls``
+    keeps growing while every member is distinct (``n_distinct == n_urls``)
+    is a minting pattern: calendars, faceted grids, session rewrites —
+    fence it with a blocklist substring or a per-template budget BEFORE the
+    content-collapse signal can accumulate fetches.
+
+    Plan shape at 10^10 urls: one linear scan computing the template as a
+    codegen'd regexp chain, then ONE groupBy on (host, template) — map-side
+    partial aggregation bounds the shuffle by the number of DISTINCT
+    families per partition (Zipf-bounded: big hosts reuse few templates —
+    the very property being detected), never by URL count. The exact
+    ``count_distinct(url)`` shuffles (host, template, url) for dedup; at
+    100 TB swap it for ``approx_count_distinct`` (fully map-side HLL) —
+    kept exact here so the oracle replays bit-identically.
+    """
+    u = F.col(url_col)
+    per = df.select(
+        F.regexp_extract(u, _HOST_RE, 1).alias("host"),
+        url_template(u).alias("template"),
+        u.alias("_u"),
+    )
+    return (
+        per.groupBy("host", "template")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.count_distinct("_u").alias("n_distinct"),
+        )
+        .filter(F.col("n_urls") >= min_urls)
+    )

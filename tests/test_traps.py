@@ -63,3 +63,38 @@ def test_trap_plan_single_agg_jvm_side(spark):
     p = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert p.count("Exchange") <= 2  # count_distinct expand + final host agg
+
+
+def test_url_template_shapes(spark):
+    """Hand-checked template generalization: hex before digits, query
+    values masked with names/order kept, no-query URLs stay path-only."""
+    from bodhium_webscrapper_spark.operators.traps import url_template
+
+    cases = {
+        "https://h.example/2024/03/item8234?page=7&sid=ab12cd34ef":
+            "/N/N/itemN?page=V&sid=V",
+        "https://h.example/s/deadbeef0123": "/s/H",     # hex run -> one H
+        "https://h.example/s/dead": "/s/dead",          # <8 hex chars: kept
+        "https://h.example/plain/path": "/plain/path",
+        "https://h.example/a1b2/x?q=": "/aNbN/x?q=V",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r["url"]: r["t"] for r in df.select("url", url_template(F.col("url")).alias("t")).collect()}
+    assert got == cases
+
+
+def test_url_template_census_minting_family(spark):
+    """A minting family (distinct URLs, one template) is visible as
+    n_distinct == n_urls under a single (host, template) row."""
+    from bodhium_webscrapper_spark.operators.traps import url_template_census
+
+    rows = [(f"https://t.example/cal/2024/{i}",) for i in range(50)]
+    rows += [("https://t.example/about",)] * 3  # repeated fetches, one url
+    df = spark.createDataFrame(rows, "url string")
+    out = {r["template"]: r for r in url_template_census(df, "url").collect()}
+    cal = out["/cal/N/N"]
+    assert cal["n_urls"] == 50 and cal["n_distinct"] == 50  # minting shape
+    ab = out["/about"]
+    assert ab["n_urls"] == 3 and ab["n_distinct"] == 1
+    plan = url_template_census(df, "url")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

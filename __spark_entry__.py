@@ -3350,6 +3350,64 @@ _Q_URL_TEMPLATES_SQL = r"""
 """
 
 
+def q_common_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-learned boilerplate phrases (operators/quality.py
+    common_phrases): top word-5-grams by document frequency, two-phase so
+    gram text never rides the big shuffle (int64 hash census + broadcast
+    winner-text recovery). Fixture plants a newsletter footer on every 2nd
+    doc; its interior 5-grams must dominate the census. Runs under the
+    md5-60-bit gram hash so DuckDB replays the census and the top-k
+    tie-break bit-for-bit."""
+    from bodhium_webscrapper_spark.operators.dedup import md5_token_hash
+    from bodhium_webscrapper_spark.operators.quality import common_phrases
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" subscribe to our weekly newsletter for updates today"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return common_phrases(
+        docs, "doc_id", "text", n=5, k=10, min_docs=5, gram_hash=md5_token_hash
+    )
+
+
+_Q_COMMON_PHRASES_SQL = r"""
+    WITH d AS (
+      SELECT doc_id,
+        string_split(trim(regexp_replace(lower(
+          CASE WHEN doc_id % 2 = 0
+               THEN text || ' subscribe to our weekly newsletter for updates today'
+               ELSE text END), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(toks) >= 5 THEN
+          list_transform(range(1, len(toks) - 3),
+                         i -> array_to_string(list_slice(toks, i, i + 4), ' '))
+        ELSE [array_to_string(toks, ' ')] END)) AS gram
+      FROM d),
+    h AS (
+      SELECT doc_id, gram,
+        CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) AS hh
+      FROM g),
+    c AS (
+      SELECT hh, COUNT(*) AS n_docs FROM h GROUP BY hh
+      HAVING COUNT(*) >= 5),
+    top AS (SELECT hh, n_docs FROM c ORDER BY n_docs DESC, hh LIMIT 10)
+    SELECT min(h.gram) AS phrase, CAST(top.n_docs AS BIGINT) AS n_docs
+    FROM h JOIN top USING (hh)
+    GROUP BY hh, top.n_docs
+    ORDER BY n_docs DESC, phrase
+"""
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3455,6 +3513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_select": q_mixture_select,
         "media_phash_dups": q_media_phash_dups,
         "url_templates": q_url_templates,
+        "common_phrases": q_common_phrases,
     }
 
 
@@ -3530,4 +3589,5 @@ def oracle_sql() -> dict[str, str]:
         "mixture_select": _Q_MIXTURE_SQL,
         "media_phash_dups": _Q_MEDIA_PHASH_SQL,
         "url_templates": _Q_URL_TEMPLATES_SQL,
+        "common_phrases": _Q_COMMON_PHRASES_SQL,
     }

@@ -583,3 +583,62 @@ def score_quality_classifier(
             F.col("score_ppm").cast("long").alias("score_ppm"),
         )
     )
+
+
+# ------------------------------------------------------- phrase census
+
+def common_phrases(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    k: int = 20,
+    min_docs: int = 2,
+    gram_hash=None,
+) -> DataFrame:
+    """Corpus-wide boilerplate-phrase census: the ``k`` word-``n``-grams
+    shared by the most documents (cookie banners, nav chrome, footer
+    legalese — the phrases a CCNet-style cleaning pass should learn FROM
+    the corpus rather than hard-code).
+
+    Two-phase so gram TEXT never rides the big shuffle:
+
+    1. census — per-doc distinct grams (JVM HOF shingles) are hashed at the
+       explode, so the distinct/count aggregate shuffles (doc, hash) int64
+       pairs only; map-side combine bounds it by distinct grams per
+       partition. Top-k by (n_docs DESC, hash ASC) compiles to
+       TakeOrderedAndProject — per-partition top-k then a k×partitions
+       driver merge, the RIGHT shape for small k (unlike a 10^7-row global
+       cap; cf. politeness.global_ordered_cap).
+    2. recovery — one more linear gram scan, filtered by the broadcast of
+       the k winning hashes BEFORE any shuffle, recovers each winner's text
+       as ``min(gram)`` (hash↔text is 1:1 up to 64-bit collisions, which
+       both engines merge identically).
+
+    ``gram_hash``: injectable like dedup.md5_token_hash — xxhash64 default,
+    md5-60-bit twin for SQL-oracle replay.
+
+    Output: (phrase, n_docs), n_docs DESC then phrase ASC.
+    """
+    from bodhium_webscrapper_spark.operators.dedup import distinct_shingles_col
+
+    fn = gram_hash or (lambda g: F.xxhash64(g))
+    grams = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(distinct_shingles_col(F.col(text_col), n)).alias("_g"),
+    )
+    census = (
+        grams.select(fn(F.col("_g")).alias("_h"))
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    top = census.orderBy(F.col("n_docs").desc(), F.col("_h").asc()).limit(k)
+    return (
+        grams.withColumn("_h", fn(F.col("_g")))
+        .join(F.broadcast(top), "_h")
+        .groupBy("_h", "n_docs")
+        .agg(F.min("_g").alias("phrase"))
+        .select("phrase", F.col("n_docs").cast("long"))
+        .orderBy(F.col("n_docs").desc(), F.col("phrase").asc())
+    )

@@ -522,3 +522,22 @@ def test_dataset_job_model_gate(spark, tmp_path, monkeypatch):
     assert kept == [1, 3]
     # gate internals never leak into the output contract
     assert "_model_ppm" not in spark.read.parquet(out).columns
+
+
+def test_common_phrases_census_and_recovery(spark):
+    """The planted footer's interior 5-grams win the census; singleton
+    grams fall below min_docs; top-k compiles to TakeOrderedAndProject
+    (per-partition top-k, no single-partition sort stage)."""
+    from bodhium_webscrapper_spark.operators.quality import common_phrases
+
+    footer = "subscribe to our weekly newsletter for updates"
+    rows = [(i, f"doc {i} unique words here alpha{i} beta{i} " + footer)
+            for i in range(20)]
+    rows += [(100 + i, f"other {i} text entirely") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = common_phrases(df, "doc_id", "text", n=5, k=3, min_docs=10)
+    got = out.collect()
+    assert all(r["n_docs"] == 20 for r in got)  # only footer grams reach 20
+    assert any("newsletter" in r["phrase"] for r in got)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

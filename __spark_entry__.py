@@ -3408,6 +3408,104 @@ _Q_COMMON_PHRASES_SQL = r"""
 """
 
 
+def q_canonical_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical alias harvest + chain collapse (functions/extract.py
+    canonical_link_of, operators/redirects.py canonical_alias_edges →
+    resolve_redirects): synthetic pages declare canonicals in BOTH
+    attribute orders (rel-then-href on doc_id%10∈{1,5}, href-then-rel on
+    {2,6}); {1,2} form 2-hop chains ending at the tag-less %10==3 page,
+    {5,6} point at each other (a declaration cycle), {7} is self-canonical
+    (must emit no edge). The oracle replays the same two regexes and walks
+    the alias map with a recursive CTE — regex twins AND the pointer-
+    doubling contraction must agree row-for-row."""
+    from bodhium_webscrapper_spark.operators.redirects import (
+        canonical_alias_edges,
+        resolve_redirects,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 10
+    u = lambda c: F.concat(F.lit("https://ex.com/d"), c.cast("string"))  # noqa: E731
+    url, nxt, prv = u(F.col("doc_id")), u(F.col("doc_id") + 1), u(F.col("doc_id") - 1)
+
+    def rel_first(href):
+        return F.concat(F.lit('<link rel="canonical" href="'), href, F.lit('"/>'))
+
+    def href_first(href):
+        return F.concat(F.lit('<link href="'), href, F.lit('" rel="canonical"/>'))
+
+    pages = docs.select(
+        url.alias("url"),
+        F.concat(
+            F.lit("<html><head>"),
+            F.when(m == 1, rel_first(nxt))
+            .when(m == 2, href_first(nxt))
+            .when(m == 5, rel_first(nxt))
+            .when(m == 6, href_first(prv))
+            .when(m == 7, rel_first(url))
+            .otherwise(F.lit("")),
+            F.lit("</head><body>"),
+            F.col("text"),
+            F.lit("</body></html>"),
+        ).alias("html_text"),
+    )
+    edges = canonical_alias_edges(pages, "url", "html_text")
+    out = resolve_redirects(edges, max_hops=8)
+    return out.select(
+        "src_id",
+        "final_id",
+        F.col("hops").cast("long").alias("hops"),
+        "is_cycle",
+    ).orderBy("src_id")
+
+
+_Q_CANONICAL_ALIASES_SQL = r"""
+    WITH RECURSIVE p AS (
+      SELECT 'https://ex.com/d' || CAST(doc_id AS VARCHAR) AS url,
+        '<html><head>' ||
+        CASE CAST(doc_id % 10 AS INTEGER)
+          WHEN 1 THEN '<link rel="canonical" href="https://ex.com/d'
+                      || CAST(doc_id + 1 AS VARCHAR) || '"/>'
+          WHEN 2 THEN '<link href="https://ex.com/d'
+                      || CAST(doc_id + 1 AS VARCHAR) || '" rel="canonical"/>'
+          WHEN 5 THEN '<link rel="canonical" href="https://ex.com/d'
+                      || CAST(doc_id + 1 AS VARCHAR) || '"/>'
+          WHEN 6 THEN '<link href="https://ex.com/d'
+                      || CAST(doc_id - 1 AS VARCHAR) || '" rel="canonical"/>'
+          WHEN 7 THEN '<link rel="canonical" href="https://ex.com/d'
+                      || CAST(doc_id AS VARCHAR) || '"/>'
+          ELSE '' END ||
+        '</head><body>' || text || '</body></html>' AS html
+      FROM documents),
+    x AS (
+      SELECT url AS src,
+        coalesce(
+          nullif(regexp_extract(html,
+            '(?i)<link[^>]*rel\s*=\s*["'']canonical["''][^>]*href\s*=\s*["'']([^"'']+)["'']', 1), ''),
+          nullif(regexp_extract(html,
+            '(?i)<link[^>]*href\s*=\s*["'']([^"'']+)["''][^>]*rel\s*=\s*["'']canonical["'']', 1), '')
+        ) AS dst
+      FROM p),
+    edges AS (SELECT src, dst FROM x WHERE dst IS NOT NULL AND dst <> src),
+    walk AS (
+      SELECT src AS start, dst AS cur, 1 AS hops FROM edges
+      UNION ALL
+      SELECT w.start, e.dst, w.hops + 1 FROM walk w JOIN edges e ON e.src = w.cur
+      WHERE w.hops < 8
+    ),
+    terminal AS (
+      SELECT start, cur AS final, hops FROM walk w
+      WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = w.cur)
+    )
+    SELECT s.src AS src_id, t.final AS final_id,
+           CAST(t.hops AS BIGINT) AS hops,
+           t.final IS NULL AS is_cycle
+    FROM (SELECT DISTINCT src FROM edges) s
+    LEFT JOIN terminal t ON t.start = s.src
+    ORDER BY src_id
+"""
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3514,6 +3612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_phash_dups": q_media_phash_dups,
         "url_templates": q_url_templates,
         "common_phrases": q_common_phrases,
+        "canonical_aliases": q_canonical_aliases,
     }
 
 
@@ -3590,4 +3689,5 @@ def oracle_sql() -> dict[str, str]:
         "media_phash_dups": _Q_MEDIA_PHASH_SQL,
         "url_templates": _Q_URL_TEMPLATES_SQL,
         "common_phrases": _Q_COMMON_PHRASES_SQL,
+        "canonical_aliases": _Q_CANONICAL_ALIASES_SQL,
     }

@@ -240,3 +240,26 @@ def make_extract_page_outlinks_udf(link_scope: str = "host"):
         return pd.DataFrame({"text": texts, "outlinks": out_lists})
 
     return extract_page_outlinks
+
+
+# ------------------------------------------------------- rel=canonical
+
+_CANON_A = r"""(?i)<link[^>]*rel\s*=\s*["']canonical["'][^>]*href\s*=\s*["']([^"']+)["']"""
+_CANON_B = r"""(?i)<link[^>]*href\s*=\s*["']([^"']+)["'][^>]*rel\s*=\s*["']canonical["']"""
+
+
+def canonical_link_of(html_col):
+    """``<link rel="canonical" href=...>`` target from an html STRING column
+    (decode binary payloads first), or NULL when the page declares none.
+
+    Pure JVM: two ``regexp_extract`` passes cover both attribute orders
+    (rel-then-href and href-then-rel), case-insensitive, coalesced — one
+    codegen'd scan, no Python, no DOM parse. The duplicate-content policy
+    built on top (collapse alias chains into the declared canonical) lives
+    in operators/redirects.canonical_alias_edges.
+    """
+    from pyspark.sql import functions as F
+
+    a = F.regexp_extract(html_col, _CANON_A, 1)
+    b = F.regexp_extract(html_col, _CANON_B, 1)
+    return F.coalesce(F.nullif(a, F.lit("")), F.nullif(b, F.lit("")))

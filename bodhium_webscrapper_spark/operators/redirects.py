@@ -105,3 +105,30 @@ def resolve_redirects(
         .alias("hops"),
         (~F.col("done") | (F.col("hops") > max_hops)).alias("is_cycle"),
     )
+
+
+def canonical_alias_edges(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html_text",
+) -> DataFrame:
+    """rel=canonical alias edges harvested from fetched pages: one
+    (src, dst) row per page that declares a canonical DIFFERENT from its
+    own URL (self-canonical — the overwhelmingly common case — emits no
+    edge, so the edge table is duplicate-pages-sized, not corpus-sized).
+
+    ``html_col`` is the decoded html STRING (decode binary payloads at the
+    call site). Feed the result to ``resolve_redirects`` to collapse
+    canonical-of-canonical chains and flag declaration cycles — the same
+    pointer-doubling contraction, because an alias map IS a redirect map
+    (the reference's browser fetch obeys 3xx before extraction; a batch
+    engine obeys the in-document equivalent after). At 10^10 pages, key
+    both endpoints with ``canonicalize.url_key`` first so the resolution
+    joins move int64 pairs, exactly as the crawl loop does."""
+    from bodhium_webscrapper_spark.functions.extract import canonical_link_of
+
+    href = canonical_link_of(F.col(html_col))
+    return (
+        pages.select(F.col(url_col).alias("src"), href.alias("dst"))
+        .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+    )

@@ -574,3 +574,59 @@ def test_strip_tracking_seed_path_both_branches(spark, tmp_path):
         job.run()
         rows = job.crawl_order().collect()
         assert [r.canonical_url for r in rows] == ["https://trk.example/"]
+
+
+def test_canonical_link_extraction_variants(spark):
+    """canonical_link_of covers both attribute orders, single/double
+    quotes, case-insensitive rel values, and returns NULL for pages with
+    no (or an empty) canonical declaration."""
+    from bodhium_webscrapper_spark.functions.extract import canonical_link_of
+
+    rows = [
+        ('<link rel="canonical" href="https://a/x"/>', "https://a/x"),
+        ("<link href='https://a/y' rel='canonical'>", "https://a/y"),
+        ('<LINK REL="Canonical" HREF="https://a/z">', "https://a/z"),
+        ('<link rel="canonical" href=""/>', None),
+        ("<p>no link here</p>", None),
+        ('<link rel="stylesheet" href="https://a/css">', None),
+    ]
+    df = spark.createDataFrame(
+        [(h,) for h, _ in rows], "html string"
+    ).select(canonical_link_of(F.col("html")).alias("dst"))
+    assert [r.dst for r in df.collect()] == [want for _, want in rows]
+
+
+def test_canonical_alias_edges_drop_self_and_collapse_chain(spark):
+    """Self-canonical pages emit no edge; a 2-hop declaration chain
+    resolves to its terminal with exact hops; a mutual pair flags
+    is_cycle with NULL final."""
+    from bodhium_webscrapper_spark.operators.redirects import (
+        canonical_alias_edges,
+        resolve_redirects,
+    )
+
+    def page(url, canon=None):
+        tag = f'<link rel="canonical" href="{canon}"/>' if canon else ""
+        return (url, f"<html><head>{tag}</head><body>hi</body></html>")
+
+    pages = spark.createDataFrame(
+        [
+            page("https://s/a", "https://s/b"),
+            page("https://s/b", "https://s/c"),
+            page("https://s/c"),
+            page("https://s/self", "https://s/self"),
+            page("https://s/l1", "https://s/l2"),
+            page("https://s/l2", "https://s/l1"),
+        ],
+        "url string, html_text string",
+    )
+    edges = canonical_alias_edges(pages, "url", "html_text")
+    assert edges.filter(F.col("src") == "https://s/self").count() == 0
+    got = {
+        r.src_id: (r.final_id, r.hops, r.is_cycle)
+        for r in resolve_redirects(edges, max_hops=8).collect()
+    }
+    assert got["https://s/a"] == ("https://s/c", 2, False)
+    assert got["https://s/b"] == ("https://s/c", 1, False)
+    assert got["https://s/l1"] == (None, None, True)
+    assert got["https://s/l2"] == (None, None, True)

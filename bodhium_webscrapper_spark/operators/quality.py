@@ -27,7 +27,29 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from bodhium_webscrapper_spark.operators.dedup import normalized_text
+from bodhium_webscrapper_spark.operators.dedup import _bind_once, normalized_text
+
+
+# ------------------------------------------------------------ gram builder
+
+def _bound_grams(text_col: Column, n: int, elem, empty_type: str) -> Column:
+    """Word-n-gram array with the token array bound ONCE as a lambda
+    variable (dedup._bind_once). ``elem(i, toks)`` builds each element from
+    the 0-based start index. Referencing the raw split() expression inside
+    the per-index lambda would let CollapseProject inline it — the document
+    re-tokenized per gram, O(L²) per doc (measured 6× wall on the sf0.1
+    gram explode); the bound variable is evaluated once per row."""
+
+    def build(toks: Column) -> Column:
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: elem(i, toks),
+            ),
+        ).otherwise(F.array().cast(empty_type))
+
+    return _bind_once(F.split(normalized_text(text_col), " "), build)
 
 
 # ---------------------------------------------------------------- gopher
@@ -76,15 +98,13 @@ def gopher_repetition_signals(
     )
 
     out = line_stats
-    toks = F.split(normalized_text(F.col(text_col)), " ")
     for n in ngram_ns:
-        grams_col = F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+        grams_col = _bound_grams(
+            F.col(text_col),
+            n,
+            lambda i, tk, _n=n: F.concat_ws(" ", F.slice(tk, i + 1, _n)),
+            "array<string>",
+        )
         grams = df.select(
             F.col(id_col), F.explode(grams_col).alias("_g")
         ).select(
@@ -175,16 +195,15 @@ def duplicate_spans(
     by any duplicated gram.
     """
     toks = F.split(normalized_text(F.col(text_col)), " ")
-    grams_col = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - k),
-            lambda i: F.struct(
-                (i + 1).alias("i"),
-                F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))).alias("gh"),
-            ),
+    grams_col = _bound_grams(
+        F.col(text_col),
+        k,
+        lambda i, tk: F.struct(
+            (i + 1).alias("i"),
+            F.xxhash64(F.concat_ws(" ", F.slice(tk, i + 1, k))).alias("gh"),
         ),
-    ).otherwise(F.array().cast("array<struct<i:int,gh:bigint>>"))
+        "array<struct<i:int,gh:bigint>>",
+    )
     occ = df.select(
         F.col(id_col),
         F.size(toks).cast("long").alias("n_words"),
@@ -259,30 +278,17 @@ def decontaminate(
     threshold ``100*hit >= pct*n`` is exact; documents shorter than
     ``k`` words have ``n_grams = 0`` and are never contaminated.
     """
-    toks = F.split(normalized_text(F.col(text_col)), " ")
-    grams_col = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - k),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-
-    btoks = F.split(normalized_text(F.col(bench_text_col)), " ")
-    bench_grams = (
-        bench.select(
-            F.explode(
-                F.when(
-                    F.size(btoks) >= k,
-                    F.transform(
-                        F.sequence(F.lit(0), F.size(btoks) - k),
-                        lambda i: F.xxhash64(
-                            F.concat_ws(" ", F.slice(btoks, i + 1, k))
-                        ),
-                    ),
-                ).otherwise(F.array().cast("array<bigint>"))
-            ).alias("gh")
+    def hashed_grams(col: Column) -> Column:
+        return _bound_grams(
+            col,
+            k,
+            lambda i, tk: F.xxhash64(F.concat_ws(" ", F.slice(tk, i + 1, k))),
+            "array<bigint>",
         )
+
+    grams_col = hashed_grams(F.col(text_col))
+    bench_grams = (
+        bench.select(F.explode(hashed_grams(F.col(bench_text_col))).alias("gh"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
@@ -445,14 +451,16 @@ def char_ngram_familiarity(
     per-row Python; the only shuffle keyed wider than 8 bytes is the
     2-char gram count.
     """
-    t = normalized_text(F.col(text_col))
-    grams_arr = F.when(
-        F.length(t) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.length(t) - 1),
-            lambda i: t.substr(i, F.lit(2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams_arr = _bind_once(
+        normalized_text(F.col(text_col)),
+        lambda t: F.when(
+            F.length(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - 1),
+                lambda i: t.substr(i, F.lit(2)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
     grams = df.select(F.col(id_col), F.explode(grams_arr).alias("gram"))
     counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
     per_doc = (

@@ -58,6 +58,10 @@ def main() -> int:
         cores = int(master[len("local["):-1])
     except ValueError:  # local[*] / bare local — mirror session.py's guard
         cores = os.cpu_count() or 8
+    if os.environ.get("QPROBE_PIN", "1") == "1" and cores <= (os.cpu_count() or 1):
+        # pin BEFORE the JVM starts so every measurement thread inherits the
+        # mask — same methodology as bench.run_frontier (BASELINE.md §2)
+        os.sched_setaffinity(0, set(range(cores)))
     spark = build_session(master, "probe_quality_scaling", shuffle_partitions=cores)
     docs = amplified_docs(spark)
     docs.persist().count()  # isolate the operator from fixture generation

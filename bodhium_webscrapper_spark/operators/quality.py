@@ -173,6 +173,7 @@ def duplicate_spans(
     text_col: str,
     k: int = 5,
     min_docs: int = 2,
+    cache_occurrences: bool = False,
 ) -> DataFrame:
     """Maximal cross-document duplicated word-k-gram spans per document.
 
@@ -193,6 +194,18 @@ def duplicate_spans(
     Returns ``(id, n_words, n_spans, dup_words)`` for documents with at
     least one duplicated span; ``dup_words`` counts word positions covered
     by any duplicated gram.
+
+    ``cache_occurrences=False`` (default) recomputes the exploded
+    gram-occurrence table for each of its two consumers (dup-gram census,
+    semi-join probe side) instead of persisting it. Measured both ways on
+    the 200k-doc amplified corpus: persisting LOST 2.8x at local[16] —
+    materializing ~100M exploded rows into the block store costs more than
+    the second pipelined tokenize+explode scan, which stays inside one
+    WholeStageCodegen span and feeds the census's map-side partial agg
+    without ever materializing. (The opposite trade from winnow_pairs,
+    whose fingerprint table is ~500x smaller than its scan and is consumed
+    FOUR times.) The flag remains for corpora whose tokenize cost dwarfs
+    gram volume, e.g. very long documents with tiny k.
     """
     toks = F.split(normalized_text(F.col(text_col)), " ")
     grams_col = _bound_grams(
@@ -209,6 +222,8 @@ def duplicate_spans(
         F.size(toks).cast("long").alias("n_words"),
         F.explode(grams_col).alias("_g"),
     ).select(id_col, "n_words", F.col("_g.i").alias("i"), F.col("_g.gh").alias("gh"))
+    if cache_occurrences:
+        occ = occ.persist()
 
     dup_grams = (
         occ.select("gh", id_col)

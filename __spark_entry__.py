@@ -1005,7 +1005,7 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-_Q_GOPHER_SQL = f"""
+_Q_GOPHER_SQL = rf"""
     WITH fx AS ({_DOCS_LINES_SQL}),
     ln AS (
       SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM fx),
@@ -1078,7 +1078,7 @@ def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-_Q_C4_SQL = f"""
+_Q_C4_SQL = rf"""
     WITH base AS ({_DOCS_LINES_SQL}),
     p1 AS (
       SELECT doc_id,
@@ -1119,7 +1119,7 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(df, "doc_id", "text", k=5, min_docs=2).orderBy("doc_id")
 
 
-_Q_DUP_SPANS_SQL = f"""
+_Q_DUP_SPANS_SQL = rf"""
     WITH d AS ({_DOCS_WITH_DUPS_SQL}),
     nd AS (
       SELECT doc_id,

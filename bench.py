@@ -521,6 +521,7 @@ def best_clean_window_record() -> dict:
     best_sw = {}
     best_pair = {}
     best_pair_score = {}
+    best_q = {}
     try:
         with open(path) as f:
             for line in f:
@@ -646,6 +647,35 @@ def best_clean_window_record() -> dict:
                                     else "sixwave")
                             }
                     continue
+                # curation-operator ABBA records
+                # (benchmarks/quality_scaling_run.py): gated by the
+                # bracketing pure-CPU host-parity probes at the pair's own
+                # core counts (the runner's artifact gate, >=0.90) plus
+                # per-op ABBA rep consistency; dedup-shuffle control rows
+                # ride along as the shuffle-ceiling comparison.
+                if rec.get("kind") == "quality_scaling":
+                    probes = [rec.get("probe_before") or {},
+                              rec.get("probe_after") or {}]
+                    if min(p.get("parity", 0.0) for p in probes) < 0.90:
+                        continue
+                    for op, v in (rec.get("ops") or {}).items():
+                        reps = v.get("rep_effs", [])
+                        if len(reps) >= 2 and max(reps) - min(reps) > 0.12:
+                            continue
+                        cur = best_q.get(op)
+                        if not cur or v["eff"] > cur["eff"]:
+                            best_q[op] = {
+                                "ts": rec.get("ts"),
+                                "pair": rec.get("pair"),
+                                "eff": v["eff"],
+                                "rep_effs": reps,
+                                "amplify": v.get("amplify", rec.get("amplify")),
+                                "control_effs": [
+                                    (rec.get("control_before") or {}).get("eff"),
+                                    (rec.get("control_after") or {}).get("eff"),
+                                ],
+                            }
+                    continue
                 giant = rec.get("giant")
                 if not giant:
                     continue
@@ -672,6 +702,8 @@ def best_clean_window_record() -> dict:
         best["sixwave_hunt_best"] = best_sw
     if best_pair:
         best["pair_scaling_best"] = best_pair
+    if best_q:
+        best["curation_ops_best"] = best_q
     return best
 
 

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from bodhium_webscrapper_spark.session import build_session
 
 AMPLIFY = int(os.environ.get("QPROBE_AMPLIFY", "20"))
+AMP_PARTS = int(os.environ.get("QPROBE_PARTS", "64"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
@@ -38,17 +39,37 @@ def amplified_docs(spark):
     # (Alphabet rotation was tried first: it caps at 26 distinct copies,
     # and amplify>26 produced exact clones and 481k clone-driven pairs.)
     # Within a copy the base corpus's natural dup density is preserved.
-    copies = [
-        docs.select(
-            (F.col("doc_id") + r * 1_000_000).alias("doc_id"),
-            F.regexp_replace(F.col("text"), " ", f" q{r}z ").alias("text"),
+    if AMPLIFY > 64:
+        # row-identical crossJoin form: a union fold of hundreds of
+        # branches costs Catalyst O(branches^2) analysis; the crossJoin
+        # with a range keeps the plan constant-size at any amplification
+        reps = spark.range(AMPLIFY).select(F.col("id").alias("_r"))
+        out = docs.crossJoin(reps).select(
+            (F.col("doc_id") + F.col("_r") * 1_000_000).alias("doc_id"),
+            F.regexp_replace(
+                F.col("text"),
+                F.lit(" "),
+                F.concat(F.lit(" q"), F.col("_r").cast("string"), F.lit("z ")),
+            ).alias("text"),
         )
-        for r in range(AMPLIFY)
-    ]
-    out = copies[0]
-    for c in copies[1:]:
-        out = out.unionByName(c)
-    return out
+    else:
+        copies = [
+            docs.select(
+                (F.col("doc_id") + r * 1_000_000).alias("doc_id"),
+                F.regexp_replace(F.col("text"), " ", f" q{r}z ").alias("text"),
+            )
+            for r in range(AMPLIFY)
+        ]
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+    # fixed LEVEL-INDEPENDENT layout: the sf0.1 documents parquet is a
+    # single file, and the crossJoin preserves the streamed side's
+    # partitioning — without this the whole amplified corpus persists as
+    # ONE partition and every op runs single-threaded at every level
+    # (measured: gopher read eff=1/ratio exactly, the serial telltale).
+    # 64 hash partitions on doc_id is identical at both pair levels.
+    return out.repartition(AMP_PARTS, "doc_id")
 
 
 def main() -> int:

@@ -630,3 +630,50 @@ def test_canonical_alias_edges_drop_self_and_collapse_chain(spark):
     assert got["https://s/b"] == ("https://s/c", 1, False)
     assert got["https://s/l1"] == (None, None, True)
     assert got["https://s/l2"] == (None, None, True)
+
+
+def test_amplified_docs_crossjoin_equals_union(spark, tmp_path, monkeypatch):
+    """The bench fixture's crossJoin amplifier (used above 64 copies —
+    a union fold of hundreds of branches costs Catalyst O(n^2) analysis)
+    must produce the exact row multiset of the union form, at >1 partition
+    (the first x640 run persisted as ONE partition and measured eff =
+    1/ratio exactly — the serial telltale; BENCH/BASELINE.md §2.6)."""
+    import importlib
+    import os
+    import sys
+
+    docs_path = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta eps"), (3, "zeta")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(docs_path)
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo_root, "benchmarks"))
+    try:
+        import probe_quality_scaling as pq
+
+        importlib.reload(pq)
+        monkeypatch.setattr(pq, "SF_DIR", str(tmp_path))
+        monkeypatch.setattr(pq, "AMP_PARTS", 8)
+
+        monkeypatch.setattr(pq, "AMPLIFY", 65)  # crossJoin path
+        cj = pq.amplified_docs(spark)
+        assert cj.rdd.getNumPartitions() == 8
+
+        from pyspark.sql import functions as F
+
+        base = spark.read.parquet(docs_path)
+        union = None
+        for r in range(65):
+            c = base.select(
+                (F.col("doc_id") + r * 1_000_000).alias("doc_id"),
+                F.regexp_replace("text", " ", f" q{r}z ").alias("text"),
+            )
+            union = c if union is None else union.unionByName(c)
+
+        a = sorted(map(tuple, cj.collect()))
+        b = sorted(map(tuple, union.collect()))
+        assert a == b and len(a) == 195
+    finally:
+        sys.path.pop(0)

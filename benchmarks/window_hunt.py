@@ -62,6 +62,7 @@ def main() -> None:
 
     rec = {"ts": time.strftime("%Y-%m-%dT%H:%M:%S")}
     rec["host"] = bench.host_probe()
+    rec["membw"] = bench.membw_probe()
     print("host:", rec["host"])
     lo = control_level(4)
     hi = control_level(16)

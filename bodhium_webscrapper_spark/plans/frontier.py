@@ -151,6 +151,20 @@ class CrawlConfig:
     # (compressed) footprint; 256 MB compressed ≲ ~1-1.5 GB in memory.
     pending_driver_max_bytes: int = 256 * 1024 * 1024
     salt_activation_threshold: int = 2_000_000  # salt only when frontier is huge
+    # run the SCHEDULE action with adaptive execution disabled. AQE
+    # materializes every exchange of the schedule plan as its own job —
+    # measured (benchmarks/parse_eventlog.py on the 16M-page six-wave):
+    # 6-16 jobs per schedule with a ~2.5 s/wave SERIAL tail of
+    # sub-100ms-compute stage-materialization barriers, pure driver
+    # latency that does not shrink with cores. The giant-scale
+    # configuration turns AQE off for this one action: the plan's physical
+    # choices are already made statically (broadcast hints on the
+    # politeness count-split, explicit salting, size-gated robots
+    # strategy, seen anti-join forced to shuffle at 10^10 keys), so AQE
+    # has nothing left to decide there. Default ON (True = keep AQE):
+    # small/medium crawls DO want the anti-join broadcast-converted when
+    # seen is still tiny, and skew-join coverage for un-salted configs.
+    schedule_aqe: bool = True
     same_host_only: bool = True  # app.py:497 exclude_external_links
     # what "same site" means when same_host_only is on (P4):
     #  "host" = exact host equality (default);
@@ -242,17 +256,32 @@ def dedup_first_wins_frontier(frontier: DataFrame) -> DataFrame:
     fresh outlink (retry_count=0) must not have its retry budget reset —
     otherwise a permanently-missing URL that is re-linked every wave is
     rescheduled until max_waves instead of being dropped after
-    1+max_retries attempts."""
+    1+max_retries attempts.
+
+    ``host`` is DROPPED before the exchange and re-derived after the
+    filter: every frontier source computes host as exactly
+    ``host_of(canonical_url)`` (seeds via with_canonical_url, outlinks in
+    _frontier_after, pending rows from an artifact derived the same way),
+    so the recomputation is identity by construction (parse_url measured
+    ≈ hash-cost, benchmarks round 5) while the dropped column is ~12% of
+    the window exchange's bytes — and this exchange is the schedule
+    stage's memory-bandwidth hot spot (its task time inflates ~1.66x at
+    16 threads on one socket, tracking the membw_probe parity)."""
+    from bodhium_webscrapper_spark.functions.canonicalize import host_of
+
+    cols = frontier.columns
     w = Window.partitionBy("url_hash").orderBy(
         F.col("priority").desc(), F.col("depth").asc(), F.col("retry_count").desc()
     )
     return (
-        frontier.withColumn("_rn", F.row_number().over(w))
+        frontier.drop("host")
+        .withColumn("_rn", F.row_number().over(w))
         .withColumn(
             "retry_count", F.max("retry_count").over(Window.partitionBy("url_hash"))
         )
         .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        .withColumn("host", host_of(F.col("canonical_url")))
+        .select(*cols)
     )
 
 
@@ -656,6 +685,11 @@ class CrawlJob:
             timings[step] = round(now - t_start, 2)
             return now
 
+        # phase labels land in the event log (spark.job.description) so a
+        # scaling pair can be decomposed into per-phase job walls + driver
+        # gaps offline — zero-cost observability, no extra actions
+        sc = self.spark.sparkContext
+        sc.setJobDescription(f"w{wave}:count_frontier")
         if n_candidates is None:
             # seeds wave only (once per run): must count the CANONICALIZED
             # frontier — with_canonical_url drops null/hostless/non-http
@@ -663,6 +697,7 @@ class CrawlJob:
             # could mis-trigger the salting threshold
             n_candidates = frontier.count()
         t = mark("count_frontier", t0)
+        sc.setJobDescription(f"w{wave}:schedule")
 
         # schedule: dedup -> seen anti-join -> robots -> per-host budget ->
         # global cap. Adaptive physical choices (all semantics-preserving):
@@ -738,12 +773,23 @@ class CrawlJob:
                 cfg.global_wave_limit,
                 takeordered_threshold=cfg.global_cap_takeordered_threshold,
             )
-        self.store.write(wave, "scheduled", self._assign_order(capped, wave))
+        if not cfg.schedule_aqe:
+            # one action under static planning: every physical choice in
+            # this plan is already explicit (see CrawlConfig.schedule_aqe);
+            # scoped+restored so no other query inherits the setting
+            prev_aqe = self.spark.conf.get("spark.sql.adaptive.enabled")
+            self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            self.store.write(wave, "scheduled", self._assign_order(capped, wave))
+        finally:
+            if not cfg.schedule_aqe:
+                self.spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         if probe_cache is not None:  # bloom probe cache served its one action
             probe_cache.unpersist()
         if gate_cache is not None:  # count-split cache served the write
             gate_cache.unpersist()
         if cfg.fetch_strategy == "bucketed":
+            sc.setJobDescription(f"w{wave}:bucketed_twin")
             # NARROW bucketed twin for the fetch side (r5): the durable
             # ``scheduled`` artifact above is written plainly — no exchange,
             # straight from the politeness output partitioning — and the
@@ -769,6 +815,7 @@ class CrawlJob:
         scheduled = self.store.read(self.spark, wave, "scheduled")
         n_scheduled = self.store.row_count(wave, "scheduled")  # footer, no job
         t = mark("schedule", t)
+        sc.setJobDescription(f"w{wave}:fetch_extract")
 
         # fetch: pages are NEVER shuffled, whatever the wave size.
         #   1. the politeness-capped wave is broadcast into a hash probe of
@@ -884,11 +931,23 @@ class CrawlJob:
         # (the next wave's frontier and seen-exclusion just READ it) — that
         # sub-job was ~half the schedule stage's parallelism-independent
         # cost. The zero-miss wave (the common case) costs nothing at all.
+        sc.setJobDescription(f"w{wave}:count_next")
         n_misses = n_scheduled - n_fetched
-        n_pending = self._write_pending(wave, n_misses)
-        # |frontier_{t+1}| exactly, zero Spark jobs: outlink rows from the
-        # n_links column sum + the pending artifact's footer count
-        n_outlinks = self.store.column_sum(wave, "page_results", "n_links")
+        # the two driver-side reads are independent (pending reads the
+        # scheduled artifact + fetched keys; the sum reads one int64 column
+        # of page_results) and both release the GIL inside pyarrow — run
+        # them concurrently so a miss-bearing giant wave pays max(), not
+        # sum(), of the two
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            sum_f = pool.submit(
+                self.store.column_sum, wave, "page_results", "n_links"
+            )
+            n_pending = self._write_pending(wave, n_misses)
+            # |frontier_{t+1}| exactly, zero Spark jobs: outlink rows from
+            # the n_links column sum + the pending artifact's footer count
+            n_outlinks = sum_f.result()
         next_candidates = n_outlinks + n_pending
         t = mark("count_next", t)
 

@@ -677,3 +677,64 @@ def test_amplified_docs_crossjoin_equals_union(spark, tmp_path, monkeypatch):
         assert a == b and len(a) == 195
     finally:
         sys.path.pop(0)
+
+
+def test_dedup_narrow_exchange_row_identical(spark):
+    """The r5 narrow-exchange rewrite of dedup_first_wins_frontier (host
+    dropped before the window shuffle, re-derived after) must be row-
+    identical to the original full-row window form on frontier rows whose
+    host is host_of(canonical_url) — which is every engine source (seeds,
+    outlinks, pending)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bodhium_webscrapper_spark.functions.canonicalize import host_of
+    from bodhium_webscrapper_spark.plans.frontier import dedup_first_wins_frontier
+
+    n = 5000
+    base = spark.range(n).select(
+        F.concat(
+            F.lit("https://h"), (F.col("id") % 37).cast("string"),
+            F.lit(".example/p"), (F.col("id") % 613).cast("string"),
+        ).alias("canonical_url"),
+        (F.col("id") % 613).alias("url_hash"),  # forced collisions -> dups
+        (F.col("id") % 5).cast("int").alias("depth"),
+        (F.pmod(F.col("id") * 7919, F.lit(100)) / 10.0).alias("priority"),
+        (F.col("id") % 3).cast("int").alias("retry_count"),
+    ).withColumn("host", host_of(F.col("canonical_url"))).select(
+        "url_hash", "canonical_url", "host", "depth", "priority", "retry_count"
+    )
+
+    w = Window.partitionBy("url_hash").orderBy(
+        F.col("priority").desc(), F.col("depth").asc(), F.col("retry_count").desc()
+    )
+    legacy = (
+        base.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "retry_count", F.max("retry_count").over(Window.partitionBy("url_hash"))
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    got = dedup_first_wins_frontier(base)
+    assert got.columns == base.columns
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, legacy.collect()))
+
+
+def test_schedule_static_planning_identical(spark, crawl_fixture, tmp_path):
+    """schedule_aqe=False (static planning for the schedule action) must be
+    a pure physical-plan choice: crawl order and extracted rows identical
+    to the default AQE loop, and the session's AQE conf restored after."""
+    tmp = str(tmp_path)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    ja, sa = _run_job(spark, crawl_fixture, tmp, "r5_aqe")
+    js, ss = _run_job(spark, crawl_fixture, tmp, "r5_static", schedule_aqe=False)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert sa["total_scheduled"] == ss["total_scheduled"] > 0
+    assert [tuple(r) for r in ja.crawl_order().collect()] == [
+        tuple(r) for r in js.crawl_order().collect()
+    ]
+    res_a = ja.extracted().select("url_hash", "canonical_url", "wave", "text")
+    res_s = js.extracted().select("url_hash", "canonical_url", "wave", "text")
+    assert res_a.exceptAll(res_s).isEmpty()
+    assert res_s.exceptAll(res_a).isEmpty()

@@ -84,6 +84,7 @@ def main() -> None:
            "pair": [args.lo, args.hi]}
     time.sleep(args.settle)
     rec["host_before"] = bench.host_probe(lo=args.lo, hi=args.hi)
+    rec["membw"] = bench.membw_probe(lo=args.lo, hi=args.hi)
     clo, chi = control_level(args.lo), control_level(args.hi)
     rec["control"] = {f"local[{args.lo}]": clo, f"local[{args.hi}]": chi,
                       "eff": _eff(clo, chi, ratio)}
@@ -168,6 +169,7 @@ def main() -> None:
                             f"local[{args.hi}]": ahi,
                             "eff": _eff(alo, ahi, ratio)}
     rec["host_after"] = bench.host_probe(lo=args.lo, hi=args.hi)
+    rec["membw_after"] = bench.membw_probe(lo=args.lo, hi=args.hi)
     print("after:", rec["control_after"], rec["host_after"], flush=True)
     with open(OUT, "a") as f:
         f.write(json.dumps(rec) + "\n")

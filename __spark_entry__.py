@@ -1594,7 +1594,9 @@ _Q_LINE_DEDUP_SQL = f"""
       SELECT doc_id, i, ls[i] AS line
       FROM (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS i FROM lsx)),
     dup AS (
-      SELECT line FROM (SELECT DISTINCT line, doc_id FROM ln)
+      -- blank/whitespace-only lines are structural, exempt from the census
+      SELECT line FROM (SELECT DISTINCT line, doc_id FROM ln
+                        WHERE trim(line) <> '')
       GROUP BY line HAVING count(*) >= 2),
     kept AS (
       SELECT doc_id, i, line FROM ln
@@ -2790,8 +2792,8 @@ def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(
             F.concat(
                 F.lit(
-                    "Disallow: /orphan\nUser-agent: googlebot\n"
-                    "User-agent: BODHIUM\nDisallow: /a\nDisallow:\n"
+                    "Disallow: /orphan\nUser-agent: googlebot\n# interleaved\n"
+                    "\nUser-agent: BODHIUM\nDisallow: /a\nDisallow:\n"
                     "User-agent: bodhium\nDisallow: /b"
                 ),
                 s,
@@ -2825,8 +2827,8 @@ _Q_ROBOTS_PARSE_SQL = r"""
           WHEN 1 THEN e'# c\r\nUser-agent: *\r\nDisallow: /tmp' || i ||
             e'\r\nCrawl-delay: ' || (i + 1) || e'\r\n'
           WHEN 2 THEN e'User-agent: other\nDisallow: /all\n'
-          ELSE e'Disallow: /orphan\nUser-agent: googlebot\n' ||
-            e'User-agent: BODHIUM\nDisallow: /a\nDisallow:\n' ||
+          ELSE e'Disallow: /orphan\nUser-agent: googlebot\n# interleaved\n' ||
+            e'\nUser-agent: BODHIUM\nDisallow: /a\nDisallow:\n' ||
             e'User-agent: bodhium\nDisallow: /b' || i || e'\nCrawl-delay: xx\n'
         END AS robots_txt
       FROM hosts
@@ -2845,10 +2847,13 @@ _Q_ROBOTS_PARSE_SQL = r"""
             FROM lines)
     ),
     flagged AS (
+      -- blank/comment/non-directive lines (key = '') carry no RFC 9309
+      -- grouping significance: drop them BEFORE the lag so consecutive
+      -- User-agent lines separated by blanks/comments stay one group
       SELECT host, pos, key, val, (key = 'user-agent') AS is_ua,
         coalesce(lag(key = 'user-agent')
           OVER (PARTITION BY host ORDER BY pos), FALSE) AS prev_ua
-      FROM kv
+      FROM kv WHERE key <> ''
     ),
     grp AS (
       SELECT *, sum(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
@@ -3214,19 +3219,21 @@ _Q_MIXTURE_SQL = """
         (1 + CAST(substr(source, 4) AS BIGINT) % 5) * 50000 AS target_ppm
       FROM documents GROUP BY source),
     r AS (
+      -- // (integer div), not floor(a*b/c): float division rounds past
+      -- 2^53, same exactness contract as the Spark side's `div`
       SELECT source, n_docs, target_ppm,
-        CAST(floor(target_ppm * 1000000 / n_docs) AS BIGINT) AS ratio_scaled
+        (target_ppm * 1000000) // n_docs AS ratio_scaled
       FROM counts),
     k AS (
       SELECT source,
         CASE WHEN MAX(ratio_scaled) OVER () > 0
-          THEN CAST(floor(ratio_scaled * 1000000 / (MAX(ratio_scaled) OVER ())) AS BIGINT)
+          THEN (ratio_scaled * 1000000) // (MAX(ratio_scaled) OVER ())
           ELSE 0 END AS keep_ppm
       FROM r)
     SELECT d.doc_id, d.source, k.keep_ppm
     FROM documents d JOIN k USING (source)
     WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-        < CAST(floor(keep_ppm * 4294967296 / 1000000) AS BIGINT)
+        < (keep_ppm * 4294967296) // 1000000
     ORDER BY doc_id
 """
 

@@ -64,23 +64,38 @@ def mixture_keep_rates(
         counts.join(F.broadcast(targets), source_col, "left")
         .withColumn(target_col, F.coalesce(F.col(target_col), F.lit(0)).cast("long"))
         .withColumn(
+            # `div`, not floor(a*b/c): Spark's `/` on longs is DOUBLE
+            # division, and products past 2^53 round — the anchor source
+            # (ratio_scaled == rmax) could floor to 999_999 instead of
+            # PPM, silently dropping ~1/1e6 of the source that the
+            # contract says keeps 100%. `div` is exact integer arithmetic.
             "ratio_scaled",
-            F.floor(F.col(target_col) * F.lit(PPM) / F.col("n_docs")).cast("long"),
+            F.expr(f"(`{target_col}` * {PPM}) div n_docs"),
         )
     )
     w = Window.partitionBy()  # bounded: one row per source
     rates = rates.withColumn("_rmax", F.max("ratio_scaled").over(w))
+    # floor(ratio * PPM / rmax) in quotient/remainder form so the exact
+    # integer path never overflows: ratio <= rmax by construction, so the
+    # quotient is 0 or 1 (PPM for the anchor source, exactly) and the
+    # remainder term's product is (ratio % rmax) * PPM < rmax * PPM —
+    # in-range for every real mixture (targets up to ~9.2e12 "ppm");
+    # past that ANSI mode fails loud instead of rounding silently.
+    keep = F.when(
+        F.col("_rmax") > 0,
+        F.expr(
+            f"(ratio_scaled div _rmax) * {PPM}"
+            f" + ((ratio_scaled % _rmax) * {PPM}) div _rmax"
+        ),
+    ).otherwise(F.lit(0))
+    rates = rates.withColumn("keep_ppm", keep.cast("long"))
     return rates.select(
         F.col(source_col),
         F.col("n_docs").cast("long"),
         F.col(target_col),
         F.col("ratio_scaled"),
-        F.when(F.col("_rmax") > 0, F.floor(F.col("ratio_scaled") * F.lit(PPM) / F.col("_rmax")))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("keep_ppm"),
-        F.when(F.col("_rmax") > 0, F.floor(F.col("n_docs") * F.floor(F.col("ratio_scaled") * F.lit(PPM) / F.col("_rmax")) / F.lit(PPM)))
-        .otherwise(F.lit(0))
+        F.col("keep_ppm"),
+        F.expr(f"(n_docs * keep_ppm) div {PPM}")
         .cast("long")
         .alias("expect_kept"),
     )
@@ -105,7 +120,10 @@ def mixture_select(
     documents are scanned once, no shuffle at all on the doc table.
     """
     rates = mixture_keep_rates(docs, targets, source_col, target_col)
-    cutoff = F.floor(F.col("keep_ppm") * F.lit(4294967296) / F.lit(PPM))
+    # keep_ppm * 2^32 tops out at ~4.3e15 < 2^53 so double floor would be
+    # exact here, but `div` keeps the whole module's arithmetic uniformly
+    # integer (the keep_rates columns above require it for exactness)
+    cutoff = F.expr(f"(keep_ppm * 4294967296) div {PPM}")
     draw = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
         "long"
     )

@@ -205,7 +205,11 @@ def duplicate_spans(
     without ever materializing. (The opposite trade from winnow_pairs,
     whose fingerprint table is ~500x smaller than its scan and is consumed
     FOUR times.) The flag remains for corpora whose tokenize cost dwarfs
-    gram volume, e.g. very long documents with tiny k.
+    gram volume, e.g. very long documents with tiny k. When set, the
+    persisted occurrence table is exposed as ``occurrence_cache`` on the
+    returned DataFrame — callers MUST ``out.occurrence_cache.unpersist()``
+    after their action, or each call pins a gram-scale table in the block
+    store for the life of the session.
     """
     toks = F.split(normalized_text(F.col(text_col)), " ")
     grams_col = _bound_grams(
@@ -255,11 +259,17 @@ def duplicate_spans(
             (F.max("i") + k).alias("_end"),
         )
     )
-    return spans.groupBy(id_col).agg(
+    out = spans.groupBy(id_col).agg(
         F.first("n_words").alias("n_words"),
         F.count(F.lit(1)).alias("n_spans"),
         F.sum(F.col("_end") - F.col("_start")).cast("long").alias("dup_words"),
     )
+    if cache_occurrences:
+        # hand the persisted handle to the caller for release — a persist
+        # with no reachable handle would pin ~gram-count rows in the block
+        # store until the session dies
+        out.occurrence_cache = occ
+    return out
 
 
 # ---------------------------------------------------------------- decontam
@@ -343,6 +353,8 @@ def line_dedup(
     a host's pages verbatim). Within-document repeats of an otherwise
     unique line survive: repetition inside one page is the Gopher
     signals' business (gopher_repetition_signals), not boilerplate.
+    Blank and whitespace-only lines are structural separators and are
+    never counted or removed — paragraph breaks survive the pass.
 
     The reference has no corpus-level view at all — each Lambda sees one
     page (``/root/reference/app.py:497-538``) — so its extracted markdown
@@ -366,8 +378,16 @@ def line_dedup(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
     ).withColumn("lh", F.xxhash64("line"))
+    # Structural blanks are exempt from the census: F.split yields ''
+    # segments for consecutive separators (paragraph breaks, trailing
+    # newline), and whitespace-only lines are separators too — both would
+    # otherwise share one corpus-wide hash, get flagged the moment
+    # min_docs documents contain any blank line, and the anti-join would
+    # strip ALL paragraph structure from every document. No boilerplate
+    # pass (RefinedWeb/CCNet) removes blank lines; only content repeats.
     dup = (
-        lines.select("lh", id_col)
+        lines.filter(F.trim(F.col("line")) != "")
+        .select("lh", id_col)
         .dropDuplicates(["lh", id_col])
         .groupBy("lh")
         .agg(F.count(F.lit(1)).alias("_nd"))

@@ -221,6 +221,12 @@ def parse_robots_txt(
         F.lower(F.trim(F.regexp_extract(clean, r"^([^:]+):", 1))).alias("_key"),
         F.trim(F.regexp_extract(clean, r"^[^:]*:(.*)$", 1)).alias("_val"),
     )
+    # RFC 9309 gives blank and comment-only lines NO grouping significance
+    # (the ABNF allows emptyline between the startgrouplines of one group),
+    # so drop non-directive lines BEFORE the lag window — otherwise a blank
+    # or comment between two consecutive User-agent lines would split the
+    # group and silently discard the earlier agents' rules.
+    kv = kv.filter(F.col("_key") != "")
     w = Window.partitionBy("host").orderBy("_pos")
     is_ua = F.col("_key") == "user-agent"
     prev_ua = F.lag(is_ua, 1, False).over(w)

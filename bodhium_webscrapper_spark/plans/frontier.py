@@ -950,6 +950,12 @@ class CrawlJob:
             n_outlinks = sum_f.result()
         next_candidates = n_outlinks + n_pending
         t = mark("count_next", t)
+        # clear the phase label: it is sticky per-context, so without this
+        # every job AFTER the loop (bench queries, compaction, user code in
+        # the same session) would be attributed to "w<N>:count_next" in the
+        # event log — corrupting the very per-phase decomposition
+        # (benchmarks/parse_eventlog.py) the labels exist to enable
+        sc.setJobDescription(None)
 
         stats = WaveStats(
             wave=wave,

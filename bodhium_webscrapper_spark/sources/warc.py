@@ -50,8 +50,12 @@ def parse_warc_records(
     parts = F.split(F.col("_rec"), _SEP_RE, 2)
     hdr = F.element_at(parts, 1)
     # limit=2 keeps payload-internal blank lines intact; strip the record's
-    # own trailing separator
-    payload = F.regexp_replace(F.element_at(parts, 2), r"(\r\n)+$", "")
+    # own trailing separator — EXACTLY one CRLFCRLF (the writer's inverse):
+    # a greedy (\r\n)+ here would also eat payload bytes when the payload
+    # legitimately ends with CRLF line endings, truncating the content and
+    # false-tripping length_ok. \z (not $) because Java's $ also matches
+    # before a final line terminator.
+    payload = F.regexp_replace(F.element_at(parts, 2), r"\r\n\r\n\z", "")
 
     def _h(name: str):
         return F.regexp_extract(hdr, rf"{name}: ([^\r\n]+)", 1)

@@ -127,6 +127,26 @@ def test_keep_rates_anchor_and_ratios(spark, corpus):
         ) // PPM
 
 
+def test_keep_rates_exact_past_double_precision(spark):
+    """ratio_scaled * PPM can exceed 2^53, where double division rounds:
+    floor(float(r*1e6)/float(r)) = 999_999 for r = 576_460_752_305 —
+    regression for the anchor source silently keeping 999999/1e6 instead
+    of the documented 100%. The arithmetic must be integer `div`."""
+    docs = spark.createDataFrame(
+        [(1, "big"), (2, "small"), (3, "small")],
+        "doc_id long, source string",
+    )
+    # n_docs=1 for 'big' makes ratio_scaled = target_ppm * PPM exactly
+    r = 576_460_752_305
+    targets = spark.createDataFrame(
+        [("big", r), ("small", 1)], "source string, target_ppm long"
+    )
+    rates = {x["source"]: x for x in mixture_keep_rates(docs, targets).collect()}
+    assert rates["big"]["ratio_scaled"] == r * PPM
+    assert rates["big"]["keep_ppm"] == PPM  # NOT 999_999
+    assert rates["big"]["expect_kept"] == 1
+
+
 def test_missing_target_drops_source(spark, corpus):
     targets = spark.createDataFrame(
         [("a", 500_000), ("b", 500_000)], "source string, target_ppm long"

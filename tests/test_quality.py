@@ -73,6 +73,24 @@ def test_duplicate_spans_merge_and_counts(spark):
     assert out[1]["n_words"] == 12
 
 
+def test_duplicate_spans_cache_handle_released(spark):
+    """cache_occurrences=True must hand back the persisted occurrence
+    table so the caller can unpersist it — otherwise each call pins a
+    gram-scale table in the block store for the session's lifetime."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f h")], "doc_id long, text string"
+    )
+    out = duplicate_spans(df, "doc_id", "text", k=5, cache_occurrences=True)
+    assert out.count() == 2
+    cache = out.occurrence_cache
+    assert cache.storageLevel.useMemory  # actually persisted
+    cache.unpersist(blocking=True)
+    assert not cache.storageLevel.useMemory
+    # default path exposes no handle (nothing was persisted)
+    plain = duplicate_spans(df, "doc_id", "text", k=5)
+    assert not hasattr(plain, "occurrence_cache")
+
+
 def test_duplicate_spans_plan_is_linear_jvm(spark):
     """No Python eval nodes and no cartesian/broadcast-nested-loop pair
     join — the span plan must stay linear in the corpus."""

@@ -64,6 +64,30 @@ def test_line_dedup_removes_cross_doc_keeps_within_doc(spark):
     assert (out[3].n_lines, out[3].n_dup_lines) == (1, 1)
 
 
+def test_line_dedup_preserves_blank_lines(spark):
+    """Structural blanks are exempt from the census (regression: ''
+    segments from consecutive newlines share one corpus-wide hash, so
+    any min_docs docs containing a paragraph break used to delete EVERY
+    blank line — and all paragraph structure — from the whole corpus)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "para one\n\npara two"),
+            (2, "other one\n\nother two\n"),
+            (3, "shared banner\n  \nshared banner tail"),
+            (4, "shared banner\n  \nshared banner tail"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in line_dedup(docs, "doc_id", "text").collect()}
+    # blank lines (and the trailing-newline empty segment) survive
+    assert out[1].text == "para one\n\npara two"
+    assert out[1].n_dup_lines == 0
+    assert out[2].text == "other one\n\nother two\n"
+    # content repeats still go; the whitespace-only separator stays
+    assert out[3].text == "  "
+    assert (out[3].n_lines, out[3].n_dup_lines) == (3, 2)
+
+
 def test_line_dedup_min_docs_threshold(spark):
     docs = spark.createDataFrame(
         [(1, "a\nb"), (2, "a\nc"), (3, "a\nb")],
@@ -89,6 +113,18 @@ def test_warc_roundtrip_and_internal_blank_lines(spark):
     # payload with an INTERNAL blank line: the limit-2 header split must
     # keep it intact
     body = "para one\r\n\r\npara two"
+    # payload ENDING with CRLF: the trailer strip must remove exactly one
+    # CRLFCRLF (the writer's inverse), not every trailing CRLF (regression:
+    # a greedy (\r\n)+$ truncated CRLF-line-ending payloads and
+    # false-tripped length_ok)
+    crlf_tail = "line one\r\nline two\r\n"
+    tail_df = spark.range(1).select(
+        build_warc_record(F.lit("https://a.example/3"), F.lit(crlf_tail))
+        .alias("blob")
+    )
+    (trow,) = parse_warc_records(tail_df, "blob").collect()
+    assert trow.payload == crlf_tail
+    assert trow.length_ok is True
     df = spark.range(1).select(
         F.concat(
             build_warc_record(F.lit("https://a.example/1"), F.lit(body)),

@@ -108,6 +108,22 @@ def test_parse_robots_feeds_gate_end_to_end(spark):
     ]
 
 
+def test_parse_robots_blank_between_stacked_agents(spark):
+    """RFC 9309: blank/comment lines have no grouping significance — a
+    blank or comment BETWEEN two consecutive User-agent lines must not
+    split the group (regression: the lag-based grouper keyed on the
+    immediately preceding raw line, so 'User-agent: a\\n\\nUser-agent: b\\n
+    Disallow: /x' gave agent a zero rules)."""
+    raw = spark.createDataFrame(
+        [("h.example",
+          "User-agent: bodhium\n# note\n\nUser-agent: googlebot\n"
+          "Disallow: /x\n")],
+        "host string, robots_txt string",
+    )
+    row = parse_robots_txt(raw, agent="bodhium").collect()[0]
+    assert row["disallow_prefixes"] == ["/x"]
+
+
 def test_parse_robots_allow_collected(spark):
     raw = spark.createDataFrame(
         [("h.example",

@@ -3513,6 +3513,74 @@ _Q_CANONICAL_ALIASES_SQL = r"""
 """
 
 
+def q_meta_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-page REP directives (functions/extract.py meta_robots_cols, the
+    page-level half of the robots machinery; robots.txt is the host-level
+    half): synthetic pages declare <meta name=robots> in both attribute
+    orders, single- and double-quoted, including the 'none' shorthand
+    (= noindex,nofollow), an index,follow no-op, a name-mismatched meta
+    that must NOT trigger, and tag-less pages. The oracle replays the two
+    extraction regexes and the token-boundary directive matches."""
+    from bodhium_webscrapper_spark.functions.extract import meta_robots_cols
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 8
+    tag = (
+        F.when(m == 0, F.lit('<meta name="robots" content="noindex, follow"/>'))
+        .when(m == 1, F.lit('<meta content="nofollow" name="ROBOTS"/>'))
+        .when(m == 2, F.lit('<meta name="robots" content="NONE"/>'))
+        .when(m == 3, F.lit('<meta name="robots" content="index, follow"/>'))
+        .when(m == 5, F.lit('<meta name="keywords" content="noindex"/>'))
+        .when(m == 6, F.lit("<meta name='robots' content='noindex,nofollow'/>"))
+        .otherwise(F.lit(""))
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>t</title>"), tag,
+            F.lit("</head><body>"), F.substring("text", 1, 80),
+            F.lit("</body></html>"),
+        ).alias("html_text"),
+    )
+    noindex, nofollow = meta_robots_cols(F.col("html_text"))
+    return pages.select(
+        "doc_id", noindex.alias("noindex"), nofollow.alias("nofollow")
+    ).orderBy("doc_id")
+
+
+_Q_META_ROBOTS_SQL = r"""
+    WITH pages AS (
+      SELECT doc_id,
+        '<html><head><title>t</title>' ||
+        CASE CAST(doc_id % 8 AS INTEGER)
+          WHEN 0 THEN '<meta name="robots" content="noindex, follow"/>'
+          WHEN 1 THEN '<meta content="nofollow" name="ROBOTS"/>'
+          WHEN 2 THEN '<meta name="robots" content="NONE"/>'
+          WHEN 3 THEN '<meta name="robots" content="index, follow"/>'
+          WHEN 5 THEN '<meta name="keywords" content="noindex"/>'
+          WHEN 6 THEN '<meta name=''robots'' content=''noindex,nofollow''/>'
+          ELSE ''
+        END || '</head><body>' || substr(text, 1, 80) || '</body></html>'
+          AS html_text
+      FROM documents),
+    c AS (
+      SELECT doc_id,
+        coalesce(
+          nullif(regexp_extract(html_text,
+            '(?i)<meta[^>]*name\s*=\s*["'']robots["''][^>]*content\s*=\s*["'']([^"'']*)["'']', 1), ''),
+          nullif(regexp_extract(html_text,
+            '(?i)<meta[^>]*content\s*=\s*["'']([^"'']*)["''][^>]*name\s*=\s*["'']robots["'']', 1), '')
+        ) AS content
+      FROM pages)
+    SELECT doc_id,
+      coalesce(regexp_matches(content, '(?i)(^|[,\s])(noindex|none)([,\s]|$)'),
+               FALSE) AS noindex,
+      coalesce(regexp_matches(content, '(?i)(^|[,\s])(nofollow|none)([,\s]|$)'),
+               FALSE) AS nofollow
+    FROM c ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3620,6 +3688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_templates": q_url_templates,
         "common_phrases": q_common_phrases,
         "canonical_aliases": q_canonical_aliases,
+        "meta_robots": q_meta_robots,
     }
 
 
@@ -3697,4 +3766,5 @@ def oracle_sql() -> dict[str, str]:
         "url_templates": _Q_URL_TEMPLATES_SQL,
         "common_phrases": _Q_COMMON_PHRASES_SQL,
         "canonical_aliases": _Q_CANONICAL_ALIASES_SQL,
+        "meta_robots": _Q_META_ROBOTS_SQL,
     }

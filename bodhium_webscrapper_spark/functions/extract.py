@@ -263,3 +263,47 @@ def canonical_link_of(html_col):
     a = F.regexp_extract(html_col, _CANON_A, 1)
     b = F.regexp_extract(html_col, _CANON_B, 1)
     return F.coalesce(F.nullif(a, F.lit("")), F.nullif(b, F.lit("")))
+
+
+# ------------------------------------------------------- meta robots
+
+_META_RB_A = r"""(?i)<meta[^>]*name\s*=\s*["']robots["'][^>]*content\s*=\s*["']([^"']*)["']"""
+_META_RB_B = r"""(?i)<meta[^>]*content\s*=\s*["']([^"']*)["'][^>]*name\s*=\s*["']robots["']"""
+# directive token inside the comma/space-separated content list; "none"
+# is the REP shorthand for "noindex, nofollow"
+_RB_NOINDEX_RE = r"(?i)(^|[,\s])(noindex|none)([,\s]|$)"
+_RB_NOFOLLOW_RE = r"(?i)(^|[,\s])(nofollow|none)([,\s]|$)"
+
+
+def meta_robots_content_of(html_col):
+    """``<meta name="robots" content=...>`` directive string from an html
+    STRING column (decode binary payloads first), or NULL when the page
+    declares none. Same shape as :func:`canonical_link_of`: two
+    ``regexp_extract`` passes cover both attribute orders, case-
+    insensitive, coalesced — one codegen'd scan, no Python, no DOM parse.
+    When a page carries several robots metas the FIRST match wins (real
+    engines union directives across tags; the engine's single-scan policy
+    is documented here and replayed verbatim by the DuckDB oracle).
+    """
+    from pyspark.sql import functions as F
+
+    a = F.regexp_extract(html_col, _META_RB_A, 1)
+    b = F.regexp_extract(html_col, _META_RB_B, 1)
+    return F.coalesce(F.nullif(a, F.lit("")), F.nullif(b, F.lit("")))
+
+
+def meta_robots_cols(html_col):
+    """``(noindex, nofollow)`` boolean Columns from an html STRING column —
+    the robots-meta page directives (REP's in-page half; robots.txt is the
+    per-host half, operators/robots.py). ``noindex`` = the page asks to be
+    left out of the built corpus; ``nofollow`` = its outlinks must not be
+    followed. ``none`` implies both. Pages with no robots meta read
+    (false, false) — absent-means-allowed, the same default as the
+    robots.txt gate.
+    """
+    from pyspark.sql import functions as F
+
+    content = meta_robots_content_of(html_col)
+    noindex = F.coalesce(content.rlike(_RB_NOINDEX_RE), F.lit(False))
+    nofollow = F.coalesce(content.rlike(_RB_NOFOLLOW_RE), F.lit(False))
+    return noindex, nofollow

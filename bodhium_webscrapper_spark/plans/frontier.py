@@ -233,6 +233,18 @@ class CrawlConfig:
     # (app.py:618-622), so parity mode must keep the variants distinct,
     # and stripped keys no longer match pages rows keyed with the params.
     strip_tracking: bool = False
+    # honor in-page <meta name="robots"> directives (the REP's in-page
+    # half; robots.txt is the per-host half): nofollow pages contribute
+    # ZERO outlinks to the next frontier, and noindex pages are fetched
+    # (their links may still be followed) but excluded from extracted().
+    # Both flags are pure JVM regexp columns in the fetch projection
+    # (functions/extract.py meta_robots_cols) — no extra pass, no Python.
+    # page_results gains a `noindex` boolean column when ON; keep the
+    # setting constant across a checkpoint's life (resume unions wave
+    # deltas by schema). Default OFF: the reference follows every
+    # same-site link regardless of page directives (app.py:497-538), so
+    # parity mode must too.
+    honor_meta_robots: bool = False
 
 
 def dedup_first_wins_frontier(frontier: DataFrame) -> DataFrame:
@@ -844,11 +856,34 @@ class CrawlJob:
             F.col("url").alias("canonical_url"),
             host_of(F.col("url")).alias("host"),
         ]
-        extract_cols = [
-            F.col("_page.text").alias("text"),
-            F.col("_page.outlinks").alias("outlinks"),
-            F.size(F.col("_page.outlinks")).alias("n_links"),
-        ]
+        extract_cols = [F.col("_page.text").alias("text")]
+        if cfg.honor_meta_robots:
+            # in-page REP directives, JVM regexp over the html already in
+            # this projection (html still never travels past it): nofollow
+            # zeroes the page's outlink contribution AND its n_links (the
+            # footer-summed count_next must agree with the exploded
+            # frontier); noindex rides along as a column for extracted()
+            from bodhium_webscrapper_spark.functions.extract import (
+                meta_robots_cols,
+            )
+
+            noindex_c, nofollow_c = meta_robots_cols(
+                F.col("html").cast("string")
+            )
+            extract_cols += [
+                F.when(nofollow_c, F.array().cast("array<string>"))
+                .otherwise(F.col("_page.outlinks"))
+                .alias("outlinks"),
+                F.when(nofollow_c, F.lit(0))
+                .otherwise(F.size(F.col("_page.outlinks")))
+                .alias("n_links"),
+                noindex_c.alias("noindex"),
+            ]
+        else:
+            extract_cols += [
+                F.col("_page.outlinks").alias("outlinks"),
+                F.size(F.col("_page.outlinks")).alias("n_links"),
+            ]
         if cfg.verify_extraction:
             extract_cols.append(
                 F.col("_page.text").eqNullSafe(F.col("text")).alias("golden_ok")
@@ -909,6 +944,8 @@ class CrawlJob:
             # same column order as the broadcast path (one artifact schema)
             final_cols = ["url_hash", "canonical_url", "host", "depth",
                           "priority", "wave", "text", "outlinks", "n_links"]
+            if cfg.honor_meta_robots:
+                final_cols.append("noindex")
             if cfg.verify_extraction:
                 final_cols.append("golden_ok")
             fetch_plan = raw.join(attrs, "url_hash").select(*final_cols)
@@ -1254,6 +1291,11 @@ class CrawlJob:
 
     def extracted(self) -> DataFrame:
         df = self.store.read_deltas(self.spark, "page_results", self.store.committed_wave())
+        if self.config.honor_meta_robots and "noindex" in df.columns:
+            # the S5 corpus view honors the page's own noindex ask; the
+            # raw page_results artifact keeps the row (its links were
+            # still followed, and resume/metrics count it as fetched)
+            df = df.filter(~F.col("noindex"))
         return df.select("url_hash", "canonical_url", "wave", "text")
 
     def metrics(self) -> DataFrame:

@@ -86,6 +86,12 @@ def main() -> int:
         help="declare seeds already canonical: wave 0 skips the "
         "canonicalization UDF (pure-JVM keying)",
     )
+    p.add_argument(
+        "--honor-meta-robots", action="store_true",
+        help="honor in-page <meta name=robots> directives: nofollow pages "
+        "contribute no outlinks, noindex pages are excluded from the "
+        "extracted() corpus view",
+    )
     p.add_argument("--master", default=os.environ.get("SPARK_MASTER", "local[*]"))
     p.add_argument(
         "--iceberg-warehouse",
@@ -192,6 +198,7 @@ def main() -> int:
         seeds_canonical=args.seeds_canonical,
         rank_priority_every=args.rank_priority_every,
         rank_priority_weight=args.rank_weight,
+        honor_meta_robots=args.honor_meta_robots,
     )
     job = CrawlJob(
         spark,

@@ -35,6 +35,9 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--stop-at", type=float, default=0.81,
                     help="stop once a gated giant eff >= this lands")
+    ap.add_argument("--max-spread", type=float, default=None,
+                    help="additionally require max(rep_effs)-min(rep_effs) "
+                         "<= this before stopping (tight-rep capture)")
     args = ap.parse_args()
 
     import bench
@@ -102,7 +105,12 @@ def main() -> None:
             rec["host_before"].get("parity", 0.0),
             (rec.get("host_after") or {}).get("parity", 0.0),
         ) >= 0.93
-        if got >= args.stop_at and 0.9 <= c1 <= 1.08 and parity_ok:
+        reps = (rec.get("giant") or {}).get("rep_effs", [])
+        spread_ok = (
+            args.max_spread is None
+            or (len(reps) >= 2 and max(reps) - min(reps) <= args.max_spread)
+        )
+        if got >= args.stop_at and 0.9 <= c1 <= 1.08 and parity_ok and spread_ok:
             print("clean capture landed; stopping", flush=True)
             break
         time.sleep(args.sleep_min * 60)

@@ -3581,6 +3581,255 @@ _Q_META_ROBOTS_SQL = r"""
 """
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher A1.2 quality-rule gate (the non-repetition half; Rae et al.
+    2021) with two planted violation families: every 19th doc (offset 1)
+    becomes hash-symbol spam (trips the symbol-to-word rule and the
+    stopword rule), every 23rd (offset 4) becomes a bullet list (trips the
+    bullet-line rule). Pure per-row JVM expressions — zero shuffle, the
+    whole gate rides the scan."""
+    from bodhium_webscrapper_spark.operators.quality import (
+        gopher_quality_signals,
+    )
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fixed = base.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 19 == 1,
+            F.repeat(F.lit("# spam symbol block without stopword tokens "), 12),
+        )
+        .when(
+            F.col("doc_id") % 23 == 4,
+            F.repeat(F.lit("- bullet item entry line\n"), 20),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    sig = gopher_quality_signals(F.col("text"))
+    return fixed.select(
+        "doc_id", *[c.alias(n) for n, c in sig.items()]
+    ).orderBy("doc_id")
+
+
+_Q_GOPHER_QUALITY_SQL = r"""
+    WITH fx AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 19 = 1
+               THEN repeat('# spam symbol block without stopword tokens ', 12)
+             WHEN doc_id % 23 = 4
+               THEN repeat('- bullet item entry line' || chr(10), 20)
+             ELSE text END AS text
+      FROM documents),
+    t AS (
+      SELECT doc_id, text,
+        list_filter(string_split(
+          trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+          x -> x != '') AS toks,
+        string_split(text, chr(10)) AS lines
+      FROM fx),
+    s AS (
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_words,
+        list_sum(list_transform(toks, x -> length(x))) AS word_chars,
+        CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+             AS BIGINT) AS alpha_words,
+        CAST(len(list_intersect(list_distinct(toks),
+          ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+          AS stopword_hits,
+        CAST((length(text) - length(replace(text, '#', '')))
+          + (length(text) - length(replace(text, '...', ''))) // 3
+          + (length(text) - length(replace(text, '…', ''))) AS BIGINT)
+          AS symbol_hits,
+        CAST(len(lines) AS BIGINT) AS n_lines,
+        CAST(len(list_filter(lines,
+          l -> regexp_matches(l, '^\s*([-*•])'))) AS BIGINT) AS bullet_lines,
+        CAST(len(list_filter(lines,
+          l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS BIGINT)
+          AS ellipsis_lines
+      FROM t),
+    m AS (
+      SELECT *, CASE WHEN n_words > 0
+                     THEN CAST((word_chars * 100) // n_words AS BIGINT)
+                END AS mwl_c100
+      FROM s)
+    SELECT doc_id, n_words, mwl_c100, symbol_hits, n_lines, bullet_lines,
+      ellipsis_lines, alpha_words, stopword_hits,
+      coalesce(n_words >= 50 AND n_words <= 100000
+        AND mwl_c100 >= 300 AND mwl_c100 <= 1000
+        AND symbol_hits * 10 <= n_words
+        AND bullet_lines * 10 <= n_lines * 9
+        AND ellipsis_lines * 10 <= n_lines * 3
+        AND alpha_words * 10 >= n_words * 8
+        AND stopword_hits >= 2, FALSE) AS gopher_keep
+    FROM m ORDER BY doc_id
+"""
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): every 4th source is the
+    curated target split (same labeling as quality_classifier); every 7th
+    doc (offset 3) — in BOTH splits — gets a distinctive curated-register
+    phrase appended, so raw docs carrying the target's vocabulary score
+    high. Train hashed unigram+bigram importance weights target-vs-raw,
+    score every raw doc, keep the deterministic top-100. The selection is
+    TakeOrdered at this k and switches to the exact distributed threshold
+    above 10^6 (politeness.global_ordered_cap)."""
+    from bodhium_webscrapper_spark.operators.mixing import (
+        dsir_importance_weights,
+        dsir_score,
+        dsir_select,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    fixed = docs.select(
+        "doc_id",
+        (F.substring(F.col("source"), 4, 10).cast("int") % 4 == 0).alias(
+            "is_t"
+        ),
+        F.when(
+            F.col("doc_id") % 7 == 3,
+            F.concat(
+                F.col("text"),
+                F.lit(" curated encyclopedic reference article"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    weights = dsir_importance_weights(fixed, "text", "is_t")
+    scored = dsir_score(fixed, "doc_id", "text", weights)
+    raw_scored = scored.join(
+        fixed.filter(~F.col("is_t")).select("doc_id"), "doc_id"
+    )
+    return dsir_select(raw_scored, 100).orderBy(
+        F.col("score_ppm").desc(), F.col("doc_id").asc()
+    )
+
+
+_Q_DSIR_SQL = """
+    WITH lab AS (
+      SELECT doc_id,
+        (CAST(substr(source, 4) AS INT) % 4 = 0) AS is_t,
+        CASE WHEN doc_id % 7 = 3
+             THEN text || ' curated encyclopedic reference article'
+             ELSE text END AS text
+      FROM documents),
+    toks AS (
+      SELECT doc_id, is_t,
+        list_filter(string_split(
+          trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+          x -> x != '') AS t
+      FROM lab),
+    uni AS (SELECT doc_id, is_t, unnest(t) AS g FROM toks),
+    big AS (
+      SELECT doc_id, is_t, array_to_string(t[i+1:i+2], ' ') AS g
+      FROM (SELECT doc_id, is_t, t, unnest(range(0, len(t) - 1)) AS i
+            FROM toks WHERE len(t) >= 2)),
+    gr AS (
+      SELECT doc_id, is_t, substr(md5(g), 1, 4) AS bucket
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+    w AS (
+      SELECT bucket,
+        (CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+          // CAST(count(*) AS BIGINT) AS w_ppm
+      FROM gr GROUP BY 1),
+    s AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             sum(w_ppm) AS sw
+      FROM gr JOIN w USING (bucket) GROUP BY 1)
+    SELECT l.doc_id,
+      CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+      CAST(s.sw // s.n_grams AS BIGINT) AS score_ppm
+    FROM lab l LEFT JOIN s USING (doc_id)
+    WHERE NOT l.is_t AND s.sw IS NOT NULL
+    ORDER BY score_ppm DESC, l.doc_id ASC LIMIT 100
+"""
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020): per-language
+    fluency terciles over the corpus-trained char-bigram familiarity score
+    (rare-gram ppm — the LM-free perplexity stand-in, same planting as
+    char_familiarity: every 13th doc becomes gibberish and must land in
+    tail). Exact ntile here; the 100 TB path assigns by sampled cutoffs
+    (quality.ccnet_assign_by_cutoffs)."""
+    from bodhium_webscrapper_spark.operators.quality import (
+        ccnet_buckets,
+        char_ngram_familiarity,
+    )
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    fixed = base.select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("doc_id") % 13 == 2,
+            F.repeat(
+                F.concat(
+                    F.translate(
+                        F.col("doc_id").cast("string"),
+                        "0123456789",
+                        "qzxjvwkfyb",
+                    ),
+                    F.lit(" "),
+                ),
+                8,
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    fam = char_ngram_familiarity(fixed, "doc_id", "text", rare_threshold=50)
+    scored = fixed.select("doc_id", "lang").join(fam, "doc_id").select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("n_grams") > 0,
+            F.expr("(n_rare * 1000000) div n_grams"),
+        ).cast("long").alias("rare_ppm"),
+    )
+    return ccnet_buckets(scored, "doc_id", "lang", "rare_ppm").orderBy(
+        "doc_id"
+    )
+
+
+_Q_CCNET_SQL = r"""
+    WITH fixed AS (
+      SELECT doc_id, lang,
+        CASE WHEN doc_id % 13 = 2
+             THEN repeat(translate(CAST(doc_id AS VARCHAR),
+                         '0123456789', 'qzxjvwkfyb') || ' ', 8)
+             ELSE text END AS text
+      FROM documents),
+    nt AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM fixed),
+    g AS (
+      SELECT doc_id, substr(t, i, 2) AS gram
+      FROM (SELECT doc_id, t, unnest(range(1, length(t))) AS i
+            FROM nt WHERE length(t) >= 2)),
+    cnt AS (SELECT gram, count(*) AS c FROM g GROUP BY gram),
+    pd AS (
+      SELECT doc_id, count(*) AS n_grams,
+             sum(CASE WHEN c < 50 THEN 1 ELSE 0 END) AS n_rare
+      FROM g JOIN cnt USING (gram) GROUP BY doc_id),
+    sc AS (
+      SELECT d.doc_id, d.lang,
+        CASE WHEN coalesce(p.n_grams, 0) > 0
+             THEN CAST((p.n_rare * 1000000) // p.n_grams AS BIGINT)
+        END AS rare_ppm
+      FROM fixed d LEFT JOIN pd p USING (doc_id)),
+    b AS (
+      SELECT doc_id, lang, rare_ppm,
+        ntile(3) OVER (PARTITION BY lang
+                       ORDER BY rare_ppm ASC NULLS LAST, doc_id ASC) AS tile
+      FROM sc)
+    SELECT doc_id, lang, rare_ppm,
+      CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM b ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3689,6 +3938,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "common_phrases": q_common_phrases,
         "canonical_aliases": q_canonical_aliases,
         "meta_robots": q_meta_robots,
+        "gopher_quality": q_gopher_quality,
+        "dsir_select": q_dsir_select,
+        "ccnet_buckets": q_ccnet_buckets,
     }
 
 
@@ -3767,4 +4019,7 @@ def oracle_sql() -> dict[str, str]:
         "common_phrases": _Q_COMMON_PHRASES_SQL,
         "canonical_aliases": _Q_CANONICAL_ALIASES_SQL,
         "meta_robots": _Q_META_ROBOTS_SQL,
+        "gopher_quality": _Q_GOPHER_QUALITY_SQL,
+        "dsir_select": _Q_DSIR_SQL,
+        "ccnet_buckets": _Q_CCNET_SQL,
     }

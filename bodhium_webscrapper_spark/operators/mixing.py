@@ -132,3 +132,143 @@ def mixture_select(
         .filter(draw < cutoff)
         .select(F.col(id_col), F.col(source_col), F.col("keep_ppm"))
     )
+
+
+# ------------------------------------------------------------------ DSIR
+
+def dsir_importance_weights(
+    df: DataFrame,
+    text_col: str,
+    is_target_col: str,
+    bucket_hex: int = 4,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per hashed word-feature
+    bucket, the target-vs-raw occurrence ratio that scores how much a raw
+    document 'looks like' the curated target split. Features are DSIR's —
+    unigrams AND bigrams, feature-hashed — via the engine's md5-prefix
+    bucket (quality._feature_bucket contract: bit-identical across Spark /
+    DuckDB / Python, table bounded at 16^bucket_hex rows by construction,
+    hence broadcastable at ANY corpus size).
+
+    Weight arithmetic is exact-integer, like every trained table in this
+    engine: ``w_ppm = (target_occurrences * 1_000_000) div raw_occurrences``
+    where raw = the whole corpus. The paper's log(p_target/p_raw) uses the
+    two split totals as normalizers — both are per-corpus CONSTANTS, so
+    dropping them rescales every document's score by the same factor and
+    leaves the resampling ORDER (the thing DSIR consumes) unchanged; the
+    integer ratio avoids last-ulp float/log divergence that would break the
+    SQL-oracle hash gate. Bound: exact while target occurrences per bucket
+    < 2^63/10^6 ≈ 9.2e12 — beyond any per-bucket count a 16^4-bucket table
+    sees before the ratio saturates anyway.
+
+    Plan: one linear token+bigram explode, one count aggregate keyed on the
+    4-hex bucket (partial aggregation collapses each partition to <= 65 536
+    rows before the shuffle — constant traffic regardless of corpus size).
+    """
+    from bodhium_webscrapper_spark.operators.quality import _feature_bucket
+
+    grams = df.select(
+        F.col(is_target_col).cast("boolean").alias("_is_t"),
+        F.explode(_dsir_grams(F.col(text_col))).alias("_g"),
+    )
+    return (
+        grams.groupBy(_feature_bucket(F.col("_g"), bucket_hex).alias("bucket"))
+        .agg(
+            F.sum(F.col("_is_t").cast("long")).alias("_t"),
+            F.count(F.lit(1)).alias("_raw"),
+        )
+        .select("bucket", F.expr(f"_t * {PPM} div _raw").alias("w_ppm"))
+    )
+
+
+def _dsir_grams(text):
+    """DSIR's feature set: word unigrams ++ space-joined word bigrams, built
+    from ONE tokenization (the token array is bound once as a lambda
+    variable — quality._bound_grams's O(L^2) CollapseProject trap applies
+    here too)."""
+    from bodhium_webscrapper_spark.operators.dedup import _bind_once
+    from bodhium_webscrapper_spark.operators.quality import _word_tokens
+
+    def build(toks):
+        bigrams = F.when(
+            F.size(toks) >= 2,
+            F.zip_with(
+                F.slice(toks, 1, F.size(toks) - 1),
+                F.slice(toks, 2, F.size(toks) - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.concat(toks, bigrams)
+
+    return _bind_once(_word_tokens(text), build)
+
+
+def dsir_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: DataFrame,
+    bucket_hex: int = 4,
+) -> DataFrame:
+    """Score every document with its mean per-feature importance evidence
+    (``sum(w_ppm) div n_grams`` — integer ppm). One linear gram explode, a
+    BROADCAST join against the vocabulary-bounded weight table, one per-doc
+    aggregate; the only shuffle is keyed on ``id_col``. Gram-less documents
+    return n_grams=0 / NULL score (they carry no evidence either way)."""
+    from bodhium_webscrapper_spark.operators.quality import _feature_bucket
+
+    grams = df.select(
+        F.col(id_col), F.explode(_dsir_grams(F.col(text_col))).alias("_g")
+    ).select(id_col, _feature_bucket(F.col("_g"), bucket_hex).alias("bucket"))
+    per_doc = (
+        grams.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("w_ppm").alias("_sum_w"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            F.expr("_sum_w div n_grams").alias("score_ppm"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.col("score_ppm").cast("long").alias("score_ppm"),
+        )
+    )
+
+
+def dsir_select(
+    scored: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    score_col: str = "score_ppm",
+) -> DataFrame:
+    """DSIR's selection step, deterministic variant: keep the top-``k``
+    documents by importance score (the paper resamples with Gumbel noise
+    proportional to the weights; the noise-free top-k is its reproducible
+    engine surface — seeded noise would be policy layered on top). Ties
+    break on the id, so the kept SET is a pure function of the corpus.
+
+    Small k compiles to TakeOrderedAndProject (per-partition top-k,
+    driver merges partitions x k rows). A 10^7-scale k would funnel the
+    corpus through that single-partition merge — route those through
+    politeness.global_ordered_cap, which switches to an exact distributed
+    threshold above 10^6 (same contract: unique ids, deterministic)."""
+    from bodhium_webscrapper_spark.operators.politeness import (
+        global_ordered_cap,
+    )
+
+    return global_ordered_cap(
+        scored.filter(F.col(score_col).isNotNull()),
+        k,
+        priority_col=score_col,
+        key_col=id_col,
+    )

@@ -685,3 +685,172 @@ def common_phrases(
         .select("phrase", F.col("n_docs").cast("long"))
         .orderBy(F.col("n_docs").desc(), F.col("phrase").asc())
     )
+
+
+# ------------------------------------------------- gopher quality rules
+
+#: The Gopher rule's required-stopword lexicon (Rae et al. 2021, A1.2):
+#: a document must contain at least two of these to pass.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_signals(
+    text: Column,
+    line_sep: str = "\n",
+) -> dict[str, Column]:
+    """Gopher/MassiveText *quality* rules (Rae et al. 2021, appendix A1.2
+    — the non-repetition half; `gopher_repetition_signals` covers A1.1) as
+    pure per-row JVM column expressions: ZERO shuffle, whole-stage codegen,
+    linear in corpus size — the ideal 100 TB shape (the reference's only
+    analogue is the 10-word crawl4ai threshold, /root/reference/app.py:504).
+
+    All-integer signals so an SQL oracle replays them exactly (fractions
+    stay as numerator/denominator pairs; the published ratio thresholds
+    become cross-multiplied integer comparisons in ``gopher_keep``):
+
+      - ``n_words``         — whitespace-normalized token count
+      - ``mwl_c100``        — mean word length in centichars
+                              (sum(len(word))*100 div n_words)
+      - ``symbol_hits``     — '#' chars + '...' runs + Unicode ellipses
+      - ``n_lines``         — line count
+      - ``bullet_lines``    — lines starting with a bullet (-, *, or the
+                              Unicode bullet) after optional indent
+      - ``ellipsis_lines``  — lines ending in '...' or the Unicode ellipsis
+      - ``alpha_words``     — words containing at least one [a-z]
+      - ``stopword_hits``   — DISTINCT required stopwords present (0-8)
+      - ``gopher_keep``     — the paper's thresholds combined:
+                              50 <= n_words <= 100000, 3 <= mean wl <= 10,
+                              symbols/words <= 0.1, bullet lines <= 90%,
+                              ellipsis lines <= 30%, alpha words >= 80%,
+                              stopword_hits >= 2.
+
+    The thresholds are the paper's policy; the signals are the engine
+    surface — callers rethreshold freely (cf. c4_signals's contract).
+    """
+    toks = _word_tokens(text)
+    n_words = F.size(toks)
+    word_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    alpha_words = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    hash_hits = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    dots3 = (
+        F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", ""))
+    ) / 3
+    uni_ell = F.length(text) - F.length(F.regexp_replace(text, "…", ""))
+    symbol_hits = (hash_hits + dots3 + uni_ell).cast("long")
+    lines = F.split(text, line_sep)
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^\s*([-*•])"))
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+    )
+    # integer mean word length in centichars; NULL for token-less docs.
+    # floor(double div) is exact while word_chars*100 < 2^53 — i.e. any
+    # document under ~90 TB of text, so per-doc it is integer-exact and
+    # matches the oracle's `//`.
+    mwl_c100 = (
+        F.when(n_words > 0, F.floor((word_chars * 100) / n_words))
+        .otherwise(F.lit(None))
+        .cast("long")
+    )
+    keep = (
+        (n_words >= 50)
+        & (n_words <= 100_000)
+        & (mwl_c100 >= 300)
+        & (mwl_c100 <= 1000)
+        & (symbol_hits * 10 <= n_words)
+        & (bullet_lines * 10 <= n_lines * 9)
+        & (ellipsis_lines * 10 <= n_lines * 3)
+        & (alpha_words * 10 >= n_words * 8)
+        & (stop_hits >= 2)
+    )
+    return {
+        "n_words": n_words.cast("long"),
+        "mwl_c100": mwl_c100,
+        "symbol_hits": symbol_hits,
+        "n_lines": n_lines.cast("long"),
+        "bullet_lines": bullet_lines.cast("long"),
+        "ellipsis_lines": ellipsis_lines.cast("long"),
+        "alpha_words": alpha_words.cast("long"),
+        "stopword_hits": stop_hits.cast("long"),
+        "gopher_keep": F.coalesce(keep, F.lit(False)),
+    }
+
+
+# ------------------------------------------------- ccnet buckets
+
+def ccnet_buckets(
+    df: DataFrame,
+    id_col: str,
+    lang_col: str,
+    score_col: str,
+) -> DataFrame:
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020): within each
+    language, split documents into fluency terciles — CCNet's signature
+    move, where 'head' feeds the highest-quality training mix. ``score_col``
+    is any ascending badness score (lower = more fluent); pair with
+    ``char_ngram_familiarity``'s ``n_rare``-per-gram as the LM-free
+    perplexity stand-in.
+
+    Exact terciles via ``ntile(3)`` over a per-language window with a
+    deterministic total order (score asc NULLS LAST, id asc) — bit-stable
+    across partitionings, so the SQL oracle replays it. The per-language
+    window is one sort partition per language; at CC scale a single
+    language is 10^9+ docs, so the 100 TB path mirrors what CCNet itself
+    does: compute the two cutoff scores per language from this function on
+    a stratified sample (q_stratified_sample), then assign the full corpus
+    with the pure broadcast-filter ``ccnet_assign_by_cutoffs`` below — one
+    linear scan, no window. The exact and cutoff paths agree everywhere
+    except ties straddling a boundary (pytest-asserted).
+
+    Output: (id, lang, score, bucket) with bucket in head|middle|tail.
+    """
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col(score_col).asc_nulls_last(), F.col(id_col).asc()
+    )
+    tile = F.ntile(3).over(w)
+    return df.select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.col(score_col),
+        F.when(tile == 1, F.lit("head"))
+        .when(tile == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+def ccnet_assign_by_cutoffs(
+    df: DataFrame,
+    id_col: str,
+    lang_col: str,
+    score_col: str,
+    cutoffs: DataFrame,
+) -> DataFrame:
+    """The scale path for `ccnet_buckets`: assign buckets by comparing each
+    document's score against per-language (head_max, middle_max) cutoffs —
+    a broadcast join plus a CASE, zero shuffle on the corpus. ``cutoffs``
+    has one row per language (bounded by the language inventory → always
+    broadcastable); derive it from `ccnet_buckets` on a sample:
+    ``buckets.groupBy(lang).agg(max(score when head), max(score when middle))``.
+    Boundary ties all land on the lower bucket (<=), which is the only
+    divergence from the exact ntile split."""
+    out = df.join(F.broadcast(cutoffs), lang_col, "left")
+    return out.select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.col(score_col),
+        F.when(F.col(score_col) <= F.col("head_max"), F.lit("head"))
+        .when(F.col(score_col) <= F.col("middle_max"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

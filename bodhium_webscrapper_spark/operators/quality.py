@@ -697,6 +697,9 @@ GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 def gopher_quality_signals(
     text: Column,
     line_sep: str = "\n",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_stopwords: int = 2,
 ) -> dict[str, Column]:
     """Gopher/MassiveText *quality* rules (Rae et al. 2021, appendix A1.2
     — the non-repetition half; `gopher_repetition_signals` covers A1.1) as
@@ -725,7 +728,9 @@ def gopher_quality_signals(
                               stopword_hits >= 2.
 
     The thresholds are the paper's policy; the signals are the engine
-    surface — callers rethreshold freely (cf. c4_signals's contract).
+    surface — callers rethreshold freely (cf. c4_signals's contract). The
+    two rules that bind hardest on non-prose corpora are parameterized
+    (``min_words``/``max_words``/``min_stopwords``, defaults = the paper).
     """
     toks = _word_tokens(text)
     n_words = F.size(toks)
@@ -763,15 +768,15 @@ def gopher_quality_signals(
         .cast("long")
     )
     keep = (
-        (n_words >= 50)
-        & (n_words <= 100_000)
+        (n_words >= min_words)
+        & (n_words <= max_words)
         & (mwl_c100 >= 300)
         & (mwl_c100 <= 1000)
         & (symbol_hits * 10 <= n_words)
         & (bullet_lines * 10 <= n_lines * 9)
         & (ellipsis_lines * 10 <= n_lines * 3)
         & (alpha_words * 10 >= n_words * 8)
-        & (stop_hits >= 2)
+        & (stop_hits >= min_stopwords)
     )
     return {
         "n_words": n_words.cast("long"),

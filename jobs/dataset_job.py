@@ -9,6 +9,9 @@ Runs the documents table through the standard web-text curation stages a
   quality filter (heuristic score) → language filter →
   C4 keep-rule gate (optional: terminal punctuation / lorem-ipsum /
   curly-brace / min-words, Raffel et al. 2020) →
+  Gopher quality-rule gate (optional: word count / mean word length /
+  symbol ratio / bullet-ellipsis lines / alpha words / stopwords,
+  Rae et al. 2021 A1.2 — per-row, rides the scan) →
   soft-404 gate (optional) →
   Gopher duplicate-line gate (optional: repetition signals,
   Rae et al. 2021 A1.1) →
@@ -49,6 +52,16 @@ def main() -> int:
     p.add_argument("--jaccard", type=float, default=0.8)
     p.add_argument("--c4", action="store_true",
                    help="apply the C4 keep rule (sentences/lorem/curly/words)")
+    p.add_argument("--gopher-quality", action="store_true",
+                   help="apply the Gopher A1.2 quality rules (word count, "
+                        "mean word length, symbol ratio, bullet/ellipsis "
+                        "lines, alpha words, required stopwords)")
+    p.add_argument("--gopher-min-words", type=int, default=50,
+                   help="Gopher quality rule: minimum word count (paper: 50)")
+    p.add_argument("--gopher-min-stopwords", type=int, default=2,
+                   help="Gopher quality rule: minimum DISTINCT required "
+                        "stopwords present (paper: 2; lower it for corpora "
+                        "that are not English prose)")
     p.add_argument("--fix-mojibake", action="store_true",
                    help="repair cp1252-misdecode sequences before scoring")
     p.add_argument("--dedup-lines-min-docs", type=int, default=0,
@@ -182,10 +195,23 @@ def main() -> int:
     # Optional published-filter gates. Both stay LAZY — a column expression
     # and a doc-keyed join fold into the same two Spark actions below.
     gate_cond = l_cond
-    c_cond = g_cond = s_cond = None
+    c_cond = g_cond = s_cond = gq_cond = None
     if args.c4:
         c_cond = gate_cond & c4_signals(F.col(args.text_col))["c4_keep"]
         gate_cond = c_cond
+    if args.gopher_quality:
+        from bodhium_webscrapper_spark.operators.quality import (
+            gopher_quality_signals,
+        )
+
+        # per-row column condition like the C4 gate: fuses into the same
+        # scoring scan, costs zero extra Spark jobs
+        gq_cond = gate_cond & gopher_quality_signals(
+            F.col(args.text_col),
+            min_words=args.gopher_min_words,
+            min_stopwords=args.gopher_min_stopwords,
+        )["gopher_keep"]
+        gate_cond = gq_cond
     if args.drop_soft404:
         from bodhium_webscrapper_spark.operators.quality import soft404_signals
 
@@ -257,6 +283,10 @@ def main() -> int:
     ]
     if c_cond is not None:
         agg_cols.append(F.sum(c_cond.cast("long")).alias("after_c4"))
+    if gq_cond is not None:
+        agg_cols.append(
+            F.sum(gq_cond.cast("long")).alias("after_gopher_quality")
+        )
     if s_cond is not None:
         agg_cols.append(F.sum(s_cond.cast("long")).alias("after_soft404"))
     if g_cond is not None:

@@ -179,3 +179,44 @@ def test_ccnet_cutoff_path_matches_exact_ntile(spark):
     # 10 docs per lang -> ntile(3) = 4/3/3 (head takes the remainder)
     assert sorted(e.values()).count("head") == 12
     assert sorted(e.values()).count("tail") == 9
+
+
+def test_dataset_job_gopher_quality_gate(spark, tmp_path, monkeypatch):
+    """--gopher-quality drops exactly the planted rule violators, counted
+    in the funnel, without adding Spark actions (per-row gate)."""
+    import io
+    import json
+    import sys
+    from contextlib import redirect_stdout
+
+    from jobs.dataset_job import main
+
+    rows = [
+        (1, GOOD + "."),
+        (2, "# spam symbol block without stopword tokens " * 12),  # symbols
+        (3, "- bullet item entry line\n" * 20),                     # bullets
+        (4, "an entirely different passage about parquet shuffles and "
+            "broadcast joins that the engine must be able to keep because "
+            "it satisfies every single rule of the gate with room to spare "
+            "and it also mentions that a scan of the corpus will have been "
+            "completed with the usual care and of course the final count "
+            "must include it among the survivors of the whole pipeline"),
+    ]
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "cleaned")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    argv = ["dataset_job", "--input", src, "--output", out,
+            "--min-quality", "-1", "--gopher-quality",
+            "--master", "local[4]"]
+    monkeypatch.setattr(sys, "argv", argv)
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main() == 0
+    funnel = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert funnel["input"] == 4
+    assert funnel["after_gopher_quality"] == 2
+    assert funnel["after_near_dedup"] == 2

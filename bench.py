@@ -54,6 +54,10 @@ HEADLINE = [
     "pagerank_priority",
     # train + broadcast-score the hashed-token quality classifier
     "quality_classifier",
+    # the zero-shuffle per-row Gopher A1.2 rule gate, and DSIR's
+    # train+score+top-k importance-resampling chain
+    "gopher_quality",
+    "dsir_select",
 ]
 
 

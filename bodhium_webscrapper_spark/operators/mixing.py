@@ -258,10 +258,14 @@ def dsir_select(
     break on the id, so the kept SET is a pure function of the corpus.
 
     Small k compiles to TakeOrderedAndProject (per-partition top-k,
-    driver merges partitions x k rows). A 10^7-scale k would funnel the
-    corpus through that single-partition merge — route those through
-    politeness.global_ordered_cap, which switches to an exact distributed
-    threshold above 10^6 (same contract: unique ids, deterministic)."""
+    driver merges partitions x k rows) via politeness.global_ordered_cap.
+    Note the cap's distributed-threshold path (k > 10^6) assumes a BOUNDED
+    priority-level table; ppm scores are high-cardinality, so it would
+    fall back to TakeOrdered there. For a 10^7-scale k over 10^10 docs,
+    prefilter first — keep score >= an approx-quantile cutoff slightly
+    below the k-th (one pass, approx_percentile), then exact top-k among
+    the survivors; the cutoff only has to shed the corpus bulk, exactness
+    comes from the final ordered take."""
     from bodhium_webscrapper_spark.operators.politeness import (
         global_ordered_cap,
     )

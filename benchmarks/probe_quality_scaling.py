@@ -6,7 +6,9 @@ near-dup density as the base, not AMPLIFY-times more) and runs each new
 operator to completion (count action) at the given parallelism.
 
 usage: probe_quality_scaling.py local[N] [op ...]
-ops: winnow | spans | gopher | pagerank   (default: all)
+ops: winnow | spans | gopher | pagerank | gq | dsir   (default: the
+round-5-early four; gq = the per-row Gopher A1.2 gate, dsir = the full
+DSIR train+score+select chain)
 Prints one JSON line per op: {"op": ..., "cores": N, "wall_s": ..., "rows": ...}
 
 Pair two runs (local[4], local[16]) to compute the efficiency the same way
@@ -112,6 +114,29 @@ def main() -> int:
                 ((F.col("doc_id") * 3 + 1) % n).alias("dst"),
             )
             out = pagerank_fixed_point(edges, iterations=3)
+        elif op == "gq":
+            from bodhium_webscrapper_spark.operators.quality import (
+                gopher_quality_signals,
+            )
+
+            sig = gopher_quality_signals(F.col("text"))
+            out = docs.select(
+                "doc_id", *[c.alias(n) for n, c in sig.items()]
+            ).filter(F.col("gopher_keep") | (F.col("n_words") >= 0))
+        elif op == "dsir":
+            from bodhium_webscrapper_spark.operators.mixing import (
+                dsir_importance_weights,
+                dsir_score,
+                dsir_select,
+            )
+
+            lab = docs.withColumn("_is_t", F.col("doc_id") % 4 == 0)
+            w = dsir_importance_weights(lab, "text", "_is_t")
+            s = dsir_score(lab, "doc_id", "text", w)
+            out = dsir_select(
+                s.join(lab.filter(~F.col("_is_t")).select("doc_id"), "doc_id"),
+                100,
+            )
         else:
             raise SystemExit(f"unknown op {op}")
         t0 = time.time()

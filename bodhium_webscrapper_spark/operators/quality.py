@@ -848,7 +848,10 @@ def ccnet_assign_by_cutoffs(
     broadcastable); derive it from `ccnet_buckets` on a sample:
     ``buckets.groupBy(lang).agg(max(score when head), max(score when middle))``.
     Boundary ties all land on the lower bucket (<=), which is the only
-    divergence from the exact ntile split."""
+    divergence from the exact ntile split. NULL scores and languages
+    absent from ``cutoffs`` fall through both comparisons to 'tail' —
+    matching the exact path's NULLS-LAST ordering (no evidence of fluency
+    = worst bucket)."""
     out = df.join(F.broadcast(cutoffs), lang_col, "left")
     return out.select(
         F.col(id_col),

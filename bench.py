@@ -748,6 +748,16 @@ def best_clean_window_record() -> dict:
                 clean = max(p.get("parity", 0.0) for p in probes)
                 if clean < 0.93:
                     continue
+                # ABBA rep consistency, same rule as the pair_scaling
+                # branch: a window that collapses mid-pair splits the
+                # interleaved rep efficiencies apart (e.g. the
+                # 2026-08-19T21:20 record: reps 0.93/0.467 with the
+                # after-parity at 0.722 — a one-sided-parity record whose
+                # clean rep rode a bus-disturbed local[4] leg). Records
+                # predating rep capture pass on their probes alone.
+                reps = giant.get("rep_effs") or []
+                if len(reps) >= 2 and max(reps) - min(reps) > 0.12:
+                    continue
                 if not best or giant["eff"] > best["giant_eff"]:
                     best = {
                         "ts": rec.get("ts"),

@@ -12,6 +12,8 @@ Runs the documents table through the standard web-text curation stages a
   Gopher quality-rule gate (optional: word count / mean word length /
   symbol ratio / bullet-ellipsis lines / alpha words / stopwords,
   Rae et al. 2021 A1.2 — per-row, rides the scan) →
+  CCNet fluency gate (optional: per-language familiarity terciles,
+  --ccnet-keep head,middle) →
   soft-404 gate (optional) →
   Gopher duplicate-line gate (optional: repetition signals,
   Rae et al. 2021 A1.1) →
@@ -62,6 +64,11 @@ def main() -> int:
                    help="Gopher quality rule: minimum DISTINCT required "
                         "stopwords present (paper: 2; lower it for corpora "
                         "that are not English prose)")
+    p.add_argument("--ccnet-keep", default="",
+                   help="CCNet fluency gate: comma list of per-language "
+                        "familiarity terciles to keep (head,middle,tail; "
+                        "empty = off). Buckets come from corpus-trained "
+                        "char-bigram familiarity over lang_pred")
     p.add_argument("--fix-mojibake", action="store_true",
                    help="repair cp1252-misdecode sequences before scoring")
     p.add_argument("--dedup-lines-min-docs", type=int, default=0,
@@ -212,6 +219,50 @@ def main() -> int:
             min_stopwords=args.gopher_min_stopwords,
         )["gopher_keep"]
         gate_cond = gq_cond
+    cc_cond = None
+    if args.ccnet_keep:
+        from pyspark.sql import Window
+
+        from bodhium_webscrapper_spark.operators.quality import (
+            char_ngram_familiarity,
+        )
+
+        keep_buckets = [b.strip() for b in args.ccnet_keep.split(",") if b.strip()]
+        bad = set(keep_buckets) - {"head", "middle", "tail"}
+        if bad:
+            raise SystemExit(f"--ccnet-keep: unknown bucket(s) {sorted(bad)}")
+        # CCNet fluency terciles (Wenzek et al. 2020) over the job's own
+        # lang_pred: the corpus-trained char-bigram familiarity is a
+        # doc-keyed join (same lazy class as the Gopher repetition gate),
+        # the per-lang ntile a lazy window — both fold into the job's two
+        # actions. At 10^9-docs-per-language scale, swap the window for
+        # quality.ccnet_assign_by_cutoffs with sample-derived cutoffs.
+        fam = char_ngram_familiarity(
+            docs.select(args.id_col, args.text_col), args.id_col, args.text_col
+        ).select(
+            args.id_col,
+            F.when(
+                F.col("n_grams") > 0,
+                F.expr("(n_rare * 1000000) div n_grams"),
+            ).cast("long").alias("_rare_ppm"),
+        )
+        base_scored, scored = scored, (
+            scored.join(fam, args.id_col, "left")
+            .withColumn(
+                "_ccnet_tile",
+                F.ntile(3).over(
+                    Window.partitionBy("lang_pred").orderBy(
+                        F.col("_rare_ppm").asc_nulls_last(),
+                        F.col(args.id_col).asc(),
+                    )
+                ),
+            )
+            .persist()
+        )
+        base_scored.unpersist()
+        tiles = [{"head": 1, "middle": 2, "tail": 3}[b] for b in keep_buckets]
+        cc_cond = gate_cond & F.col("_ccnet_tile").isin(tiles)
+        gate_cond = cc_cond
     if args.drop_soft404:
         from bodhium_webscrapper_spark.operators.quality import soft404_signals
 
@@ -287,6 +338,8 @@ def main() -> int:
         agg_cols.append(
             F.sum(gq_cond.cast("long")).alias("after_gopher_quality")
         )
+    if cc_cond is not None:
+        agg_cols.append(F.sum(cc_cond.cast("long")).alias("after_ccnet"))
     if s_cond is not None:
         agg_cols.append(F.sum(s_cond.cast("long")).alias("after_soft404"))
     if g_cond is not None:
@@ -348,7 +401,8 @@ def main() -> int:
     # the output contract (a gated and an ungated run must write the same
     # schema); drop() is a no-op when the gate is off
     out = (
-        kept.drop("dup_line_chars", "total_chars", "_ld_removed", "_model_ppm")
+        kept.drop("dup_line_chars", "total_chars", "_ld_removed", "_model_ppm",
+                  "_rare_ppm", "_ccnet_tile")
         .withColumn("n_tokens", token_count(F.col(args.text_col)))
     )
     out.write.mode("overwrite").parquet(args.output)  # Spark action 2 of 2

@@ -220,3 +220,51 @@ def test_dataset_job_gopher_quality_gate(spark, tmp_path, monkeypatch):
     assert funnel["input"] == 4
     assert funnel["after_gopher_quality"] == 2
     assert funnel["after_near_dedup"] == 2
+
+
+def test_dataset_job_ccnet_gate(spark, tmp_path, monkeypatch):
+    """--ccnet-keep head,middle drops the tail tercile per predicted
+    language — the planted unique-gibberish docs (rarest bigrams in the
+    corpus) land in tail and are gone from the output."""
+    import io
+    import json
+    import sys
+    from contextlib import redirect_stdout
+
+    from jobs.dataset_job import main
+
+    # fluent docs REPEAT the base so its bigrams clear the job's corpus
+    # rare-threshold (50): 12 docs x 10 reps = 120+ occurrences per base
+    # bigram. Gibberish docs carry English stopword markers (the/and/of)
+    # so lang_id puts them in the SAME language partition as the fluent
+    # docs — the tercile must separate them on fluency alone.
+    fluent = ("the common letter pairs of ordinary english prose flow "
+              "here and the text keeps to the shape of the corpus ")
+    rows = [(i, fluent * 10 + f"version {i}") for i in range(12)] + [
+        (100, "the qzaxj and vwbkf of ybczz kdvvq jexqv wfzyk"),
+        (101, "the xiqzv and kjwfy of bzkqj vlwxz qgjjb zhkxw"),
+        (102, "the vwkxq and zjbfy of kqzvx wyjfz bkxqj zvwfy"),
+    ]
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "cleaned")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    argv = ["dataset_job", "--input", src, "--output", out,
+            "--min-quality", "-1", "--ccnet-keep", "head,middle",
+            "--master", "local[4]"]
+    monkeypatch.setattr(sys, "argv", argv)
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main() == 0
+    funnel = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert funnel["input"] == 15
+    assert funnel["after_ccnet"] == 10  # 15 docs -> 5/5/5, tail dropped
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert not kept & {100, 101, 102}
+    # output schema carries no gate internals
+    assert {"_rare_ppm", "_ccnet_tile"}.isdisjoint(
+        spark.read.parquet(out).columns
+    )

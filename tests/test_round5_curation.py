@@ -268,3 +268,31 @@ def test_dataset_job_ccnet_gate(spark, tmp_path, monkeypatch):
     assert {"_rare_ppm", "_ccnet_tile"}.isdisjoint(
         spark.read.parquet(out).columns
     )
+
+
+def test_dsir_score_plan_shape(spark):
+    """The scoring join against the 16^4-bounded weight table must be a
+    BROADCAST hash join (never a shuffle of the token stream on the bucket
+    key), and the whole chain stays JVM-side."""
+    rows = [(i, i % 4 == 0, f"words shared by all plus u{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, is_t boolean, text string")
+    w = dsir_importance_weights(df, "text", "is_t")
+    plan = (
+        dsir_score(df, "doc_id", "text", w)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_clean_window_gate_rejects_split_rep_records():
+    """Regression for the kindless-giant gate: a record whose ABBA reps
+    split apart (window collapsed mid-pair) must not displace a two-sided
+    tight-rep capture, even with one clean-side parity probe. The
+    committed log contains exactly such a record (2026-08-19T21:20:30,
+    reps 0.93/0.467, before-parity 0.983) and the tight 0.843 capture."""
+    import bench
+
+    best = bench.best_clean_window_record()
+    assert best.get("ts") == "2026-08-19T04:17:31"
+    assert best.get("giant_eff") == 0.843

@@ -3863,6 +3863,173 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+
+def q_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT ordering keys (functions/canonicalize.py surt_key — the
+    Common-Crawl cc-index / Wayback CDX sort convention): host labels
+    reversed + comma-joined + ')' + path(?query), scheme-blind. Sorting or
+    range-partitioning a 10^10-URL frontier/index by this key gives
+    per-registrable-domain contiguity (min-max pruning answers "everything
+    under example.com" as one key range) and sort-merge compatibility with
+    the public cc-index. Pure JVM parse_url/split/reverse; the oracle
+    re-derives the key with independent regexp parsing + list_reverse."""
+    from bodhium_webscrapper_spark.functions.canonicalize import surt_key
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www2.")).otherwise(F.lit("")),
+        F.lit("shop"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/p/"), (F.col("doc_id") % 100).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("?page=2&ref=nav")).otherwise(F.lit("")),
+    )
+    return (
+        docs.select(F.col("doc_id"), url.alias("url"))
+        .select("doc_id", "url", surt_key(F.col("url")).alias("surt"))
+        .orderBy("surt", "doc_id")
+    )
+
+
+_Q_SURT_SQL = r"""
+    WITH u AS (
+      SELECT doc_id,
+        'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www2.' ELSE '' END
+          || 'shop' || (doc_id % 7) || '.example.com/p/' || (doc_id % 100)
+          || CASE WHEN doc_id % 5 = 0 THEN '?page=2&ref=nav' ELSE '' END AS url
+      FROM documents),
+    p AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)) AS host,
+        regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+        nullif(regexp_extract(url, '\?([^#]*)', 1), '') AS query
+      FROM u)
+    SELECT doc_id, url,
+      array_to_string(list_reverse(string_split(host, '.')), ',') || ')'
+        || path || CASE WHEN query IS NOT NULL THEN '?' || query ELSE '' END AS surt
+    FROM p ORDER BY surt, doc_id
+"""
+
+
+def q_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch source upsampling manifest (operators/mixing.py
+    epoch_upsample — the repeat half of a LLaMA-style mixture; mixture_select
+    only thins): per-source declared epochs in ppm, each doc emitted
+    floor(epochs) times plus one md5-gated fractional copy, one manifest row
+    per copy. Broadcast join + JVM explode(sequence); the doc table is never
+    shuffled. Synthesized epochs: source s gets (s%4)*0.75 epochs — source 0
+    is excluded entirely, source 1 is subsampled (<1 epoch), 2 and 3 repeat."""
+    from bodhium_webscrapper_spark.operators.mixing import epoch_upsample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    epochs = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (
+                (F.substring(F.col("source"), 4, 10).cast("long") % 4)
+                * F.lit(750_000)
+            ).alias("epoch_ppm"),
+        )
+    )
+    return (
+        epoch_upsample(docs, epochs)
+        .select(
+            "doc_id", "source",
+            F.col("n_copies").cast("long").alias("n_copies"),
+            F.col("copy").cast("long").alias("copy"),
+        )
+        .orderBy("doc_id", "copy")
+    )
+
+
+_Q_EPOCH_SQL = """
+    WITH e AS (
+      SELECT source,
+        (CAST(substr(source, 4) AS BIGINT) % 4) * 750000 AS epoch_ppm
+      FROM (SELECT DISTINCT source FROM documents)),
+    j AS (
+      SELECT d.doc_id, d.source,
+        epoch_ppm // 1000000
+        + CASE WHEN CAST(concat('0x',
+              substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            < ((epoch_ppm % 1000000) * 4294967296) // 1000000
+          THEN 1 ELSE 0 END AS n_copies
+      FROM documents d JOIN e USING (source))
+    SELECT doc_id, source, CAST(n_copies AS BIGINT) AS n_copies,
+           CAST(copy AS BIGINT) AS copy
+    FROM j, LATERAL (
+      SELECT unnest(generate_series(0, n_copies - 1)) AS copy) s
+    WHERE n_copies > 0
+    ORDER BY doc_id, copy
+"""
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (operators/packing.py chunk_documents):
+    40-token windows at stride 24 (16-token overlap) per document —
+    retrieval-index / context-fit splitting, the within-document complement
+    of pack_sequences. Zero shuffle: the token array binds once per row
+    (_bind_once) and the chunk-struct array builds + explodes JVM-side. The
+    oracle replays windows with generate_series + list slicing."""
+    from bodhium_webscrapper_spark.operators.packing import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, chunk_size=40, stride=24).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+_Q_CHUNK_SQL = r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    c AS (SELECT doc_id, toks, len(toks) AS n FROM t)
+    SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+      CAST(k * 24 AS BIGINT) AS tok_start,
+      CAST(LEAST(n, k * 24 + 40) AS BIGINT) AS tok_end,
+      array_to_string(toks[k * 24 + 1 : LEAST(n, k * 24 + 40)], ' ')
+        AS chunk_text
+    FROM c, LATERAL (
+      SELECT unnest(generate_series(0,
+        CASE WHEN n <= 40 THEN 0 ELSE (n - 40 + 23) // 24 END)) AS k) s
+    ORDER BY doc_id, chunk_id
+"""
+
+
+def q_bpe_pair_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-iteration BPE merge census (operators/quality.py
+    bpe_pair_census): top adjacent-character pairs inside words, weighted
+    by corpus word frequency — the statistic BPE tokenizer training
+    maximizes at merge step 1. Two-phase: word census (shuffle bounded by
+    vocabulary), then the char-pair explode runs over DISTINCT words only.
+    Deterministic (count DESC, pair ASC) top-k; the oracle replays both
+    phases relationally."""
+    from bodhium_webscrapper_spark.operators.quality import bpe_pair_census
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return bpe_pair_census(docs, text_col="text", k=30)
+
+
+_Q_BPE_SQL = """
+    WITH w AS (
+      SELECT unnest(string_split_regex(
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '
+             )) AS w
+      FROM documents),
+    v AS (SELECT w, COUNT(*) AS n FROM w WHERE w != '' GROUP BY w),
+    p AS (
+      SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, n
+      FROM v, LATERAL (
+        SELECT unnest(generate_series(1, len(w) - 1)) AS i) s
+      WHERE len(w) >= 2)
+    SELECT pair, CAST(SUM(n) AS BIGINT) AS pair_count
+    FROM p GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT 30
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "canonicalize_urls": q_canonicalize_urls,
@@ -3941,6 +4108,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "dsir_select": q_dsir_select,
         "ccnet_buckets": q_ccnet_buckets,
+        "surt_keys": q_surt_keys,
+        "epoch_upsample": q_epoch_upsample,
+        "chunk_documents": q_chunk_documents,
+        "bpe_pair_census": q_bpe_pair_census,
     }
 
 
@@ -4022,4 +4193,8 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _Q_GOPHER_QUALITY_SQL,
         "dsir_select": _Q_DSIR_SQL,
         "ccnet_buckets": _Q_CCNET_SQL,
+        "surt_keys": _Q_SURT_SQL,
+        "epoch_upsample": _Q_EPOCH_SQL,
+        "chunk_documents": _Q_CHUNK_SQL,
+        "bpe_pair_census": _Q_BPE_SQL,
     }

@@ -134,6 +134,61 @@ def mixture_select(
     )
 
 
+def epoch_upsample(
+    docs: DataFrame,
+    epochs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    epoch_col: str = "epoch_ppm",
+) -> DataFrame:
+    """Multi-epoch source weighting: the UPSAMPLING half of a training mix
+    (LLaMA-style recipes repeat high-quality sources ~2-3 epochs while the
+    bulk crawl runs <1; ``mixture_select`` only thins, this repeats).
+
+    ``epochs``: (source, epoch_ppm) — declared epochs per source in ppm
+    (2_450_000 = 2.45 epochs). Every document gets ``epoch_ppm div PPM``
+    whole copies, plus one more iff its md5 draw clears the fractional
+    part: ``u32(md5(id)) < (epoch_ppm % PPM) * 2^32 div PPM``. Expected
+    copies per source = exactly its epoch weight; the extra-copy set is a
+    pure function of (doc ids, epochs) — stable across runs, engines,
+    partitionings, and corpus growth in other sources (same md5-threshold
+    idiom as ``mixture_select`` / the stratified sampler). Sources absent
+    from ``epochs`` get 0 epochs and drop out (an excluded domain).
+
+    Output: one manifest row per COPY — (id, source, n_copies, copy) with
+    copy in [0, n_copies) — i.e. the repeated-document training order is
+    (id, copy)-keyed so downstream packing stays deterministic.
+
+    Scale: the epochs side is bounded (one row per source) → broadcast
+    join; the doc table is scanned once with a JVM ``explode(sequence)``
+    fan-out and never shuffled. Fan-out is the declared epoch count —
+    bounded by policy, not data.
+    """
+    base = F.expr(f"{epoch_col} div {PPM}")
+    cutoff = F.expr(f"(({epoch_col} % {PPM}) * 4294967296) div {PPM}")
+    draw = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    n_copies = (base + (draw < cutoff).cast("long")).cast("long")
+    return (
+        docs.join(
+            F.broadcast(epochs.select(source_col, epoch_col)), source_col
+        )
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            n_copies.alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 0)
+        .select(
+            id_col,
+            source_col,
+            "n_copies",
+            F.explode(F.sequence(F.lit(0), F.col("n_copies") - 1)).alias("copy"),
+        )
+    )
+
+
 # ------------------------------------------------------------------ DSIR
 
 def dsir_importance_weights(

@@ -155,3 +155,77 @@ def pack_sequences(
             F.greatest(F.lit(0), g - seq_lo).cast("long").alias("seq_pos"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document sliding-window token chunking — the OTHER standard
+    long-document split (``pack_sequences`` concatenates ACROSS documents;
+    retrieval indexing / context-window fitting wants windows WITHIN one,
+    with overlap so no boundary-straddling span is lost).
+
+    Windows start at ``k*stride`` (``stride`` defaults to ``chunk_size`` =
+    disjoint chunks; ``stride < chunk_size`` overlaps) and run
+    ``chunk_size`` tokens, clipped at the document end; the last window is
+    the first one whose span reaches the final token, so every token is
+    covered exactly once per pass and no degenerate empty tail is emitted.
+    Tokens are the engine's whitespace contract (textstats.token_count:
+    trim + split on ``\\s+``). Zero-token docs emit nothing.
+
+    Output per (doc × chunk): ``chunk_id`` (0-based), ``tok_start`` /
+    ``tok_end`` (half-open token slice), ``chunk_text`` (space-rejoined).
+
+    Scale: zero shuffle — one linear scan, all-JVM higher-order functions.
+    The token array is bound ONCE per row as a lambda variable
+    (dedup._bind_once), then the full chunk-struct array is built inside
+    that binding and exploded: Catalyst's CollapseProject cannot inline
+    the split() into per-chunk re-evaluation (the O(L^2) trap the HOF
+    n-gram builders document). Arithmetic uses floor(a/b) on doubles —
+    exact below 2^53, i.e. for any token count that fits in a row.
+    """
+    if chunk_size <= 0:
+        raise ValueError(f"chunk_size must be positive, got {chunk_size}")
+    stride = chunk_size if stride is None else stride
+    if not 0 < stride <= chunk_size:
+        raise ValueError(f"need 0 < stride <= chunk_size, got {stride}")
+
+    from bodhium_webscrapper_spark.operators.dedup import _bind_once
+
+    size_l, stride_l = F.lit(int(chunk_size)), F.lit(int(stride))
+    t = F.trim(F.col(text_col))
+    tokens = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+    def build(toks):
+        n = F.size(toks)
+        last_k = F.when(n <= size_l, F.lit(0)).otherwise(
+            F.floor((n - size_l + stride_l - F.lit(1)) / stride_l)
+        )
+        def one(k):
+            start = k * stride_l
+            end = F.least(n, start + size_l)
+            return F.struct(
+                k.cast("long").alias("chunk_id"),
+                start.cast("long").alias("tok_start"),
+                end.cast("long").alias("tok_end"),
+                F.array_join(F.slice(toks, start + F.lit(1), end - start), " ").alias(
+                    "chunk_text"
+                ),
+            )
+        return F.when(n > 0, F.transform(F.sequence(F.lit(0), last_k), one)).otherwise(
+            F.array().cast(
+                "array<struct<chunk_id:bigint,tok_start:bigint,"
+                "tok_end:bigint,chunk_text:string>>"
+            )
+        )
+
+    return (
+        docs.select(F.col(id_col), F.explode(_bind_once(tokens, build)).alias("_c"))
+        .select(id_col, "_c.chunk_id", "_c.tok_start", "_c.tok_end", "_c.chunk_text")
+    )

@@ -694,6 +694,57 @@ def common_phrases(
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
+def bpe_pair_census(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """First-iteration BPE merge census: the ``k`` most frequent ADJACENT
+    CHARACTER PAIRS inside words, weighted by corpus word frequency — the
+    exact statistic byte-pair-encoding tokenizer training maximizes at its
+    first merge step (Sennrich et al. 2016). Training a tokenizer on the
+    crawl's own corpus is a standard pipeline stage; its dominant cost at
+    100 TB is this census, not the (driver-sized, iterative) merge loop
+    that follows — so the census is the engine surface.
+
+    Two-phase so the character-level explode runs over the VOCABULARY,
+    never the corpus:
+
+    1. word census — one linear token explode, ``groupBy(word)``; map-side
+       partial combine collapses each partition to its distinct words, so
+       the shuffle is bounded by vocabulary size (Heaps' law: ~10^7 words
+       at web scale), not token count (~10^13).
+    2. pair census — each DISTINCT word explodes its ``len-1`` adjacent
+       pairs (JVM ``sequence`` + ``substr``; a 60-char word costs 59 rows
+       once, no matter how many billion times it occurs), weighted by the
+       word count; one bounded ``groupBy(pair)`` (≤ alphabet², partial
+       combine makes the shuffle tiny) and a deterministic small-k
+       TakeOrdered (count DESC, pair ASC).
+
+    Tokens are the classifier/tf-idf word contract (``_word_tokens``:
+    lowercase, non-alphanumeric runs → separator), so pairs never span a
+    word boundary — BPE's "don't merge across words" rule.
+    Output: (pair string, pair_count int64), ordered.
+    """
+    words = df.select(F.explode(_word_tokens(F.col(text_col))).alias("w"))
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        vocab.filter(F.length("w") >= 2)
+        .select(
+            "n",
+            "w",
+            F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        )
+        .select("n", F.col("w").substr(F.col("i"), F.lit(2)).alias("pair"))
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").cast("long").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair"))
+        .limit(int(k))
+    )
+
+
 def gopher_quality_signals(
     text: Column,
     line_sep: str = "\n",

@@ -4030,6 +4030,288 @@ _Q_BPE_SQL = """
 """
 
 
+def _feed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic RSS/Atom feed-body corpus shared by the feed queries:
+    (feed_url, feed_xml) per i in 0..9 (keyed off `documents`). Even i →
+    RSS channel with an entity-escaped link, a whitespace-padded link, a
+    link-less item (dropped, position-preserving), and a SHARED URL at
+    position 1; odd i → Atom feed exercising both <link> attribute orders
+    (rel-then-href and href-then-rel), a decoy rel="enclosure" link that
+    precedes the alternate in document order, and a bare rel-less href
+    (defaults to alternate per RFC 4287) carrying the shared URL at
+    position 2. Cross-feed, the shared URL's best position is 1 →
+    seed priority 0.5."""
+    docs = _t(spark, sf_dir, "documents")
+    idx = docs.select((F.col("doc_id") % 10).cast("int").alias("i")).distinct()
+    i = F.col("i")
+    s = i.cast("string")
+    rss = F.concat(
+        F.lit("<rss><channel><item><title>R"), s,
+        F.lit(" &amp; co</title><link> https://f"), s,
+        F.lit(".example/a?x=1&amp;y="), s,
+        F.lit(" </link><pubDate>Mon, 0"), ((i % 7) + 1).cast("string"),
+        F.lit(" Jan 2026 00:00:00 GMT</pubDate></item>"
+              "<item><link>https://shared.example/new</link></item>"
+              "<item><title>nolink</title></item>"
+              "<item><link>https://f"), s,
+        F.lit(".example/c</link></item></channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom"><entry><title>A'), s,
+        F.lit('</title><link rel="alternate" href="https://f'), s,
+        F.lit('.example/b"/><link rel="enclosure" href="https://f'), s,
+        F.lit('.example/img.png"/><updated>2026-01-0'),
+        ((i % 9) + 1).cast("string"),
+        F.lit('</updated></entry>'
+              '<entry><link rel="enclosure" href="https://f'), s,
+        F.lit('.example/file.zip"/><link href="https://f'), s,
+        F.lit('.example/d" rel="alternate"/></entry>'
+              '<entry><link href="https://shared.example/new"/></entry>'
+              "</feed>"),
+    )
+    return idx.select(
+        F.concat(F.lit("https://f"), s, F.lit(".example/feed.xml")).alias(
+            "feed_url"
+        ),
+        F.when(i % 2 == 0, rss).otherwise(atom).alias("feed_xml"),
+    )
+
+
+def q_feed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 third seed surface: RSS/Atom feed bodies → (feed_url, kind,
+    entry_pos, link, title, published) rows (sources/feeds.py parse_feed —
+    regexp_extract_all + posexplode, whole-stage codegen, zero shuffle).
+    Corpus covers both formats, both Atom <link> attribute orders, decoy
+    rel="enclosure" links, entity escapes, padded links, and link-less
+    entries (dropped but position-preserving)."""
+    from bodhium_webscrapper_spark.sources.feeds import parse_feed
+
+    out = parse_feed(_feed_corpus(spark, sf_dir))
+    return out.select(
+        "feed_url", "kind",
+        F.col("entry_pos").cast("long").alias("entry_pos"),
+        "link", "title", "published",
+    ).orderBy("feed_url", "entry_pos")
+
+
+_Q_FEED_CORPUS_SQL = r"""
+    idx AS (
+      SELECT DISTINCT CAST(doc_id % 10 AS INTEGER) AS i FROM documents
+    ),
+    raw AS (
+      SELECT 'https://f' || i || '.example/feed.xml' AS feed_url,
+        CASE WHEN i % 2 = 0 THEN
+          '<rss><channel><item><title>R' || i ||
+          ' &amp; co</title><link> https://f' || i ||
+          '.example/a?x=1&amp;y=' || i ||
+          ' </link><pubDate>Mon, 0' || ((i % 7) + 1) ||
+          ' Jan 2026 00:00:00 GMT</pubDate></item>' ||
+          '<item><link>https://shared.example/new</link></item>' ||
+          '<item><title>nolink</title></item>' ||
+          '<item><link>https://f' || i ||
+          '.example/c</link></item></channel></rss>'
+        ELSE
+          '<feed xmlns="http://www.w3.org/2005/Atom"><entry><title>A' || i ||
+          '</title><link rel="alternate" href="https://f' || i ||
+          '.example/b"/><link rel="enclosure" href="https://f' || i ||
+          '.example/img.png"/><updated>2026-01-0' || ((i % 9) + 1) ||
+          '</updated></entry>' ||
+          '<entry><link rel="enclosure" href="https://f' || i ||
+          '.example/file.zip"/><link href="https://f' || i ||
+          '.example/d" rel="alternate"/></entry>' ||
+          '<entry><link href="https://shared.example/new"/></entry></feed>'
+        END AS xml
+      FROM idx
+    )
+"""
+
+# one unescape level for the five predefined XML entities, innermost last
+# (twin of sources/sitemap.py _xml_unescape)
+_UNESCAPE_SQL = (
+    "replace(replace(replace(replace(replace({0}, '&lt;', '<'), "
+    "'&gt;', '>'), '&quot;', '\"'), '&apos;', ''''), '&amp;', '&')"
+)
+
+_FEED_ENTRY_RE_SQL = r"'(?s)<(?:item|entry)\b[^>]*>(.*?)</(?:item|entry)>'"
+
+_FEED_LINK_SQL = r"""
+      CASE WHEN kind = 'atom' THEN
+        CASE
+          WHEN regexp_extract(entry,
+            '(?s)<link\b[^>]*rel\s*=\s*["'']alternate["''][^>]*href\s*=\s*["'']([^"'']*)["'']',
+            1) <> ''
+          THEN regexp_extract(entry,
+            '(?s)<link\b[^>]*rel\s*=\s*["'']alternate["''][^>]*href\s*=\s*["'']([^"'']*)["'']',
+            1)
+          WHEN regexp_extract(entry,
+            '(?s)<link\b[^>]*href\s*=\s*["'']([^"'']*)["''][^>]*rel\s*=\s*["'']alternate["'']',
+            1) <> ''
+          THEN regexp_extract(entry,
+            '(?s)<link\b[^>]*href\s*=\s*["'']([^"'']*)["''][^>]*rel\s*=\s*["'']alternate["'']',
+            1)
+          ELSE regexp_extract(entry,
+            '(?s)<link\b[^>]*href\s*=\s*["'']([^"'']*)["'']', 1)
+        END
+      ELSE regexp_extract(entry, '(?s)<link>\s*(.*?)\s*</link>', 1)
+      END
+"""
+
+_Q_FEED_ENTRIES_SQL = (
+    r"""
+    entries AS (
+      SELECT feed_url,
+        CASE WHEN xml LIKE '%<feed%' THEN 'atom' ELSE 'rss' END AS kind,
+        unnest(generate_series(1, len(regexp_extract_all(xml,
+          """ + _FEED_ENTRY_RE_SQL + r""", 1)))) AS p1,
+        unnest(regexp_extract_all(xml,
+          """ + _FEED_ENTRY_RE_SQL + r""", 1)) AS entry
+      FROM raw
+    ),
+    parsed AS (
+      SELECT feed_url, kind, CAST(p1 - 1 AS BIGINT) AS entry_pos,
+        """ + _UNESCAPE_SQL.format("(" + _FEED_LINK_SQL + ")") + r""" AS link,
+        nullif(""" + _UNESCAPE_SQL.format(
+        r"regexp_extract(entry, '(?s)<title\b[^>]*>\s*(.*?)\s*</title>', 1)"
+    ) + r""", '') AS title,
+        nullif(CASE WHEN kind = 'atom'
+          THEN regexp_extract(entry, '(?s)<updated>\s*(.*?)\s*</updated>', 1)
+          ELSE regexp_extract(entry, '(?s)<pubDate>\s*(.*?)\s*</pubDate>', 1)
+        END, '') AS published
+      FROM entries
+    )
+"""
+)
+
+_Q_FEED_PARSE_SQL = (
+    "WITH " + _Q_FEED_CORPUS_SQL + "," + _Q_FEED_ENTRIES_SQL + r"""
+    SELECT feed_url, kind, entry_pos, link, title, published
+    FROM parsed WHERE link <> ''
+    ORDER BY feed_url, entry_pos
+"""
+)
+
+
+def q_feed_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 seed derivation from feeds: feed bodies → frontier seed list
+    (url, priority=1/(1+position), freshest-position-wins across feeds)
+    via sources/feeds.py feed_seeds — the exact sitemap_seeds contract so
+    both sources union into one seed wave. The shared URL planted at RSS
+    position 1 and Atom position 2 must come out once, at priority 0.5."""
+    from bodhium_webscrapper_spark.sources.feeds import feed_seeds
+
+    out = feed_seeds(_feed_corpus(spark, sf_dir))
+    return out.select(
+        "url", F.round("priority", 6).alias("priority")
+    ).orderBy("url")
+
+
+_Q_FEED_SEEDS_SQL = (
+    "WITH " + _Q_FEED_CORPUS_SQL + "," + _Q_FEED_ENTRIES_SQL + r"""
+    SELECT link AS url,
+      round(max(1.0 / CAST(p1 AS DOUBLE)), 6) AS priority
+    FROM (SELECT link, entry_pos + 1 AS p1 FROM parsed WHERE link <> '')
+    GROUP BY link ORDER BY url
+"""
+)
+
+
+def _charset_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HTML charset-declaration corpus: (i, html) per i in
+    0..9 covering the WHATWG meta charset (both quote styles, unquoted,
+    spaced =, uppercase tag), the legacy http-equiv Content-Type charset=
+    parameter, an XML declaration, meta-beats-xml precedence, a decoy
+    charset-less <meta> before the real one, and no declaration at all."""
+    docs = _t(spark, sf_dir, "documents")
+    idx = docs.select((F.col("doc_id") % 10).cast("int").alias("i")).distinct()
+    i = F.col("i")
+    html = (
+        F.when(i == 0, F.lit(
+            '<html><head><meta charset="UTF-8"></head><body>x</body></html>'))
+        .when(i == 1, F.lit(
+            '<meta http-equiv="Content-Type" '
+            'content="text/html; charset=ISO-8859-1">'))
+        .when(i == 2, F.lit(
+            '<?xml version="1.0" encoding="Windows-1251"?><page>x</page>'))
+        .when(i == 3, F.lit('<html><meta charset=latin1><body>x</body>'))
+        .when(i == 4, F.lit('<html><body>nothing declared</body></html>'))
+        .when(i == 5, F.lit("<META CHARSET='Shift_JIS'><body>x</body>"))
+        .when(i == 6, F.lit('<meta charset = "utf8"><body>x</body>'))
+        .when(i == 7, F.lit(
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            '<html><meta charset="koi8-r"></html>'))
+        .when(i == 8, F.lit(
+            '<meta name="viewport" content="width=device-width">'
+            '<meta charset="GB2312">'))
+        .otherwise(F.lit(
+            '<meta http-equiv="content-type" '
+            'content="text/html; charset=us-ascii">'))
+    )
+    return idx.select("i", html.alias("html"))
+
+
+def q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-decode charset sniffing (functions/textstats.py sniff_charset):
+    declared character set per document — meta charset (WHATWG §4.2.5.4,
+    all quote/space styles) beats the XML declaration beats the utf-8
+    default, labels aliased per the WHATWG Encoding Standard (latin1/
+    iso-8859-1/ascii → windows-1252, the browser behavior real pages
+    depend on). Pure JVM regexp_extract chain, scan-speed, zero Python."""
+    from bodhium_webscrapper_spark.functions.textstats import sniff_charset
+
+    corpus = _charset_corpus(spark, sf_dir)
+    return corpus.select(
+        F.col("i").cast("int").alias("i"),
+        sniff_charset(F.col("html")).alias("charset"),
+    ).orderBy("i")
+
+
+_Q_CHARSET_SQL = r"""
+    WITH idx AS (
+      SELECT DISTINCT CAST(doc_id % 10 AS INTEGER) AS i FROM documents
+    ),
+    corpus AS (
+      SELECT i, CASE i
+        WHEN 0 THEN '<html><head><meta charset="UTF-8"></head><body>x</body></html>'
+        WHEN 1 THEN '<meta http-equiv="Content-Type" content="text/html; charset=ISO-8859-1">'
+        WHEN 2 THEN '<?xml version="1.0" encoding="Windows-1251"?><page>x</page>'
+        WHEN 3 THEN '<html><meta charset=latin1><body>x</body>'
+        WHEN 4 THEN '<html><body>nothing declared</body></html>'
+        WHEN 5 THEN '<META CHARSET=''Shift_JIS''><body>x</body>'
+        WHEN 6 THEN '<meta charset = "utf8"><body>x</body>'
+        WHEN 7 THEN '<?xml version="1.0" encoding="UTF-8"?><html><meta charset="koi8-r"></html>'
+        WHEN 8 THEN '<meta name="viewport" content="width=device-width"><meta charset="GB2312">'
+        ELSE '<meta http-equiv="content-type" content="text/html; charset=us-ascii">'
+      END AS html FROM idx
+    ),
+    lab AS (
+      SELECT i, lower(CASE
+        WHEN regexp_extract(html,
+          '(?i)<meta[^>]*charset\s*=\s*["'']?\s*([A-Za-z0-9_.:\-]+)', 1) <> ''
+        THEN regexp_extract(html,
+          '(?i)<meta[^>]*charset\s*=\s*["'']?\s*([A-Za-z0-9_.:\-]+)', 1)
+        WHEN regexp_extract(html,
+          '(?i)<\?xml[^>]*encoding\s*=\s*["'']([A-Za-z0-9_.:\-]+)["'']', 1) <> ''
+        THEN regexp_extract(html,
+          '(?i)<\?xml[^>]*encoding\s*=\s*["'']([A-Za-z0-9_.:\-]+)["'']', 1)
+        ELSE 'utf-8' END) AS label
+      FROM corpus
+    )
+    SELECT i, CASE label
+      WHEN 'utf8' THEN 'utf-8'
+      WHEN 'latin1' THEN 'windows-1252'
+      WHEN 'latin-1' THEN 'windows-1252'
+      WHEN 'iso-8859-1' THEN 'windows-1252'
+      WHEN 'iso8859-1' THEN 'windows-1252'
+      WHEN 'us-ascii' THEN 'windows-1252'
+      WHEN 'ascii' THEN 'windows-1252'
+      WHEN 'cp1252' THEN 'windows-1252'
+      WHEN 'win-1252' THEN 'windows-1252'
+      WHEN 'unicode-1-1-utf-8' THEN 'utf-8'
+      ELSE label END AS charset
+    FROM lab ORDER BY i
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "canonicalize_urls": q_canonicalize_urls,
@@ -4112,6 +4394,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_upsample": q_epoch_upsample,
         "chunk_documents": q_chunk_documents,
         "bpe_pair_census": q_bpe_pair_census,
+        "feed_parse": q_feed_parse,
+        "feed_seeds": q_feed_seeds,
+        "charset_sniff": q_charset_sniff,
     }
 
 
@@ -4197,4 +4482,7 @@ def oracle_sql() -> dict[str, str]:
         "epoch_upsample": _Q_EPOCH_SQL,
         "chunk_documents": _Q_CHUNK_SQL,
         "bpe_pair_census": _Q_BPE_SQL,
+        "feed_parse": _Q_FEED_PARSE_SQL,
+        "feed_seeds": _Q_FEED_SEEDS_SQL,
+        "charset_sniff": _Q_CHARSET_SQL,
     }

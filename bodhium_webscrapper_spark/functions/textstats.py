@@ -238,3 +238,55 @@ def fix_mojibake(text: Column) -> Column:
 def has_mojibake(text: Column) -> Column:
     """Cheap detector twin of :func:`fix_mojibake` (same sequence family)."""
     return text.rlike(MOJIBAKE_MARKER_RE)
+
+
+# HTML charset declaration patterns, tried in spec-priority order: the
+# HTML5 meta charset (WHATWG §4.2.5.4; both quote styles and unquoted),
+# the legacy http-equiv Content-Type form's charset= parameter (same
+# regex — it matches `charset=` wherever it appears inside a <meta> tag),
+# then an XML declaration's encoding pseudo-attribute.
+_META_CHARSET_RE = r"""(?i)<meta[^>]*charset\s*=\s*["']?\s*([A-Za-z0-9_.:\-]+)"""
+_XML_ENCODING_RE = r"""(?i)<\?xml[^>]*encoding\s*=\s*["']([A-Za-z0-9_.:\-]+)["']"""
+
+# Label aliases per the WHATWG Encoding Standard's label table (the subset
+# that appears in real crawls; unknown labels pass through lowercased so
+# the downstream decoder — the declared injection point — decides).
+_CHARSET_ALIASES = {
+    "utf8": "utf-8",
+    "latin1": "windows-1252",
+    "latin-1": "windows-1252",
+    "iso-8859-1": "windows-1252",  # WHATWG: ISO-8859-1 decodes as cp1252
+    "iso8859-1": "windows-1252",
+    "us-ascii": "windows-1252",
+    "ascii": "windows-1252",
+    "cp1252": "windows-1252",
+    "win-1252": "windows-1252",
+    "unicode-1-1-utf-8": "utf-8",
+}
+
+
+def sniff_charset(html: Column, default: str = "utf-8") -> Column:
+    """Declared character set of an HTML/XML document — the pre-decode step
+    of the extraction pipeline (a crawl that decodes everything as UTF-8
+    manufactures the mojibake ``fix_mojibake`` then has to repair; sniffing
+    first fixes it at the source). Returns a lowercased, WHATWG-aliased
+    label (``latin1``/``iso-8859-1``/``ascii`` → ``windows-1252`` per the
+    Encoding Standard, the browser behavior real pages depend on);
+    ``default`` when nothing is declared.
+
+    Pure JVM ``regexp_extract`` chain + one literal CASE ladder — scan
+    speed, zero Python, zero shuffle; runs in the fetch projection next to
+    the extraction UDF. BOM bytes outlive HTML-to-text conversion poorly,
+    so byte-order marks are the BINARY decoder's concern (multimodal
+    ``decode_fn`` seam); this sniffs the DECLARATION, which survives in the
+    string column the pages table carries.
+    """
+    meta = F.regexp_extract(html, _META_CHARSET_RE, 1)
+    xml = F.regexp_extract(html, _XML_ENCODING_RE, 1)
+    label = F.lower(
+        F.when(meta != "", meta).when(xml != "", xml).otherwise(F.lit(default))
+    )
+    out = label
+    for alias, canon in _CHARSET_ALIASES.items():
+        out = F.when(label == alias, F.lit(canon)).otherwise(out)
+    return out

@@ -935,27 +935,7 @@ def q_pagerank_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     why float PageRank breaks deterministic crawl replay)."""
     from bodhium_webscrapper_spark.operators.pagerank import pagerank_fixed_point
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
-    n = docs.agg((F.max("doc_id") + 1).alias("_n"))
-    base = docs.crossJoin(F.broadcast(n))
-    edges = base.select(
-        F.col("doc_id").alias("src"),
-        F.explode(
-            F.when(
-                F.col("doc_id") % 4 == 0,
-                F.array(
-                    (F.col("doc_id") * 3 + 1) % F.col("_n"),
-                    (F.col("doc_id") * 5 + 2) % F.col("_n"),
-                    F.lit(0).cast("long"),
-                ),
-            ).otherwise(
-                F.array(
-                    (F.col("doc_id") * 3 + 1) % F.col("_n"),
-                    (F.col("doc_id") * 5 + 2) % F.col("_n"),
-                )
-            )
-        ).alias("dst"),
-    )
+    edges = _synthetic_link_graph(spark, sf_dir)
     return (
         pagerank_fixed_point(edges, "src", "dst", iterations=3)
         .select(F.col("id").alias("doc_id"), "rank")
@@ -4312,6 +4292,312 @@ _Q_CHARSET_SQL = r"""
 """
 
 
+def _synthetic_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic link graph shared by the authority queries
+    (same construction as q_pagerank_priority): doc i links to (3i+1) mod N
+    and (5i+2) mod N; every 4th doc also links to doc 0 (an in-degree hub)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg((F.max("doc_id") + 1).alias("_n"))
+    base = docs.crossJoin(F.broadcast(n))
+    return base.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.array(
+                    (F.col("doc_id") * 3 + 1) % F.col("_n"),
+                    (F.col("doc_id") * 5 + 2) % F.col("_n"),
+                    F.lit(0).cast("long"),
+                ),
+            ).otherwise(
+                F.array(
+                    (F.col("doc_id") * 3 + 1) % F.col("_n"),
+                    (F.col("doc_id") * 5 + 2) % F.col("_n"),
+                )
+            )
+        ).alias("dst"),
+    )
+
+
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer HITS (Kleinberg 1999; 2 iterations, per-half-step
+    max-normalization) over the shared synthetic link graph — the hub side
+    PageRank cannot see: directory/index pages whose OUTLINK lists refresh
+    the frontier (the reference's hand-picked seed pages are exactly such
+    hubs). Integer arithmetic end-to-end (operators/pagerank.py
+    hits_fixed_point), bit-identical under any shuffle order and in the
+    DuckDB twin; doc 0 — the planted in-degree hub target — must surface
+    as the top authority."""
+    from bodhium_webscrapper_spark.operators.pagerank import hits_fixed_point
+
+    edges = _synthetic_link_graph(spark, sf_dir)
+    return (
+        hits_fixed_point(edges, iterations=2)
+        .select(F.col("id").alias("doc_id"), "hub", "auth")
+        .orderBy("doc_id")
+    )
+
+
+_Q_HITS_EDGES_SQL = """
+    nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+    edges AS (
+      SELECT doc_id AS src, (doc_id * 3 + 1) % n AS dst FROM documents, nn
+      UNION ALL
+      SELECT doc_id AS src, (doc_id * 5 + 2) % n AS dst FROM documents, nn
+      UNION ALL
+      SELECT doc_id AS src, 0 AS dst FROM documents WHERE doc_id % 4 = 0),
+    nodes AS (SELECT DISTINCT id FROM
+              (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))
+"""
+
+# one HITS half-step: raw sum join, then max-normalize to the 10^6 scale
+# with truncating integer division (mirrors hits_fixed_point exactly;
+# all values non-negative so DuckDB floor-div == Spark trunc-div)
+_Q_HITS_SQL = (
+    "WITH " + _Q_HITS_EDGES_SQL + """,
+    h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS hub FROM nodes),
+    a1r AS (SELECT e.dst AS id, CAST(sum(h0.hub) AS BIGINT) AS auth
+            FROM edges e JOIN h0 ON e.src = h0.id GROUP BY e.dst),
+    a1m AS (SELECT max(auth) AS mx FROM a1r),
+    a1 AS (SELECT n.id, CAST(coalesce(a1r.auth, 0)
+             // greatest(a1m.mx // 1000000, 1) AS BIGINT) AS auth
+           FROM nodes n LEFT JOIN a1r USING (id), a1m),
+    h1r AS (SELECT e.src AS id, CAST(sum(a1.auth) AS BIGINT) AS hub
+            FROM edges e JOIN a1 ON e.dst = a1.id GROUP BY e.src),
+    h1m AS (SELECT max(hub) AS mx FROM h1r),
+    h1 AS (SELECT n.id, CAST(coalesce(h1r.hub, 0)
+             // greatest(h1m.mx // 1000000, 1) AS BIGINT) AS hub
+           FROM nodes n LEFT JOIN h1r USING (id), h1m),
+    a2r AS (SELECT e.dst AS id, CAST(sum(h1.hub) AS BIGINT) AS auth
+            FROM edges e JOIN h1 ON e.src = h1.id GROUP BY e.dst),
+    a2m AS (SELECT max(auth) AS mx FROM a2r),
+    a2 AS (SELECT n.id, CAST(coalesce(a2r.auth, 0)
+             // greatest(a2m.mx // 1000000, 1) AS BIGINT) AS auth
+           FROM nodes n LEFT JOIN a2r USING (id), a2m),
+    h2r AS (SELECT e.src AS id, CAST(sum(a2.auth) AS BIGINT) AS hub
+            FROM edges e JOIN a2 ON e.dst = a2.id GROUP BY e.src),
+    h2m AS (SELECT max(hub) AS mx FROM h2r),
+    h2 AS (SELECT n.id, CAST(coalesce(h2r.hub, 0)
+             // greatest(h2m.mx // 1000000, 1) AS BIGINT) AS hub
+           FROM nodes n LEFT JOIN h2r USING (id), h2m)
+    SELECT n.id AS doc_id, h2.hub, a2.auth
+    FROM nodes n JOIN h2 ON n.id = h2.id JOIN a2 ON n.id = a2.id
+    ORDER BY doc_id
+"""
+)
+
+
+_LATIN26 = "abcdefghijklmnopqrstuvwxyz"
+_CYR26 = "абцдефгхижклмнопкрстувшхыз"
+_GREEK26 = "αβγδεζηθικλμνξοπρστυφχψωυσ"
+_HAN26 = "的一是不了人我在有他这中大来上国个到说们为子和你地出"
+
+
+def _script_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multilingual corpus: per doc_id % 5 the document text
+    stays Latin (0), is transliterated to Cyrillic (1) / Greek (2) / Han
+    (3) via a 26-letter codepoint map, or becomes an exact 50/50
+    Latin+Cyrillic mix (4 — the tie the priority order must break toward
+    Latin)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    low = F.lower(F.col("text"))
+    cyr = F.translate(low, _LATIN26, _CYR26)
+    i = F.col("doc_id") % 5
+    text = (
+        F.when(i == 1, cyr)
+        .when(i == 2, F.translate(low, _LATIN26, _GREEK26))
+        .when(i == 3, F.translate(low, _LATIN26, _HAN26))
+        .when(i == 4, F.concat(low, F.lit(" "), cyr))
+        .otherwise(F.col("text"))
+    )
+    return docs.select("doc_id", text.alias("text"))
+
+
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script profiling (functions/textstats.py script_counts /
+    dominant_script): per-script letter counts + dominant script — the
+    multilingual routing signal (which lang-id model / tokenizer /
+    per-language CCNet LM a page flows to) and the mixed-script cloaking
+    detector. Pure JVM regexp_count over the scan, zero shuffle, integer
+    outputs; the 50/50 Latin+Cyrillic planting must tie-break to latin."""
+    from bodhium_webscrapper_spark.functions.textstats import (
+        dominant_script,
+        script_counts,
+    )
+
+    corpus = _script_corpus(spark, sf_dir)
+    c = script_counts(F.col("text"))
+    return corpus.select(
+        "doc_id",
+        c["latin"].cast("long").alias("n_latin"),
+        c["cyrillic"].cast("long").alias("n_cyrillic"),
+        c["greek"].cast("long").alias("n_greek"),
+        c["han"].cast("long").alias("n_han"),
+        c["letters"].cast("long").alias("n_letters"),
+        dominant_script(F.col("text")).alias("script"),
+    ).orderBy("doc_id")
+
+
+_Q_SCRIPT_SQL = rf"""
+    WITH corpus AS (
+      SELECT doc_id, CASE CAST(doc_id % 5 AS INTEGER)
+        WHEN 1 THEN translate(lower(text), '{_LATIN26}', '{_CYR26}')
+        WHEN 2 THEN translate(lower(text), '{_LATIN26}', '{_GREEK26}')
+        WHEN 3 THEN translate(lower(text), '{_LATIN26}', '{_HAN26}')
+        WHEN 4 THEN lower(text) || ' ' ||
+                    translate(lower(text), '{_LATIN26}', '{_CYR26}')
+        ELSE text END AS text
+      FROM documents
+    ),
+    counts AS (
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '\p{{Latin}}')) AS BIGINT) AS n_latin,
+        CAST(len(regexp_extract_all(text, '\p{{Cyrillic}}')) AS BIGINT) AS n_cyrillic,
+        CAST(len(regexp_extract_all(text, '\p{{Greek}}')) AS BIGINT) AS n_greek,
+        CAST(len(regexp_extract_all(text, '\p{{Han}}')) AS BIGINT) AS n_han,
+        CAST(len(regexp_extract_all(text, '\p{{L}}')) AS BIGINT) AS n_letters
+      FROM corpus
+    )
+    SELECT doc_id, n_latin, n_cyrillic, n_greek, n_han, n_letters,
+      CASE
+        WHEN n_latin > 0 AND n_latin >= n_cyrillic AND n_latin >= n_greek
+             AND n_latin >= n_han THEN 'latin'
+        WHEN n_cyrillic > 0 AND n_cyrillic > n_latin AND n_cyrillic >= n_greek
+             AND n_cyrillic >= n_han THEN 'cyrillic'
+        WHEN n_greek > 0 AND n_greek > n_latin AND n_greek > n_cyrillic
+             AND n_greek >= n_han THEN 'greek'
+        WHEN n_han > 0 AND n_han > n_latin AND n_han > n_cyrillic
+             AND n_han > n_greek THEN 'han'
+        ELSE 'unknown' END AS script
+    FROM counts ORDER BY doc_id
+"""
+
+
+_MIME_CASES = [
+    ("text/html; charset=UTF-8", "<!DOCTYPE html><html><body>ok</body>"),
+    ("text/html", "%PDF-1.7 stream"),  # lying header: magic overrides
+    ("application/pdf", "%PDF-1.4"),
+    ("TEXT/HTML;charset=iso-8859-1", '   <html lang="en"><p>x'),
+    ("image/gif", "GIF89a binarybytes"),
+    ("text/plain", "just words no markup"),
+    ("", "<html><body>bare</body>"),  # missing header: texty sniff fills in
+    ("application/json", '{"a": 1}'),
+    ('text/html ; charset="utf-8"', "<HTML><HEAD>"),
+    ("application/xhtml+xml",
+     '<?xml version="1.0"?><html xmlns="http://www.w3.org/1999/xhtml">'),
+    ("video/mp4", "ftyp mp4 data"),
+    ("", "random bytes no magic"),
+]
+
+
+def _mime_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic header/body corpus keyed off documents: the 12
+    _MIME_CASES cover the lying text/html-serving-a-PDF header, a missing
+    header filled by markup sniff, case/space/quote variants of the
+    charset parameter, a texty XML sniff under an xhtml declaration, and
+    the no-header-no-magic octet-stream default."""
+    docs = _t(spark, sf_dir, "documents")
+    idx = docs.select(
+        (F.col("doc_id") % len(_MIME_CASES)).cast("int").alias("i")
+    ).distinct()
+    hdr = F.lit(None).cast("string")
+    body = F.lit(None).cast("string")
+    for j, (h, b) in reversed(list(enumerate(_MIME_CASES))):
+        hdr = F.when(F.col("i") == j, F.lit(h)).otherwise(hdr)
+        body = F.when(F.col("i") == j, F.lit(b)).otherwise(body)
+    return idx.select("i", hdr.alias("content_type"), body.alias("body"))
+
+
+def q_mime_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-type gate (functions/mime.py): RFC 9110 header parse +
+    WHATWG-precedence magic sniff → the effective type and the keep
+    predicate that routes responses to text extraction vs the media/drop
+    path. Pure codegen string ops in the scan projection, zero shuffle."""
+    from bodhium_webscrapper_spark.functions.mime import (
+        content_type_charset,
+        content_type_mime,
+        effective_mime,
+        html_gate,
+        sniff_mime,
+    )
+
+    c = _mime_corpus(spark, sf_dir)
+    h, b = F.col("content_type"), F.col("body")
+    return c.select(
+        F.col("i").cast("int").alias("i"),
+        content_type_mime(h).alias("mime"),
+        content_type_charset(h).alias("charset"),
+        sniff_mime(b).alias("sniffed"),
+        effective_mime(h, b).alias("effective"),
+        html_gate(h, b).alias("keep"),
+    ).orderBy("i")
+
+
+def _sqlq(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _mime_cases_sql() -> str:
+    hdr = "\n".join(
+        f"        WHEN {j} THEN {_sqlq(h)}"
+        for j, (h, _) in enumerate(_MIME_CASES)
+    )
+    body = "\n".join(
+        f"        WHEN {j} THEN {_sqlq(b)}"
+        for j, (_, b) in enumerate(_MIME_CASES)
+    )
+    return (
+        f"SELECT i,\n        CASE i\n{hdr}\n        END AS content_type,"
+        f"\n        CASE i\n{body}\n        END AS body\n"
+        f"      FROM (SELECT DISTINCT CAST(doc_id % {len(_MIME_CASES)}"
+        " AS INTEGER) AS i FROM documents)"
+    )
+
+
+_Q_MIME_SQL_TEMPLATE = r"""
+    WITH corpus AS (
+      {corpus}
+    ),
+    parsed AS (
+      SELECT i, content_type, body,
+        lower(trim(split_part(coalesce(content_type, ''), ';', 1))) AS mime,
+        nullif(lower(regexp_extract(coalesce(content_type, ''),
+          '(?i)charset\s*=\s*["'']?\s*([A-Za-z0-9_.:\-]+)', 1)), '') AS charset,
+        lower(ltrim(coalesce(body, ''))) AS head
+      FROM corpus
+    ),
+    sniffed AS (
+      SELECT i, mime, charset,
+        CASE
+          WHEN starts_with(head, '%pdf') THEN 'application/pdf'
+          WHEN starts_with(head, 'gif8') THEN 'image/gif'
+          WHEN starts_with(head, '<!doctype html')
+            OR starts_with(head, '<html') THEN 'text/html'
+          WHEN starts_with(head, '<?xml') THEN 'text/xml'
+          WHEN starts_with(head, '{{') OR starts_with(head, '[')
+            THEN 'application/json'
+          ELSE NULL END AS sniffed
+      FROM parsed
+    ),
+    eff AS (
+      SELECT i, mime, charset, sniffed,
+        CASE
+          WHEN sniffed IS NOT NULL
+               AND sniffed NOT IN ('text/html', 'text/xml') THEN sniffed
+          WHEN mime <> '' THEN mime
+          WHEN sniffed IS NOT NULL THEN sniffed
+          ELSE 'application/octet-stream' END AS effective
+      FROM sniffed
+    )
+    SELECT i, mime, charset, sniffed, effective,
+      effective IN ('text/html', 'application/xhtml+xml', 'text/plain',
+                    'text/xml') AS keep
+    FROM eff ORDER BY i
+"""
+
+_Q_MIME_SQL = _Q_MIME_SQL_TEMPLATE.format(corpus=_mime_cases_sql())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "canonicalize_urls": q_canonicalize_urls,
@@ -4397,6 +4683,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_parse": q_feed_parse,
         "feed_seeds": q_feed_seeds,
         "charset_sniff": q_charset_sniff,
+        "hits_scores": q_hits_scores,
+        "script_mix": q_script_mix,
+        "mime_gate": q_mime_gate,
     }
 
 
@@ -4485,4 +4774,7 @@ def oracle_sql() -> dict[str, str]:
         "feed_parse": _Q_FEED_PARSE_SQL,
         "feed_seeds": _Q_FEED_SEEDS_SQL,
         "charset_sniff": _Q_CHARSET_SQL,
+        "hits_scores": _Q_HITS_SQL,
+        "script_mix": _Q_SCRIPT_SQL,
+        "mime_gate": _Q_MIME_SQL,
     }

@@ -290,3 +290,47 @@ def sniff_charset(html: Column, default: str = "utf-8") -> Column:
     for alias, canon in _CHARSET_ALIASES.items():
         out = F.when(label == alias, F.lit(canon)).otherwise(out)
     return out
+
+
+# Unicode scripts the crawler routes on, in dominance tie-break priority
+# order. Java regex spells the script property \p{IsXxx}; the WHATWG-lang
+# routing decision downstream (which lang-id model, which tokenizer, which
+# CCNet LM) only needs the coarse script class, not full lang-id.
+SCRIPTS = ["latin", "cyrillic", "greek", "han"]
+_SCRIPT_RE = {
+    "latin": r"\p{IsLatin}",
+    "cyrillic": r"\p{IsCyrillic}",
+    "greek": r"\p{IsGreek}",
+    "han": r"\p{IsHan}",
+}
+
+
+def script_counts(text: Column) -> dict[str, Column]:
+    """Per-script letter counts plus ``letters`` (total ``\\p{L}``) —
+    the routing signal for multilingual corpora: which lang-id model /
+    tokenizer / per-language CCNet LM a document should flow to, and the
+    mixed-script spam signal (Cyrillic lookalikes inside Latin words is a
+    classic cloaking trick). One ``regexp_count`` per script — JVM-side
+    regex over the page scan, whole-stage codegen, zero shuffle, zero
+    Python; counts are integers so the oracle twin is value-exact."""
+    out = {k: F.regexp_count(text, F.lit(v)) for k, v in _SCRIPT_RE.items()}
+    out["letters"] = F.regexp_count(text, F.lit(r"\p{L}"))
+    return out
+
+
+def dominant_script(text: Column) -> Column:
+    """Name of the script with the strictly greatest letter count —
+    earlier entries of :data:`SCRIPTS` win ties (deterministic, and Latin
+    first matches the web's base-rate prior); ``'unknown'`` when the
+    document has no letters in any tracked script."""
+    counts = script_counts(text)
+    expr = F.lit("unknown")
+    for name in reversed(SCRIPTS):
+        cond = F.lit(True)
+        for other in SCRIPTS:
+            if SCRIPTS.index(other) < SCRIPTS.index(name):
+                cond = cond & (counts[name] > counts[other])
+            elif other != name:
+                cond = cond & (counts[name] >= counts[other])
+        expr = F.when((counts[name] > 0) & cond, F.lit(name)).otherwise(expr)
+    return expr

@@ -118,3 +118,83 @@ def priority_from_rank(
     for level, thr in zip(range(n_levels - 1, 0, -1), thresholds):
         expr = F.when(F.col(rank_col) > F.lit(int(thr)), F.lit(level)).otherwise(expr)
     return ranks.select(id_col, rank_col, expr.cast("int").alias("priority_level"))
+
+
+def hits_fixed_point(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+    scale: int = 1_000_000,
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg 1999) in scaled-integer arithmetic;
+    returns ``(id, hub, auth)``.
+
+    PageRank ranks a page by who links TO it; HITS additionally scores who
+    it links OUT to — a crawl frontier wants both: authorities are the
+    pages worth fetching, hubs (directories, sitemap-like index pages) are
+    the pages worth RE-fetching because their outlink lists refresh the
+    frontier. The reference's seed pages are exactly hand-picked hubs
+    (category/listing pages, ``/root/reference/app.py`` seed branch); this
+    scores that property from the link table instead of trusting the
+    seed list.
+
+    Same determinism stance as :func:`pagerank_fixed_point`: floats make
+    the mutual-reinforcement sums shuffle-order dependent, so every
+    quantity here is an exact bigint. Instead of the classical L2
+    normalization (sqrt → irrational), each half-step max-normalizes:
+    ``v' = v div max(greatest(max_v div scale, 1))`` keeping scores in
+    ``[0, scale]`` with ≤1e-6 relative truncation per step — rank ORDER is
+    what crawl scheduling consumes and truncating a shared positive
+    divisor is order-preserving. The max is computed in-plan (a 1-row agg
+    cross-joined back, same shape as the IVF codebook), so the whole thing
+    stays one lazy DataFrame: no driver action, no collect.
+
+    Scale notes (10^10 edges): each iteration is two edge-table equi-joins
+    (on src then dst) + two node-bounded groupBy sums — partial aggregates
+    bound the shuffle by node count. Pre-repartition ``edges`` by ``src``
+    once and persist; the score tables are node-sized. The 1-row max agg
+    is a full pass over the node-sized score table, not the edge table.
+    Dangling/unreferenced nodes score 0 on the missing side (left join,
+    coalesce) exactly as in the oracle twin.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+    )
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+
+    def _max_normalized(raw: DataFrame, col: str) -> DataFrame:
+        mx = raw.agg(F.max(col).alias("_mx"))
+        return (
+            nodes.join(raw, "id", "left")
+            .crossJoin(F.broadcast(mx))
+            .select(
+                "id",
+                F.expr(
+                    f"coalesce({col}, 0L) div greatest(_mx div {scale}, 1L)"
+                ).cast("long").alias(col),
+            )
+        )
+
+    hubs = nodes.select("id", F.lit(scale).cast("long").alias("hub"))
+    auths = nodes.select("id", F.lit(0).cast("long").alias("auth"))
+    for it in range(iterations):
+        auth_raw = (
+            e.join(hubs.withColumnRenamed("id", "_src"), "_src")
+            .groupBy(F.col("_dst").alias("id"))
+            .agg(F.sum("hub").alias("auth"))
+        )
+        auths = _max_normalized(auth_raw, "auth")
+        hub_raw = (
+            e.join(auths.withColumnRenamed("id", "_dst"), "_dst")
+            .groupBy(F.col("_src").alias("id"))
+            .agg(F.sum("auth").alias("hub"))
+        )
+        hubs = _max_normalized(hub_raw, "hub")
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            hubs = hubs.localCheckpoint(eager=False)
+            auths = auths.localCheckpoint(eager=False)
+    return nodes.join(hubs, "id").join(auths, "id").select("id", "hub", "auth")

@@ -57,3 +57,38 @@ def test_pagerank_checkpoint_every_same_result(spark):
     b = {r["id"]: r["rank"] for r in
          pagerank_fixed_point(e, iterations=6, checkpoint_every=2).collect()}
     assert a == b
+
+
+def test_hits_hand_computed_two_iterations(spark):
+    # 1->3, 2->3, 3->4; scale=1e6, max-normalized each half-step.
+    # iter1: auth_raw = {3: 2e6, 4: 1e6}, mx=2e6 -> div 2: {3: 1e6, 4: 5e5}
+    #        hub_raw  = {1: 1e6, 2: 1e6, 3: 5e5}, mx=1e6 -> div 1 (unchanged)
+    # iter2: auth_raw = {3: 2e6, 4: 5e5}, mx=2e6 -> {3: 1e6, 4: 25e4}
+    #        hub_raw  = {1: 1e6, 2: 1e6, 3: 25e4}, mx=1e6 -> unchanged
+    from bodhium_webscrapper_spark.operators.pagerank import hits_fixed_point
+
+    e = _edges(spark, [(1, 3), (2, 3), (3, 4)])
+    got = {r["id"]: (r["hub"], r["auth"]) for r in
+           hits_fixed_point(e, iterations=2).collect()}
+    assert got == {
+        1: (1_000_000, 0),
+        2: (1_000_000, 0),
+        3: (250_000, 1_000_000),
+        4: (0, 250_000),
+    }
+
+
+def test_hits_determinism_and_checkpoint(spark):
+    from bodhium_webscrapper_spark.operators.pagerank import hits_fixed_point
+
+    pairs = [(i, (i * 7 + 3) % 50) for i in range(50)] * 2 + [
+        (i, 0) for i in range(0, 50, 5)
+    ]
+    e = _edges(spark, pairs)
+    a = sorted(map(tuple, hits_fixed_point(e, iterations=3).collect()))
+    b = sorted(map(tuple, hits_fixed_point(
+        e.repartition(7), iterations=3, checkpoint_every=1).collect()))
+    assert a == b
+    # the planted in-degree hub target (node 0) is the top authority
+    top_auth = max(a, key=lambda r: r[2])[0]
+    assert top_auth == 0

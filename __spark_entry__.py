@@ -1436,17 +1436,10 @@ _Q_SOFT404_SQL = r"""
 """
 
 
-def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WARC/WET record parsing: documents are packed 10-per-blob into
-    canonical WET-style records (writer twin build_warc_record), then the
-    parser explodes and re-extracts every header + payload. The oracle
-    assembles and parses the same blobs independently in DuckDB — the
-    md5'd payload and the Content-Length cross-check make the value hash
-    cover byte-exact payload recovery."""
-    from bodhium_webscrapper_spark.sources.warc import (
-        build_warc_record,
-        parse_warc_records,
-    )
+def _warc_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WET-style blob corpus shared by the WARC queries:
+    documents packed 10-per-blob via the writer twin build_warc_record."""
+    from bodhium_webscrapper_spark.sources.warc import build_warc_record
 
     base = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     payload = F.substring(
@@ -1467,7 +1460,7 @@ def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = base.select(
         F.floor(F.col("doc_id") / 10).alias("grp"), "doc_id", rec.alias("r")
     )
-    blobs = docs.groupBy("grp").agg(
+    return docs.groupBy("grp").agg(
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("doc_id", "r"))),
@@ -1476,7 +1469,18 @@ def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             "",
         ).alias("blob")
     )
-    out = parse_warc_records(blobs, "blob")
+
+
+def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC/WET record parsing: documents are packed 10-per-blob into
+    canonical WET-style records (writer twin build_warc_record), then the
+    parser explodes and re-extracts every header + payload. The oracle
+    assembles and parses the same blobs independently in DuckDB — the
+    md5'd payload and the Content-Length cross-check make the value hash
+    cover byte-exact payload recovery."""
+    from bodhium_webscrapper_spark.sources.warc import parse_warc_records
+
+    out = parse_warc_records(_warc_blobs(spark, sf_dir), "blob")
     return out.select(
         "uri",
         "warc_type",
@@ -1487,8 +1491,8 @@ def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("uri")
 
 
-_Q_WARC_SQL = r"""
-    WITH base AS (
+_Q_WARC_CTE = r"""
+    base AS (
       SELECT doc_id, source,
         substr(regexp_replace(text, '\s+', ' ', 'g'), 1, 200) AS payload
       FROM documents),
@@ -1518,6 +1522,10 @@ _Q_WARC_SQL = r"""
                list_element(string_split_regex(r, '\r\n\r\n'), 2),
                '(\r\n)+$', '') AS payload
       FROM rx)
+"""
+
+_Q_WARC_SQL = (
+    "WITH " + _Q_WARC_CTE + r"""
     SELECT
       regexp_extract(hdr, 'WARC-Target-URI: ([^\r\n]+)', 1) AS uri,
       regexp_extract(hdr, 'WARC-Type: ([^\r\n]+)', 1) AS warc_type,
@@ -1529,6 +1537,55 @@ _Q_WARC_SQL = r"""
       md5(payload) AS payload_md5
     FROM p ORDER BY uri
 """
+)
+
+
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX index generation — the crawl's queryable index artifact (the
+    Common-Crawl cc-index / Wayback convention): WARC blobs → one
+    ``(surt, ts, uri, digest, length)`` record per capture, sorted by
+    (surt, ts). Composes parse_warc_records (sources/warc.py) with
+    surt_key (functions/canonicalize.py): sorting by SURT makes every
+    registrable domain one contiguous, min-max-prunable key range, and
+    the 14-digit timestamp is the capture's secondary sort — exactly the
+    layout a replay/lookup service range-scans. Digest is md5 of the
+    payload (the sha1 slot of real CDX; md5 so the DuckDB twin replays
+    it). Pure JVM end-to-end: blob explode + regexp headers + one sort."""
+    from bodhium_webscrapper_spark.functions.canonicalize import surt_key
+    from bodhium_webscrapper_spark.sources.warc import parse_warc_records
+
+    out = parse_warc_records(_warc_blobs(spark, sf_dir), "blob")
+    return out.select(
+        surt_key(F.col("uri")).alias("surt"),
+        F.regexp_replace("warc_date", "[^0-9]", "").alias("ts"),
+        "uri",
+        F.md5(F.col("payload")).alias("digest"),
+        F.col("content_length").alias("length"),
+    ).orderBy("surt", "ts", "uri")
+
+
+# the corpus URIs are https://{source}.example/doc/{id} — host has exactly
+# two labels, no port/query, so the SURT is directly constructible; the
+# surt_keys query oracle covers the general parser independently
+_Q_CDX_SQL = (
+    "WITH " + _Q_WARC_CTE + r""",
+    rec2 AS (
+      SELECT
+        regexp_extract(hdr, 'WARC-Target-URI: ([^\r\n]+)', 1) AS uri,
+        regexp_replace(regexp_extract(hdr, 'WARC-Date: ([^\r\n]+)', 1),
+                       '[^0-9]', '', 'g') AS ts,
+        md5(payload) AS digest,
+        CAST(regexp_extract(hdr, 'Content-Length: ([0-9]+)', 1) AS BIGINT)
+          AS length
+      FROM p)
+    SELECT
+      'example,' ||
+        regexp_extract(uri, 'https://([^.]+)\.example/', 1) ||
+        ')' || regexp_extract(uri, 'https://[^/]+(/.*)$', 1) AS surt,
+      ts, uri, digest, length
+    FROM rec2 ORDER BY surt, ts, uri
+"""
+)
 
 
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4598,6 +4655,105 @@ _Q_MIME_SQL_TEMPLATE = r"""
 _Q_MIME_SQL = _Q_MIME_SQL_TEMPLATE.format(corpus=_mime_cases_sql())
 
 
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset-card statistics — the numbers a released training
+    corpus publishes (docs, token totals, length distribution, language
+    spread) computed exactly: the p50 is the true lower median via a
+    per-source row_number (deterministic tie-break on doc_id — NOT
+    percentile_approx, whose sketch is partition-layout dependent and
+    would break the oracle), and the mean is integer fixed-point
+    (tokens*100 div docs). One groupBy + one per-source window over the
+    source-partitioned count table — the window partitions by source, so
+    at 100 TB this is a per-source sort of doc-count rows, not a global
+    one; the rollup join is broadcast (sources are few)."""
+    from bodhium_webscrapper_spark.functions.textstats import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang",
+        token_count(F.col("text")).cast("long").alias("tc"),
+    )
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tc").alias("tokens_total"),
+        F.min("tc").alias("tokens_min"),
+        F.max("tc").alias("tokens_max"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    w = Window.partitionBy("source").orderBy("tc", "doc_id")
+    med = (
+        docs.select("source", "tc", F.row_number().over(w).alias("_rn"))
+        .join(agg.select("source", "n_docs"), "source")
+        .filter(F.col("_rn") == F.expr("(n_docs + 1) div 2"))
+        .select("source", F.col("tc").alias("tokens_p50"))
+    )
+    return (
+        agg.join(F.broadcast(med), "source")
+        .select(
+            "source", "n_docs", "tokens_total", "tokens_min", "tokens_max",
+            F.expr("tokens_total * 100 div n_docs").alias("mean_tokens_x100"),
+            "tokens_p50", "n_langs",
+        )
+        .orderBy("source")
+    )
+
+
+_Q_DATASET_CARD_SQL = r"""
+    WITH tc AS (
+      SELECT doc_id, source, lang,
+        CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\s+')) END
+          AS BIGINT) AS tc
+      FROM documents),
+    agg AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(tc) AS BIGINT) AS tokens_total,
+        min(tc) AS tokens_min, max(tc) AS tokens_max,
+        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM tc GROUP BY source),
+    med AS (
+      SELECT source, tc AS tokens_p50 FROM (
+        SELECT t.source, t.tc,
+          row_number() OVER (PARTITION BY t.source
+                             ORDER BY t.tc, t.doc_id) AS rn,
+          a.n_docs
+        FROM tc t JOIN agg a USING (source))
+      WHERE rn = (n_docs + 1) // 2)
+    SELECT a.source, n_docs, tokens_total, tokens_min, tokens_max,
+      tokens_total * 100 // n_docs AS mean_tokens_x100, tokens_p50, n_langs
+    FROM agg a JOIN med USING (source) ORDER BY source
+"""
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planning (operators/packing.py
+    compaction_plan): a synthetic crawl-output file listing (pseudo-sized
+    via a multiplicative hash, so sizes vary 3..99 units) is binned into
+    rewrite groups of ≈256 units by sorted first-fit over the two-phase
+    distributed prefix sum — no single-partition window, no driver greedy
+    loop. The oracle replays the exclusive cumsum in windowed SQL."""
+    from bodhium_webscrapper_spark.operators.packing import compaction_plan
+
+    files = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("file_id"),
+        ((F.col("doc_id") * 2654435761) % 97 + 3).cast("long").alias("bytes"),
+    )
+    out = compaction_plan(files, "file_id", "bytes", target_bytes=256)
+    return out.orderBy("file_id")
+
+
+_Q_COMPACTION_SQL = """
+    WITH files AS (
+      SELECT doc_id AS file_id,
+        CAST((doc_id * 2654435761) % 97 + 3 AS BIGINT) AS bytes
+      FROM documents)
+    SELECT file_id, bytes,
+      CAST(coalesce(sum(bytes) OVER (ORDER BY file_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256
+        AS BIGINT) AS grp
+    FROM files ORDER BY file_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "canonicalize_urls": q_canonicalize_urls,
@@ -4686,6 +4842,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": q_hits_scores,
         "script_mix": q_script_mix,
         "mime_gate": q_mime_gate,
+        "cdx_index": q_cdx_index,
+        "dataset_card": q_dataset_card,
+        "compaction_plan": q_compaction_plan,
     }
 
 
@@ -4777,4 +4936,7 @@ def oracle_sql() -> dict[str, str]:
         "hits_scores": _Q_HITS_SQL,
         "script_mix": _Q_SCRIPT_SQL,
         "mime_gate": _Q_MIME_SQL,
+        "cdx_index": _Q_CDX_SQL,
+        "dataset_card": _Q_DATASET_CARD_SQL,
+        "compaction_plan": _Q_COMPACTION_SQL,
     }

@@ -229,3 +229,45 @@ def chunk_documents(
         docs.select(F.col(id_col), F.explode(_bind_once(tokens, build)).alias("_c"))
         .select(id_col, "_c.chunk_id", "_c.tok_start", "_c.tok_end", "_c.chunk_text")
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    id_col: str = "file_id",
+    bytes_col: str = "bytes",
+    target_bytes: int = 256 * 1024 * 1024,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Small-files compaction planner: assign every file to a rewrite
+    group of ≈``target_bytes`` — the maintenance pass a long-running crawl
+    NEEDS (each wave writes wave-sized parquet files; after 10^4 waves the
+    pages/extracted tables are millions of KB-scale files and scan
+    planning, not scanning, dominates; Iceberg/Delta ship the same
+    ``binpack`` strategy as table services).
+
+    Plan semantics: files are taken in ``id_col`` order and a file joins
+    the group its exclusive cumulative start offset falls in
+    (``g_off div target_bytes``) — sorted first-fit, every group within
+    one file of the target, deterministic and engine-replayable (no
+    driver-side greedy loop over a collect'd listing, which is how these
+    planners are usually written and exactly what breaks at 10^8 files).
+    The prefix sum is :func:`doc_token_offsets`' two-phase distributed
+    scan — per-partition totals to the driver (bounded by partition
+    count), one Arrow cumsum pass, NO single-partition window.
+
+    Returns ``(id_col, bytes_col, grp)``; the caller's rewrite job groups
+    by ``grp`` and coalesces each group into one output file.
+    """
+    offs = doc_token_offsets(
+        files.select(id_col, bytes_col),
+        id_col=id_col,
+        ntok_col=bytes_col,
+        num_partitions=num_partitions,
+    )
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be positive")
+    return offs.select(
+        id_col,
+        bytes_col,
+        F.expr(f"g_off div {int(target_bytes)}L").cast("long").alias("grp"),
+    )

@@ -3927,8 +3927,8 @@ def q_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q_SURT_SQL = r"""
-    WITH u AS (
+_Q_SURT_CTE = r"""
+    u AS (
       SELECT doc_id,
         'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www2.' ELSE '' END
           || 'shop' || (doc_id % 7) || '.example.com/p/' || (doc_id % 100)
@@ -3939,12 +3939,20 @@ _Q_SURT_SQL = r"""
         lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)) AS host,
         regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
         nullif(regexp_extract(url, '\?([^#]*)', 1), '') AS query
-      FROM u)
-    SELECT doc_id, url,
-      array_to_string(list_reverse(string_split(host, '.')), ',') || ')'
-        || path || CASE WHEN query IS NOT NULL THEN '?' || query ELSE '' END AS surt
-    FROM p ORDER BY surt, doc_id
+      FROM u),
+    s AS (
+      SELECT doc_id, url,
+        array_to_string(list_reverse(string_split(host, '.')), ',') || ')'
+          || path
+          || CASE WHEN query IS NOT NULL THEN '?' || query ELSE '' END AS surt
+      FROM p)
 """
+
+_Q_SURT_SQL = (
+    "WITH " + _Q_SURT_CTE + """
+    SELECT doc_id, url, surt FROM s ORDER BY surt, doc_id
+"""
+)
 
 
 def q_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4754,6 +4762,141 @@ _Q_COMPACTION_SQL = """
 """
 
 
+def q_shard_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact range-shard split points over the SURT key space
+    (operators/packing.py shard_boundaries): the 7 order-statistic keys
+    that cut the distinct sorted SURT set into 8 contiguous shards — the
+    REPRODUCIBLE index-layout planner (Spark's RangePartitioner samples,
+    so its boundaries drift run-to-run; a published index layout must
+    not). Ranks via the two-phase distributed prefix scan with unit
+    weights — no single-partition window; the oracle replays the order
+    statistics with a row_number window in SQL."""
+    from bodhium_webscrapper_spark.functions.canonicalize import surt_key
+    from bodhium_webscrapper_spark.operators.packing import shard_boundaries
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www2.")).otherwise(F.lit("")),
+        F.lit("shop"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/p/"), (F.col("doc_id") % 100).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("?page=2&ref=nav")).otherwise(F.lit("")),
+    )
+    surts = docs.select(surt_key(url).alias("surt"))
+    return shard_boundaries(surts, key_col="surt", n_shards=8)
+
+
+_Q_SHARD_SQL = (
+    "WITH " + _Q_SURT_CTE + r""",
+    d AS (SELECT DISTINCT surt FROM s),
+    r AS (SELECT surt, row_number() OVER (ORDER BY surt) - 1 AS rnk FROM d),
+    nn AS (SELECT count(*) AS n FROM d),
+    t AS (
+      SELECT i AS shard, (i * n) // 8 AS g
+      FROM generate_series(1, 7) AS gs(i), nn
+      WHERE (i * n) // 8 > 0
+      QUALIFY row_number() OVER (PARTITION BY g ORDER BY i) = 1)
+    SELECT CAST(t.shard AS INTEGER) AS shard, r.surt AS boundary_key
+    FROM t JOIN r ON r.rnk = t.g ORDER BY shard
+"""
+)
+
+
+def _reval_corpus(spark: SparkSession, sf_dir: str):
+    """Deterministic previous-crawl / refetch header tables for the
+    revalidation query: membership, ETag presence/rotation, Last-Modified
+    presence/rotation, and content-hash drift all keyed off doc_id residues
+    so every RFC 9110 branch (strong ETag, weak Last-Modified fallback,
+    hash-only, new, gone) is populated."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://h"), (d % 10).cast("string"),
+        F.lit(".example/p/"), d.cast("string"),
+    )
+    etag_p = F.when(d % 4 != 1, F.concat(F.lit('W/"e'), d.cast("string"), F.lit('"')))
+    lm_p = F.when(
+        d % 6 != 2,
+        F.concat(F.lit("Mon, 0"), ((d % 7) + 1).cast("string"), F.lit(" Jan 2026")),
+    )
+    hash_p = F.md5(F.concat(F.lit("c"), d.cast("string")))
+    prev = docs.filter(d % 11 != 3).select(
+        url.alias("url"), etag_p.alias("etag"), lm_p.alias("last_modified"),
+        hash_p.alias("content_hash"),
+    )
+    etag_c = F.when(
+        (d % 9 == 0) & (d % 4 != 1),
+        F.concat(F.lit('W/"e'), d.cast("string"), F.lit('X"')),
+    ).otherwise(etag_p)
+    lm_c = F.when(
+        (d % 8 == 0) & (d % 6 != 2),
+        F.concat(F.lit("Tue, 0"), ((d % 7) + 1).cast("string"), F.lit(" Feb 2026")),
+    ).otherwise(lm_p)
+    hash_c = F.when(
+        d % 10 == 7, F.md5(F.concat(F.lit("d"), d.cast("string")))
+    ).otherwise(hash_p)
+    curr = docs.filter(d % 13 != 5).select(
+        url.alias("url"), etag_c.alias("etag"), lm_c.alias("last_modified"),
+        hash_c.alias("content_hash"),
+    )
+    return prev, curr
+
+
+def q_revalidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP conditional-revalidation classification (operators/diff.py
+    revalidation_classes): previous crawl's validators vs the refetch's
+    headers → not_modified / changed / new / gone per RFC 9110 §8.8
+    precedence (strong ETag beats weak Last-Modified beats content hash).
+    One full-outer equi-join, JVM string equalities, no UDF — the gate
+    that lets a 10^10-URL recrawl skip re-extraction of unchanged pages."""
+    from bodhium_webscrapper_spark.operators.diff import revalidation_classes
+
+    prev, curr = _reval_corpus(spark, sf_dir)
+    return revalidation_classes(prev, curr).orderBy("url")
+
+
+_Q_REVAL_SQL = r"""
+    WITH d AS (SELECT doc_id AS d FROM documents),
+    base AS (
+      SELECT d, 'https://h' || (d % 10) || '.example/p/' || d AS url,
+        CASE WHEN d % 4 <> 1 THEN 'W/"e' || d || '"' END AS etag_p,
+        CASE WHEN d % 6 <> 2 THEN 'Mon, 0' || ((d % 7) + 1) || ' Jan 2026'
+          END AS lm_p,
+        md5('c' || d) AS hash_p
+      FROM d),
+    prev AS (
+      SELECT url, etag_p AS etag, lm_p AS last_modified, hash_p AS content_hash
+      FROM base WHERE d % 11 <> 3),
+    curr AS (
+      SELECT url,
+        CASE WHEN d % 9 = 0 AND d % 4 <> 1 THEN 'W/"e' || d || 'X"'
+             ELSE etag_p END AS etag,
+        CASE WHEN d % 8 = 0 AND d % 6 <> 2
+             THEN 'Tue, 0' || ((d % 7) + 1) || ' Feb 2026'
+             ELSE lm_p END AS last_modified,
+        CASE WHEN d % 10 = 7 THEN md5('d' || d) ELSE hash_p END AS content_hash
+      FROM base WHERE d % 13 <> 5),
+    j AS (
+      SELECT coalesce(p.url, c.url) AS url,
+        p.url IS NOT NULL AS in_p, c.url IS NOT NULL AS in_c,
+        p.etag AS pe, c.etag AS ce,
+        p.last_modified AS pl, c.last_modified AS cl,
+        p.content_hash AS ph, c.content_hash AS ch
+      FROM prev p FULL OUTER JOIN curr c ON p.url = c.url)
+    SELECT url,
+      CASE
+        WHEN NOT in_p THEN 'new'
+        WHEN NOT in_c THEN 'gone'
+        WHEN (CASE
+                WHEN pe IS NOT NULL AND ce IS NOT NULL THEN pe = ce
+                WHEN pl IS NOT NULL AND cl IS NOT NULL THEN pl = cl
+                ELSE ph IS NOT DISTINCT FROM ch END)
+          THEN 'not_modified'
+        ELSE 'changed' END AS status
+    FROM j ORDER BY url
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "canonicalize_urls": q_canonicalize_urls,
@@ -4845,6 +4988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": q_cdx_index,
         "dataset_card": q_dataset_card,
         "compaction_plan": q_compaction_plan,
+        "shard_boundaries": q_shard_boundaries,
+        "revalidate": q_revalidate,
     }
 
 
@@ -4939,4 +5084,6 @@ def oracle_sql() -> dict[str, str]:
         "cdx_index": _Q_CDX_SQL,
         "dataset_card": _Q_DATASET_CARD_SQL,
         "compaction_plan": _Q_COMPACTION_SQL,
+        "shard_boundaries": _Q_SHARD_SQL,
+        "revalidate": _Q_REVAL_SQL,
     }

@@ -112,3 +112,63 @@ def recrawl_priority(
         F.coalesce(F.col("host_total"), F.lit(0)).cast("long").alias("host_total"),
         level.cast("int").alias("priority_level"),
     )
+
+
+def revalidation_classes(
+    prev: DataFrame,
+    curr: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """HTTP conditional-revalidation classification for a recrawl wave —
+    the decision the reference never makes (it re-scrapes every URL
+    unconditionally, ``/root/reference/app.py`` scrape branch) and a
+    10^10-URL recrawl cannot afford to skip: a page whose validators match
+    needs neither re-extraction nor re-storage.
+
+    Inputs are the previous crawl's stored validators and the refetch's
+    response headers, both ``(url, etag, last_modified, content_hash)``.
+    Per RFC 9110 §8.8: the ETag is the strong validator and wins when both
+    sides carry one; Last-Modified is the weak fallback when either ETag
+    is absent; with no validators at all the stored content hash decides.
+    Returns ``(url, status)`` with status in
+
+      - ``'not_modified'`` — validators (or hashes) match: skip extract,
+        refresh the fetch timestamp only
+      - ``'changed'``      — re-extract and re-store
+      - ``'new'``          — in the current fetch only
+      - ``'gone'``         — in the previous crawl only (tombstone)
+
+    One full-outer equi-join on url — the same shape as
+    :func:`snapshot_diff`, and like it zero-exchange when both sides are
+    bucketed on the url key; every comparison is a JVM string equality in
+    the join projection, no UDFs.
+    """
+    p = prev.select(
+        F.col(url_col).alias("url"),
+        F.col("etag").alias("_pe"),
+        F.col("last_modified").alias("_pl"),
+        F.col("content_hash").alias("_ph"),
+        F.lit(1).alias("_in_p"),
+    )
+    c = curr.select(
+        F.col(url_col).alias("url"),
+        F.col("etag").alias("_ce"),
+        F.col("last_modified").alias("_cl"),
+        F.col("content_hash").alias("_ch"),
+        F.lit(1).alias("_in_c"),
+    )
+    j = p.join(c, "url", "full_outer")
+    both_etags = F.col("_pe").isNotNull() & F.col("_ce").isNotNull()
+    both_lm = F.col("_pl").isNotNull() & F.col("_cl").isNotNull()
+    matched = (
+        F.when(both_etags, F.col("_pe") == F.col("_ce"))
+        .when(both_lm, F.col("_pl") == F.col("_cl"))
+        .otherwise(F.col("_ph").eqNullSafe(F.col("_ch")))
+    )
+    status = (
+        F.when(F.col("_in_p").isNull(), F.lit("new"))
+        .when(F.col("_in_c").isNull(), F.lit("gone"))
+        .when(matched, F.lit("not_modified"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select("url", status.alias("status"))

@@ -49,12 +49,16 @@ def doc_token_offsets(
     id_col: str = "doc_id",
     ntok_col: str = "n_tokens",
     num_partitions: int | None = None,
+    id_type: str = "long",
 ) -> DataFrame:
     """Exclusive prefix sum of ``ntok_col`` over the total order of
     ``id_col`` — each doc's global start offset ``g_off`` in the virtual
     concatenated token stream — WITHOUT a single-partition window.
 
-    Returns (id_col, ntok_col, g_off). The input projection is persisted
+    Returns (id_col, ntok_col, g_off). ``id_type`` is the id column's DDL
+    type for the Arrow pass's output schema (any orderable type works —
+    ``repartitionByRange`` only needs an ordering; pass e.g. ``"string"``
+    for SURT keys). The input projection is persisted
     for the duration of the two phases (the partition-totals action and the
     main pass must see the same partition layout); the cache is released by
     the mapInPandas pass's last consumer going out of scope or an explicit
@@ -88,7 +92,7 @@ def doc_token_offsets(
         offsets[r["_pid"]] = acc
         acc += r["_tok"] or 0
 
-    out_schema = f"{id_col} long, {ntok_col} long, g_off long"
+    out_schema = f"{id_col} {id_type}, {ntok_col} long, g_off long"
 
     def add_offsets(iterator):
         # one partition = one iterator invocation; the running total carries
@@ -270,4 +274,62 @@ def compaction_plan(
         id_col,
         bytes_col,
         F.expr(f"g_off div {int(target_bytes)}L").cast("long").alias("grp"),
+    )
+
+
+def shard_boundaries(
+    keys: DataFrame,
+    key_col: str = "key",
+    n_shards: int = 8,
+    id_type: str = "string",
+) -> DataFrame:
+    """EXACT range-partition split points over a key column: the
+    ``n_shards - 1`` keys at global 0-based ranks ``floor(i * n /
+    n_shards)`` of the DISTINCT sorted key set — the layout planner for a
+    SURT-sorted index (each shard = one contiguous, min-max-prunable key
+    range) or any range-bucketed sink.
+
+    Spark's own ``repartitionByRange`` samples (RangePartitioner), so its
+    boundaries drift with partition layout and sampling seed — fine for
+    load balancing, wrong for a PUBLISHED index layout that must be
+    reproducible across runs and engines (resuming a half-built index
+    against re-sampled boundaries rewrites every shard). This computes the
+    exact order statistics with NO single-partition window: global ranks
+    come from :func:`doc_token_offsets`' two-phase distributed scan with
+    unit weights (rank = exclusive count of preceding keys), and the only
+    driver-side value is ``n`` (one scalar off the rank pass's partition
+    totals — control-plane, same class as the IVF codebook).
+
+    Returns ``(shard, boundary_key)``, ``shard`` = 1..n_shards-1; shard
+    ``i-1`` covers keys < its boundary (first shard from -inf, last to
+    +inf). With fewer distinct keys than shards, duplicate rank targets
+    collapse and rank-0 targets are dropped (a split at the minimum key
+    would only manufacture an empty first shard) — callers get
+    min(n-1, n_shards-1) usable split points.
+    """
+    if n_shards < 2:
+        raise ValueError("n_shards must be >= 2")
+    distinct = keys.select(F.col(key_col).alias("key")).distinct()
+    ranks = doc_token_offsets(
+        distinct.withColumn("_w", F.lit(1)),
+        id_col="key",
+        ntok_col="_w",
+        id_type=id_type,
+    )
+    # n: one scalar action over the rank pass (the pass is cached by
+    # doc_token_offsets' persist, so this does not recompute the shuffle)
+    n = int(ranks.agg(F.max("g_off").alias("m")).first()["m"] or 0) + 1
+    targets = sorted({i * n // n_shards for i in range(1, n_shards)} - {0})
+    shard_of = {}
+    for i in range(1, n_shards):
+        if i * n // n_shards > 0:
+            shard_of.setdefault(i * n // n_shards, i)
+    spark = keys.sparkSession
+    tgt = spark.createDataFrame(
+        [(shard_of[t], t) for t in targets], "shard int, g_off long"
+    )
+    return (
+        ranks.join(F.broadcast(tgt), "g_off")
+        .select("shard", F.col("key").alias("boundary_key"))
+        .orderBy("shard")
     )

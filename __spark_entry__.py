@@ -4897,6 +4897,109 @@ _Q_REVAL_SQL = r"""
 """
 
 
+def _hreflang_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hreflang corpus per i = doc_id % 6: a 3-variant
+    cluster with both attribute orders (0), a rel-less hreflang tag that
+    must be dropped next to a valid one (1), no hreflang at all (2),
+    uppercase attribute + region tag to lowercase (3), an empty href to
+    drop (4), and a 2-variant page (5)."""
+    docs = _t(spark, sf_dir, "documents")
+    idx = docs.select((F.col("doc_id") % 6).cast("int").alias("i")).distinct()
+    i, s = F.col("i"), F.col("i").cast("string")
+    html = (
+        F.when(i == 0, F.concat(
+            F.lit('<html><head>'
+                  '<link rel="alternate" hreflang="en" href="https://ex.com/en/p'),
+            s,
+            F.lit('"/><link hreflang="de" rel="alternate" href="https://ex.com/de/p'),
+            s,
+            F.lit('"/><link rel="alternate" hreflang="x-default" '
+                  'href="https://ex.com/p'),
+            s, F.lit('"/></head><body>x</body></html>')))
+        .when(i == 1, F.concat(
+            F.lit('<link hreflang="fr" href="https://ex.com/fr/only'), s,
+            F.lit('"/><link rel="alternate" hreflang="es" '
+                  'href="https://ex.com/es/p'), s, F.lit('"/>')))
+        .when(i == 2, F.lit("<html><body>no alternates</body></html>"))
+        .when(i == 3, F.concat(
+            F.lit('<LINK REL="alternate" HREFLANG="EN-GB" '
+                  'HREF="https://ex.com/uk/p'), s, F.lit('"/>')))
+        .when(i == 4, F.lit(
+            '<link rel="alternate" hreflang="it" href=""/>'))
+        .otherwise(F.concat(
+            F.lit('<link rel="alternate" hreflang="ja" href="https://ex.com/ja/p'),
+            s,
+            F.lit('"/><link rel="alternate" hreflang="ko" href="https://ex.com/ko/p'),
+            s, F.lit('"/>')))
+    )
+    return idx.select("i", html.alias("html"))
+
+
+def q_hreflang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-page hreflang alternate extraction (functions/extract.py
+    hreflang_links): language/region variant maps — near-duplicates BY
+    DECLARATION, so a multilingual corpus keeps one variant per cluster
+    without paying MinHash. Both attribute orders, case-insensitive
+    attributes, BCP 47 tags lowercased, rel-less/href-less tags dropped,
+    document order preserved. Pure JVM regexp + array HOFs, zero shuffle."""
+    from bodhium_webscrapper_spark.functions.extract import hreflang_links
+
+    corpus = _hreflang_corpus(spark, sf_dir)
+    return (
+        corpus.select(
+            "i", F.posexplode(hreflang_links(F.col("html"))).alias("pos", "s")
+        )
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.col("pos").cast("long").alias("pos"),
+            F.col("s.hreflang").alias("hreflang"),
+            F.col("s.href").alias("href"),
+        )
+        .orderBy("i", "pos")
+    )
+
+
+_Q_HREFLANG_SQL = r"""
+    WITH idx AS (
+      SELECT DISTINCT CAST(doc_id % 6 AS INTEGER) AS i FROM documents),
+    corpus AS (
+      SELECT i, CASE i
+        WHEN 0 THEN '<html><head>'
+          || '<link rel="alternate" hreflang="en" href="https://ex.com/en/p'
+          || i || '"/><link hreflang="de" rel="alternate" href="https://ex.com/de/p'
+          || i || '"/><link rel="alternate" hreflang="x-default" href="https://ex.com/p'
+          || i || '"/></head><body>x</body></html>'
+        WHEN 1 THEN '<link hreflang="fr" href="https://ex.com/fr/only' || i
+          || '"/><link rel="alternate" hreflang="es" href="https://ex.com/es/p'
+          || i || '"/>'
+        WHEN 2 THEN '<html><body>no alternates</body></html>'
+        WHEN 3 THEN '<LINK REL="alternate" HREFLANG="EN-GB" HREF="https://ex.com/uk/p'
+          || i || '"/>'
+        WHEN 4 THEN '<link rel="alternate" hreflang="it" href=""/>'
+        ELSE '<link rel="alternate" hreflang="ja" href="https://ex.com/ja/p'
+          || i || '"/><link rel="alternate" hreflang="ko" href="https://ex.com/ko/p'
+          || i || '"/>'
+      END AS html FROM idx),
+    tags AS (
+      SELECT i, unnest(regexp_extract_all(html,
+          '(?i)<link\b[^>]*hreflang\s*=\s*["''][^"'']*["''][^>]*>')) AS tag,
+        generate_subscripts(regexp_extract_all(html,
+          '(?i)<link\b[^>]*hreflang\s*=\s*["''][^"'']*["''][^>]*>'), 1) AS ord
+      FROM corpus),
+    kept AS (
+      SELECT i, ord,
+        lower(regexp_extract(tag, '(?i)hreflang\s*=\s*["'']([^"'']*)["'']', 1))
+          AS hreflang,
+        regexp_extract(tag, '(?i)href\s*=\s*["'']([^"'']*)["'']', 1) AS href
+      FROM tags
+      WHERE regexp_matches(tag, '(?i)rel\s*=\s*["'']alternate["'']')
+        AND regexp_extract(tag, '(?i)href\s*=\s*["'']([^"'']*)["'']', 1) <> '')
+    SELECT i, CAST(row_number() OVER (PARTITION BY i ORDER BY ord) - 1
+             AS BIGINT) AS pos, hreflang, href
+    FROM kept ORDER BY i, pos
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "canonicalize_urls": q_canonicalize_urls,
@@ -4990,6 +5093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan": q_compaction_plan,
         "shard_boundaries": q_shard_boundaries,
         "revalidate": q_revalidate,
+        "hreflang": q_hreflang,
     }
 
 
@@ -5086,4 +5190,5 @@ def oracle_sql() -> dict[str, str]:
         "compaction_plan": _Q_COMPACTION_SQL,
         "shard_boundaries": _Q_SHARD_SQL,
         "revalidate": _Q_REVAL_SQL,
+        "hreflang": _Q_HREFLANG_SQL,
     }

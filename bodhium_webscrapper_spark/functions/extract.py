@@ -307,3 +307,52 @@ def meta_robots_cols(html_col):
     noindex = F.coalesce(content.rlike(_RB_NOINDEX_RE), F.lit(False))
     nofollow = F.coalesce(content.rlike(_RB_NOFOLLOW_RE), F.lit(False))
     return noindex, nofollow
+
+
+# hreflang alternates: the <link rel="alternate" hreflang="…" href="…">
+# cluster of language/region variants of one page. Both attribute orders
+# (the meta-robots lesson) — a tag must carry rel=alternate AND hreflang
+# to count, in any order; plain rel=alternate without hreflang is the
+# feed/canonical case, not a language variant.
+_HREFLANG_TAG_RE = r"""(?i)<link\b[^>]*hreflang\s*=\s*["'][^"']*["'][^>]*>"""
+_HREFLANG_LANG_RE = r"""(?i)hreflang\s*=\s*["']([^"']*)["']"""
+_HREFLANG_HREF_RE = r"""(?i)href\s*=\s*["']([^"']*)["']"""
+_HREFLANG_REL_ALT_RE = r"""(?i)rel\s*=\s*["']alternate["']"""
+
+
+def hreflang_links(html_col):
+    """One array Column of ``struct(hreflang, href)`` per page from an html
+    STRING column — the in-page alternate-language map (Google's
+    multilingual-site convention; the web's own declaration of "these N
+    URLs are the same document in different languages").
+
+    Why a crawler wants it: hreflang clusters are NEAR-DUPLICATES BY
+    DECLARATION — a corpus builder can keep one variant per cluster (or
+    one per target language) without paying MinHash, and a frontier can
+    prioritize variants of already-valuable pages. Lowercases the language
+    tag (BCP 47 tags are case-insensitive; ``x-default`` is the fallback
+    slot), preserves document order, drops tags missing ``rel=alternate``
+    or an ``href``. Pure JVM: one ``regexp_extract_all`` over the scan +
+    per-element ``transform``/``filter`` HOFs, zero shuffle, zero Python.
+    """
+    from pyspark.sql import functions as F
+
+    tags = F.regexp_extract_all(html_col, F.lit(_HREFLANG_TAG_RE), F.lit(0))
+    structs = F.transform(
+        tags,
+        lambda t: F.struct(
+            F.lower(F.regexp_extract(t, _HREFLANG_LANG_RE, 1)).alias("hreflang"),
+            F.regexp_extract(t, _HREFLANG_HREF_RE, 1).alias("href"),
+        ),
+    )
+    keep = F.filter(
+        F.zip_with(
+            tags,
+            structs,
+            lambda t, s: F.when(
+                t.rlike(_HREFLANG_REL_ALT_RE) & (s["href"] != ""), s
+            ),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    return keep

@@ -123,3 +123,29 @@ def test_revalidation_classes_all_branches(spark):
         "u8": "new",
         "u9": "not_modified",
     }
+
+
+def test_hreflang_links_extraction_rules(spark):
+    from bodhium_webscrapper_spark.functions.extract import hreflang_links
+
+    html = (
+        '<link rel="alternate" hreflang="en" href="https://e/en"/>'
+        '<link hreflang="DE-at" rel="alternate" href="https://e/de"/>'  # order+case
+        '<link hreflang="fr" href="https://e/fr"/>'                     # no rel
+        '<link rel="alternate" hreflang="it" href=""/>'                 # empty href
+        '<link rel="alternate" hreflang="x-default" href="https://e/"/>'
+    )
+    df = spark.createDataFrame([(html,)], "html string")
+    rows = df.select(
+        F.explode(hreflang_links(F.col("html"))).alias("s")
+    ).select("s.hreflang", "s.href").collect()
+    assert [(r.hreflang, r.href) for r in rows] == [
+        ("en", "https://e/en"),
+        ("de-at", "https://e/de"),
+        ("x-default", "https://e/"),
+    ]
+    plan = (
+        df.select(hreflang_links(F.col("html")).alias("a"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
